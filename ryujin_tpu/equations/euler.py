@@ -1,0 +1,704 @@
+"""Compressible Euler equations with polytropic gas EOS.
+
+TPU-native re-implementation of the reference Euler module:
+  * state transforms / derived quantities:
+      /root/reference/source/euler/hyperbolic_system.h:740-1306
+  * approximate Riemann solver (Guermond-Popov two-rarefaction bound):
+      /root/reference/source/euler/riemann_solver.template.h
+  * entropy-viscosity-commutator indicator:
+      /root/reference/source/euler/indicator.h:187-258
+  * convex limiter (density interval + specific entropy minimum principle
+    with quadratic Newton):
+      /root/reference/source/euler/limiter.h + limiter.template.h
+
+All functions are written as vectorized jnp math over arbitrary leading
+batch axes; states are stored with the component axis last:
+[rho, m_1..m_dim, E].  There are no loops over nodes or stencil entries —
+the solver broadcasts these functions over [n, K, ...] arrays and lets XLA
+fuse everything.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..offline.mesh import Boundary
+
+
+def _pos(x):
+    return jnp.maximum(x, 0.0)
+
+
+def _neg(x):
+    return jnp.maximum(-x, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class EulerParams:
+    """Runtime parameters (euler/hyperbolic_system.h:665-699)."""
+
+    gamma: float = 1.4
+    reference_density: float = 1.0
+    vacuum_state_relaxation_small: float = 1.0e2
+    vacuum_state_relaxation_large: float = 1.0e4
+
+
+@dataclasses.dataclass(frozen=True)
+class Euler:
+    """The Euler "Description": hyperbolic system + riemann/indicator/limiter.
+
+    dim and params are static Python values; every method is traceable.
+    """
+
+    dim: int
+    params: EulerParams = EulerParams()
+
+    # ---- structure ----------------------------------------------------
+    name = "euler"
+    n_precomputed = 2  # [s, eta_harten]
+    n_initial_precomputed = 0
+    n_precomputation_cycles = 1
+    n_bounds = 3  # [rho_min, rho_max, s_min]
+    have_high_order_flux = False
+    have_source_terms = False
+    have_equilibrated_states = False
+    is_identity_parabolic = True  # no parabolic subsystem
+
+    @property
+    def n_comp(self) -> int:
+        return 2 + self.dim
+
+    @property
+    def component_names(self):
+        return (
+            ["rho"]
+            + [f"m_{i+1}" for i in range(self.dim)]
+            + ["E"]
+        ) if self.dim > 1 else ["rho", "m", "E"]
+
+    @property
+    def primitive_component_names(self):
+        return (
+            ["rho"]
+            + [f"v_{i+1}" for i in range(self.dim)]
+            + ["p"]
+        ) if self.dim > 1 else ["rho", "v", "p"]
+
+    precomputed_names = ("s", "eta_h")
+
+    # ---- derived quantities (hyperbolic_system.h:740-979) --------------
+    def density(self, U):
+        return U[..., 0]
+
+    def momentum(self, U):
+        return U[..., 1 : 1 + self.dim]
+
+    def total_energy(self, U):
+        return U[..., 1 + self.dim]
+
+    def internal_energy(self, U):
+        rho_inv = 1.0 / self.density(U)
+        m = self.momentum(U)
+        return self.total_energy(U) - 0.5 * jnp.sum(m * m, -1) * rho_inv
+
+    def internal_energy_derivative(self, U):
+        rho_inv = 1.0 / self.density(U)
+        u = self.momentum(U) * rho_inv[..., None]
+        return jnp.concatenate(
+            [
+                (0.5 * jnp.sum(u * u, -1))[..., None],
+                -u,
+                jnp.ones_like(U[..., :1]),
+            ],
+            axis=-1,
+        )
+
+    def pressure(self, U):
+        return (self.params.gamma - 1.0) * self.internal_energy(U)
+
+    def speed_of_sound(self, U):
+        g = self.params.gamma
+        return jnp.sqrt(g * self.pressure(U) / self.density(U))
+
+    def specific_entropy(self, U):
+        g = self.params.gamma
+        rho_inv = 1.0 / self.density(U)
+        return self.internal_energy(U) * jnp.power(rho_inv, g)
+
+    def harten_entropy(self, U):
+        g = self.params.gamma
+        rho = self.density(U)
+        m = self.momentum(U)
+        E = self.total_energy(U)
+        rho_rho_e = rho * E - 0.5 * jnp.sum(m * m, -1)
+        return jnp.power(rho_rho_e, 1.0 / (g + 1.0))
+
+    def harten_entropy_derivative(self, U):
+        g = self.params.gamma
+        rho = self.density(U)
+        m = self.momentum(U)
+        E = self.total_energy(U)
+        rho_rho_e = rho * E - 0.5 * jnp.sum(m * m, -1)
+        factor = (1.0 / (g + 1.0)) * jnp.power(rho_rho_e, -g / (g + 1.0))
+        return jnp.concatenate(
+            [
+                (factor * E)[..., None],
+                -factor[..., None] * m,
+                (factor * rho)[..., None],
+            ],
+            axis=-1,
+        )
+
+    def filter_vacuum_density(self, rho):
+        eps = jnp.finfo(rho.dtype).eps
+        cutoff = (
+            self.params.reference_density
+            * self.params.vacuum_state_relaxation_large
+            * eps
+        )
+        return jnp.where(jnp.abs(rho) < cutoff, jnp.zeros_like(rho), rho)
+
+    def is_admissible(self, U):
+        return (
+            (self.density(U) > 0)
+            & (self.internal_energy(U) > 0)
+            & (self.specific_entropy(U) > 0)
+        )
+
+    # ---- state transforms ---------------------------------------------
+    def from_primitive_state(self, prim):
+        g = self.params.gamma
+        rho = prim[..., 0]
+        u = prim[..., 1 : 1 + self.dim]
+        p = prim[..., 1 + self.dim]
+        E = p / (g - 1.0) + 0.5 * rho * jnp.sum(u * u, -1)
+        return jnp.concatenate(
+            [rho[..., None], rho[..., None] * u, E[..., None]], axis=-1
+        )
+
+    def to_primitive_state(self, U):
+        rho_inv = 1.0 / self.density(U)
+        p = self.pressure(U)
+        return jnp.concatenate(
+            [
+                U[..., :1],
+                self.momentum(U) * rho_inv[..., None],
+                p[..., None],
+            ],
+            axis=-1,
+        )
+
+    # ---- precomputation (hyperbolic_system.h:702-737) -------------------
+    def precompute(self, U, initial_precomputed, cycle: int = 0):
+        del initial_precomputed, cycle
+        return jnp.stack(
+            [self.specific_entropy(U), self.harten_entropy(U)], axis=-1
+        )
+
+    # ---- fluxes (hyperbolic_system.h:1162-1216) -------------------------
+    def f(self, U):
+        """Flux tensor [..., C, dim]."""
+        rho_inv = 1.0 / self.density(U)
+        m = self.momentum(U)
+        p = self.pressure(U)
+        E = self.total_energy(U)
+        v = m * rho_inv[..., None]
+        mom_flux = m[..., :, None] * v[..., None, :]  # [..., dim, dim]
+        eye = jnp.eye(self.dim, dtype=U.dtype)
+        mom_flux = mom_flux + p[..., None, None] * eye
+        return jnp.concatenate(
+            [
+                m[..., None, :],
+                mom_flux,
+                (v * (E + p)[..., None])[..., None, :],
+            ],
+            axis=-2,
+        )
+
+    def flux_contribution(self, precomputed, initial_precomputed, U):
+        del precomputed, initial_precomputed
+        return self.f(U)
+
+    def flux_divergence(self, flux_i, flux_j, c_ij):
+        """-(f_i + f_j) . c_ij  (hyperbolic_system.h:1208-1216)."""
+        return -jnp.einsum("...cd,...d->...c", flux_i + flux_j, c_ij)
+
+    # ---- Riemann solver (riemann_solver.template.h) ---------------------
+    def riemann_data(self, U, n):
+        """Project onto 1D data (rho, u_n, p, a) (riemann_solver.template.h:377-403)."""
+        rho = self.density(U)
+        rho_inv = 1.0 / rho
+        m = self.momentum(U)
+        proj_m = jnp.sum(n * m, -1)
+        perp = m - proj_m[..., None] * n
+        E = self.total_energy(U) - 0.5 * jnp.sum(perp * perp, -1) * rho_inv
+        g = self.params.gamma
+        rho_e = E - 0.5 * proj_m * proj_m * rho_inv
+        p = (g - 1.0) * rho_e
+        a = jnp.sqrt(g * p * rho_inv)
+        return rho, proj_m * rho_inv, p, a
+
+    def riemann_lambda_max(
+        self, U_i, U_j, n_ij, newton_iterations: int = 0, newton_tol: float = 1e-10
+    ):
+        """Upper bound on the maximal wave speed (riemann_solver.template.h:406-582)."""
+        g = self.params.gamma
+        di = self.riemann_data(U_i, n_ij)
+        dj = self.riemann_data(U_j, n_ij)
+        rho_i, u_i, p_i, a_i = di
+        rho_j, u_j, p_j, a_j = dj
+
+        p_max = jnp.maximum(p_i, p_j)
+
+        # two-rarefaction estimate (:274-319)
+        factor = (g - 1.0) * 0.5
+        num = _pos(a_i + a_j - factor * (u_j - u_i))
+        den = a_i * jnp.power(p_i / p_j, -factor / g) + a_j
+        exponent = 2.0 * g / (g - 1.0)
+        p_rarefaction = p_j * jnp.power(num / den, exponent)
+
+        # failsafe estimate (:330-374)
+        radicand_i = 2.0 * p_max / (
+            rho_i * ((g + 1.0) * p_max + (g - 1.0) * p_i)
+        )
+        x_i = jnp.sqrt(radicand_i)
+        radicand_j = 2.0 * p_max / (
+            rho_j * ((g + 1.0) * p_max + (g - 1.0) * p_j)
+        )
+        x_j = jnp.sqrt(radicand_j)
+        a_q = x_i + x_j
+        b_q = u_j - u_i
+        c_q = -p_i * x_i - p_j * x_j
+        base = (-b_q + jnp.sqrt(b_q * b_q - 4.0 * a_q * c_q)) / (2.0 * a_q)
+        p_failsafe = base * base
+
+        p_star_tilde = jnp.minimum(p_rarefaction, p_failsafe)
+
+        # phi(p_max) (:122-149)
+        ri_inv = 0.5 * rho_i * ((g + 1.0) * p_max + (g - 1.0) * p_i)
+        vi = (p_max - p_i) / jnp.sqrt(ri_inv)
+        rj_inv = 0.5 * rho_j * ((g + 1.0) * p_max + (g - 1.0) * p_j)
+        vj = (p_max - p_j) / jnp.sqrt(rj_inv)
+        phi_p_max = vi + vj + u_j - u_i
+
+        p_2 = jnp.where(
+            phi_p_max < 0.0, p_star_tilde, jnp.minimum(p_max, p_star_tilde)
+        )
+
+        def lambda1_minus(data, p_star):
+            rho, u, p, a = data
+            fac = (g + 1.0) * 0.5 / g
+            tmp = _pos((p_star - p) / p)
+            return u - a * jnp.sqrt(1.0 + fac * tmp)
+
+        def lambda3_plus(data, p_star):
+            rho, u, p, a = data
+            fac = (g + 1.0) * 0.5 / g
+            tmp = _pos((p_star - p) / p)
+            return u + a * jnp.sqrt(1.0 + fac * tmp)
+
+        def compute_lambda(p_star):
+            nu_11 = lambda1_minus(di, p_star)
+            nu_32 = lambda3_plus(dj, p_star)
+            return jnp.maximum(_pos(nu_32), _neg(nu_11))
+
+        if newton_iterations == 0:
+            return compute_lambda(p_2)
+
+        # quadratic Newton refinement (:508-575)
+        p_min = jnp.minimum(p_i, p_j)
+        p_1 = jnp.where(phi_p_max < 0.0, p_max, p_min)
+        p_1 = jnp.where(p_1 <= p_2, p_1, p_2)
+
+        def f_rs(data, p_star):
+            rho, u, p, a = data
+            Az = 2.0 / (rho * (g + 1.0))
+            Bz = (g - 1.0) / (g + 1.0) * p
+            shock = (p_star - p) * jnp.sqrt(Az / (p_star + Bz))
+            exponent_ = 0.5 * (g - 1.0) / g
+            rare = 2.0 * a * (jnp.power(p_star / p, exponent_) - 1.0) / (g - 1.0)
+            return jnp.where(p_star >= p, shock, rare)
+
+        def df_rs(data, p_star):
+            rho, u, p, a = data
+            radicand_inverse = 0.5 * rho * ((g + 1.0) * p_star + (g - 1.0) * p)
+            denom = p_star + (g - 1.0) / (g + 1.0) * p
+            true_value = (denom - 0.5 * (p_star - p)) / (
+                denom * jnp.sqrt(radicand_inverse)
+            )
+            exponent_ = (-1.0 - g) * 0.5 / g
+            factor_ = (g - 1.0) * 0.5 / g * jnp.power(p_star / p, exponent_) / p
+            false_value = factor_ * 2.0 * a / (g - 1.0)
+            return jnp.where(p_star >= p, true_value, false_value)
+
+        def phi(p):
+            return f_rs(di, p) + f_rs(dj, p) + u_j - u_i
+
+        def dphi(p):
+            return df_rs(di, p) + df_rs(dj, p)
+
+        def gap_and_lambda(p1, p2):
+            nu_11 = lambda1_minus(di, p2)
+            nu_12 = lambda1_minus(di, p1)
+            nu_31 = lambda3_plus(dj, p1)
+            nu_32 = lambda3_plus(dj, p2)
+            lam = jnp.maximum(_pos(nu_32), _neg(nu_11))
+            gap = jnp.maximum(jnp.abs(nu_32 - nu_31), jnp.abs(nu_12 - nu_11))
+            return gap, lam
+
+        gap, lam = gap_and_lambda(p_1, p_2)
+        for _ in range(newton_iterations):
+            active = gap > newton_tol
+            np1, np2 = quadratic_newton_step(
+                p_1, p_2, phi(p_1), phi(p_2), dphi(p_1), dphi(p_2), sign=1.0
+            )
+            p_1 = jnp.where(active, np1, p_1)
+            p_2 = jnp.where(active, np2, p_2)
+            gap, lam = gap_and_lambda(p_1, p_2)
+        return lam
+
+    # ---- indicator (euler/indicator.h:187-258) --------------------------
+    def indicator_alpha(
+        self, U_i, prec_i, U_j, prec_j, c_ij, mask, hd_i, evc_factor: float = 1.0
+    ):
+        """Entropy viscosity commutator over the stencil.
+
+        Shapes: U_i [n, C], U_j [n, K, C], c_ij [n, K, dim], mask [n, K],
+        prec_* carry (s, eta).  Returns alpha [n].
+        """
+        eta_i = prec_i[..., 1]
+        rho_i = self.density(U_i)
+        rho_i_inv = 1.0 / rho_i
+        d_eta_i = self.harten_entropy_derivative(U_i)
+        d_eta_i = d_eta_i.at[..., 0].add(-eta_i * rho_i_inv)
+        f_i = self.f(U_i)
+
+        eta_j = prec_j[..., 1]
+        rho_j = self.density(U_j)
+        m_j = self.momentum(U_j)
+        f_j = self.f(U_j)
+
+        entropy_flux = (eta_j / rho_j - (eta_i * rho_i_inv)[..., None]) * jnp.einsum(
+            "nkd,nkd->nk", m_j, c_ij
+        )
+        left = jnp.sum(entropy_flux * mask, axis=-1)
+
+        components = jnp.einsum(
+            "nkcd,nkd->nkc", f_j - f_i[..., None, :, :], c_ij
+        )
+        right = jnp.sum(components * mask[..., None], axis=-2)  # [n, C]
+
+        numerator = left - jnp.sum(d_eta_i * right, axis=-1)
+        denominator = jnp.abs(left) + jnp.sum(
+            jnp.abs(d_eta_i * right), axis=-1
+        )
+        quotient = jnp.abs(numerator) / (
+            denominator + hd_i * jnp.abs(eta_i)
+        )
+        return jnp.minimum(1.0, evc_factor * quotient)
+
+    # ---- limiter --------------------------------------------------------
+    def limiter_bounds(
+        self,
+        U_i,
+        prec_i,
+        U_j,
+        prec_j,
+        scaled_c_ij,
+        mask,
+        hd_i,
+        relaxation_factor: float = 1.0,
+    ):
+        """Accumulate + relax bounds (euler/limiter.h:255-363).
+
+        Includes the diagonal (j = i) contributions analytically: the
+        reference's stencil loop runs over the full row including the
+        diagonal entry (hyperbolic_module.template.h:722-795), for which
+        rho_bar = rho_i, s_interp = s_i, and relaxation terms (rho_i + rho_i).
+        """
+        dtype = U_i.dtype
+        rho_i = self.density(U_i)
+        m_i = self.momentum(U_i)
+        rho_j = self.density(U_j)
+        m_j = self.momentum(U_j)
+
+        rho_ij_bar = 0.5 * (
+            rho_i[..., None]
+            + rho_j
+            + jnp.einsum("nkd,nkd->nk", m_i[..., None, :] - m_j, scaled_c_ij)
+        )
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+        rho_min = jnp.min(
+            jnp.where(mask > 0, rho_ij_bar, big), axis=-1
+        )
+        rho_max = jnp.max(jnp.where(mask > 0, rho_ij_bar, -big), axis=-1)
+        rho_min = jnp.minimum(rho_min, rho_i)  # diagonal entry
+        rho_max = jnp.maximum(rho_max, rho_i)
+
+        s_j = prec_j[..., 0]
+        s_min = jnp.min(jnp.where(mask > 0, s_j, big), axis=-1)
+        s_i = prec_i[..., 0]
+        s_min = jnp.minimum(s_min, s_i)
+
+        # relaxation accumulation (beta_ij = 1), incl. diagonal:
+        k_count = jnp.sum(mask, axis=-1)
+        rho_relax_num = jnp.sum(
+            (rho_i[..., None] + rho_j) * mask, axis=-1
+        ) + 2.0 * rho_i
+        rho_relax_den = k_count + 1.0
+
+        s_interp = self.specific_entropy(
+            0.5 * (U_i[..., None, :] + U_j)
+        )
+        s_interp_max = jnp.max(
+            jnp.where(mask > 0, s_interp, -big), axis=-1
+        )
+        s_interp_max = jnp.maximum(s_interp_max, s_i)
+
+        # relaxation (limiter.h:330-363)
+        r_i = jnp.sqrt(hd_i)
+        if self.dim == 2:
+            r_i = jnp.sqrt(jnp.sqrt(hd_i)) ** 3
+        elif self.dim == 1:
+            r_i = jnp.sqrt(hd_i) ** 3
+        r_i = r_i * relaxation_factor
+
+        eps = jnp.finfo(dtype).eps
+        rho_relaxation = jnp.abs(rho_relax_num) / (jnp.abs(rho_relax_den) + eps)
+        relaxation = 2.0 * relaxation_factor * rho_relaxation
+
+        rho_min = jnp.maximum((1.0 - r_i) * rho_min, rho_min - relaxation)
+        rho_max = jnp.minimum((1.0 + r_i) * rho_max, rho_max + relaxation)
+
+        entropy_relaxation = relaxation_factor * (s_interp_max - s_min)
+        s_min = jnp.maximum((1.0 - r_i) * s_min, s_min - entropy_relaxation)
+
+        return jnp.stack([rho_min, rho_max, s_min], axis=-1)
+
+    def limiter_limit(
+        self,
+        bounds,
+        U,
+        P,
+        newton_iterations: int = 2,
+        newton_tol: float = 1.0e-10,
+        t_min=0.0,
+        t_max=1.0,
+    ):
+        """Convex limiter (euler/limiter.template.h:15-327).
+
+        bounds [..., 3], U [..., C], P [..., C].  Returns (l, success).
+        """
+        dtype = U.dtype
+        g = self.params.gamma
+        gp1 = g + 1.0
+        eps = jnp.finfo(dtype).eps
+        relax_small = 1.0 + self.params.vacuum_state_relaxation_small * eps
+        relax = 1.0 + self.params.vacuum_state_relaxation_large * eps
+
+        rho_min = bounds[..., 0]
+        rho_max = bounds[..., 1]
+        s_min = bounds[..., 2]
+
+        rho_U = self.density(U)
+        rho_P = self.density(P)
+
+        # -- density limiting (limiter.template.h:40-134)
+        test_min = self.filter_vacuum_density(_pos(rho_U - relax * rho_max))
+        test_max = self.filter_vacuum_density(_pos(rho_min - relax * rho_U))
+        success = (test_min == 0.0) & (test_max == 0.0)
+
+        t_r = jnp.full_like(rho_U, t_max)
+        denominator = 1.0 / (jnp.abs(rho_P) + eps * rho_max)
+        t_r = jnp.where(
+            rho_max < rho_U + t_r * rho_P, (rho_max - rho_U) * denominator, t_r
+        )
+        t_r = jnp.where(
+            rho_U + t_r * rho_P < rho_min, (rho_U - rho_min) * denominator, t_r
+        )
+        t_r = jnp.clip(t_r, t_min, t_max)
+
+        # -- specific entropy limiting via quadratic Newton (:143-291)
+        t_l = jnp.full_like(rho_U, t_min)
+
+        def psi_of(t):
+            U_t = U + t[..., None] * P
+            rho = self.density(U_t)
+            rho_gamma = jnp.power(rho, g)
+            rho_e = self.internal_energy(U_t)
+            return rho, rho_gamma, rho_e, (
+                relax_small * rho * rho_e - s_min * rho * rho_gamma
+            )
+
+        for n in range(newton_iterations):
+            rho_r, rho_r_gamma, rho_e_r, psi_r = psi_of(t_r)
+            # accept right state where psi_r > 0:
+            t_l = jnp.where(psi_r > 0.0, t_r, t_l)
+
+            rho_l, rho_l_gamma, rho_e_l, psi_l = psi_of(t_l)
+
+            if n == 0:
+                lower_bound = (1.0 - relax) * s_min * rho_l * rho_l_gamma
+                success = success & (psi_l - lower_bound >= 0.0)
+
+            drho = rho_P
+            drho_e_l = jnp.sum(self.internal_energy_derivative(U + t_l[..., None] * P) * P, -1)
+            drho_e_r = jnp.sum(self.internal_energy_derivative(U + t_r[..., None] * P) * P, -1)
+            dpsi_l = rho_l * drho_e_l + (rho_e_l - gp1 * s_min * rho_l_gamma) * drho
+            dpsi_r = rho_r * drho_e_r + (rho_e_r - gp1 * s_min * rho_r_gamma) * drho
+
+            nl, nr = quadratic_newton_step(
+                t_l, t_r, psi_l, psi_r, dpsi_l, dpsi_r, sign=-1.0
+            )
+            active = (t_r - t_l) > newton_tol
+            t_l = jnp.where(active, nl, t_l)
+            t_r = jnp.where(active, nr, t_r)
+
+        return t_l, success
+
+    def combine_bounds(self, a, b):
+        return jnp.stack(
+            [
+                jnp.minimum(a[..., 0], b[..., 0]),
+                jnp.maximum(a[..., 1], b[..., 1]),
+                jnp.minimum(a[..., 2], b[..., 2]),
+            ],
+            axis=-1,
+        )
+
+    # ---- boundary conditions (hyperbolic_system.h:1096-1159) -------------
+    def apply_boundary_conditions(self, bc_id: int, U, normal, dirichlet_data):
+        """Vectorized over a group of boundary nodes sharing one bc id."""
+        if bc_id == Boundary.do_nothing:
+            return U
+        if bc_id == Boundary.dirichlet:
+            return dirichlet_data
+        if bc_id == Boundary.slip:
+            m = self.momentum(U)
+            m = m - jnp.sum(m * normal, -1, keepdims=True) * normal
+            return jnp.concatenate(
+                [U[..., :1], m, U[..., 1 + self.dim :]], axis=-1
+            )
+        if bc_id == Boundary.no_slip:
+            return jnp.concatenate(
+                [U[..., :1], jnp.zeros_like(self.momentum(U)), U[..., 1 + self.dim :]],
+                axis=-1,
+            )
+        if bc_id == Boundary.dynamic:
+            m = self.momentum(U)
+            rho = self.density(U)
+            a = self.speed_of_sound(U)
+            vn = jnp.sum(m * normal, -1) / rho
+            U_d = dirichlet_data
+            sup_in = vn < -a
+            sub_in = (vn >= -a) & (vn <= 0.0)
+            sub_out = (vn > 0.0) & (vn <= a)
+            r_sub_in = self.prescribe_riemann_characteristic(
+                U_d, U, normal, component=2
+            )
+            r_sub_out = self.prescribe_riemann_characteristic(
+                U, U_d, normal, component=1
+            )
+            result = U
+            result = jnp.where(sub_out[..., None], r_sub_out, result)
+            result = jnp.where(sub_in[..., None], r_sub_in, result)
+            result = jnp.where(sup_in[..., None], U_d, result)
+            return result
+        if bc_id == Boundary.dirichlet_momentum:
+            m_d = self.momentum(dirichlet_data)
+            return jnp.concatenate(
+                [U[..., :1], m_d, U[..., 1 + self.dim :]], axis=-1
+            )
+        raise ValueError(f"unknown boundary id {bc_id}")
+
+    def prescribe_riemann_characteristic(self, U, U_bar, normal, component: int):
+        """(hyperbolic_system.h:1037-1093)."""
+        g = self.params.gamma
+        m = self.momentum(U)
+        rho = self.density(U)
+        a = self.speed_of_sound(U)
+        vn = jnp.sum(m * normal, -1) / rho
+
+        m_bar = self.momentum(U_bar)
+        rho_bar = self.density(U_bar)
+        a_bar = self.speed_of_sound(U_bar)
+        vn_bar = jnp.sum(m_bar * normal, -1) / rho_bar
+
+        R_1 = (
+            vn_bar - 2.0 * a_bar / (g - 1.0)
+            if component == 1
+            else vn - 2.0 * a / (g - 1.0)
+        )
+        R_2 = (
+            vn_bar + 2.0 * a_bar / (g - 1.0)
+            if component == 2
+            else vn + 2.0 * a / (g - 1.0)
+        )
+
+        p = self.pressure(U)
+        s = p / jnp.power(rho, g)
+
+        vperp = m / rho[..., None] - vn[..., None] * normal
+        vn_new = 0.5 * (R_1 + R_2)
+
+        rho_new = (
+            1.0 / (g * s) * jnp.square((g - 1.0) / 4.0 * (R_2 - R_1))
+        )
+        rho_new = jnp.power(rho_new, 1.0 / (g - 1.0))
+        p_new = s * jnp.power(rho_new, g)
+
+        mom_new = rho_new[..., None] * (vn_new[..., None] * normal + vperp)
+        E_new = p_new / (g - 1.0) + 0.5 * rho_new * (
+            vn_new * vn_new + jnp.sum(vperp * vperp, -1)
+        )
+        return jnp.concatenate(
+            [rho_new[..., None], mom_new, E_new[..., None]], axis=-1
+        )
+
+
+def quadratic_newton_step(p_1, p_2, phi_p_1, phi_p_2, dphi_p_1, dphi_p_2, sign=1.0):
+    """One step of the two-sided quadratic Newton method.
+
+    Vectorized translation of /root/reference/source/newton.h:37-101
+    (divided-difference form; roots of the two osculating parabolas,
+    clamped to [p_1, p_2]).
+    """
+    dtype = jnp.result_type(p_1)
+    eps = jnp.finfo(dtype).eps
+
+    scaling = 1.0 / (p_2 - p_1 + eps)
+
+    dd_11 = dphi_p_1
+    dd_12 = (phi_p_2 - phi_p_1) * scaling
+    dd_22 = dphi_p_2
+
+    dd_112 = (dd_12 - dd_11) * scaling
+    dd_122 = (dd_22 - dd_12) * scaling
+
+    discriminant_1 = jnp.abs(dphi_p_1 * dphi_p_1 - 4.0 * phi_p_1 * dd_112)
+    discriminant_2 = jnp.abs(dphi_p_2 * dphi_p_2 - 4.0 * phi_p_2 * dd_122)
+
+    denominator_1 = dphi_p_1 + sign * jnp.sqrt(discriminant_1)
+    denominator_2 = dphi_p_2 + sign * jnp.sqrt(discriminant_2)
+
+    t_1 = p_1 - jnp.where(
+        jnp.abs(denominator_1) < eps,
+        jnp.zeros_like(p_1),
+        2.0 * phi_p_1 / jnp.where(jnp.abs(denominator_1) < eps, 1.0, denominator_1),
+    )
+    t_2 = p_2 - jnp.where(
+        jnp.abs(denominator_2) < eps,
+        jnp.zeros_like(p_2),
+        2.0 * phi_p_2 / jnp.where(jnp.abs(denominator_2) < eps, 1.0, denominator_2),
+    )
+
+    t_1 = jnp.clip(t_1, p_1, p_2)
+    t_2 = jnp.clip(t_2, p_1, p_2)
+
+    new_p1 = jnp.minimum(t_1, t_2)
+    new_p2 = jnp.maximum(t_1, t_2)
+    return new_p1, new_p2

@@ -1,0 +1,461 @@
+"""Q1 finite element assembly of the offline data.
+
+TPU-native re-design of /root/reference/source/offline_data.template.h:419-1105.
+The reference assembles, once per mesh,
+
+  * the consistent mass matrix  m_ij = ∫ φ_i φ_j dx,
+  * the lumped mass matrix      m_i  = Σ_j m_ij,
+  * the transport matrix        c_ij[d] = ∫ φ_i ∂_d φ_j dx
+    (offline_data.template.h:566-578),
+  * the measure of the domain   |Ω|,
+  * the boundary map: per boundary DoF the filtered/merged averaged normal,
+    normal mass, boundary mass, boundary id and position
+    (offline_data.template.h:1171-1364),
+
+using cell-wise quadrature (QGauss(2) per direction for the Q1 ansatz,
+discretization.template.h:165).  Here everything is assembled with fully
+vectorized NumPy over all cells at once and returned as a CSR-like graph
+that ell.py packs into TPU-friendly padded ELL arrays.
+
+DEBUG-mode consistency checks of the reference
+(offline_data.template.h:1002-1104: Σm_i = |Ω|, zero row sums, symmetry of
+m_ij, antisymmetry of interior c_ij) are exposed as `validate()` and run in
+the unit tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .mesh import Boundary, Mesh
+
+__all__ = ["Q1Assembly", "assemble", "SparseOfflineData"]
+
+
+def _gauss_1d(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """n-point Gauss-Legendre rule on [0, 1]."""
+    pts, wts = np.polynomial.legendre.leggauss(n)
+    return 0.5 * (pts + 1.0), 0.5 * wts
+
+
+def _shape_q1(dim: int, qpts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Q1 shape functions / gradients on the unit hypercube.
+
+    qpts: [nq, dim] points. Returns (N [nq, nsh], dN [nq, nsh, dim]) with the
+    deal.II vertex ordering (coordinate d toggles with stride 2**d).
+    """
+    nsh = 2**dim
+    nq = qpts.shape[0]
+    N = np.ones((nq, nsh))
+    dN = np.ones((nq, nsh, dim))
+    for i in range(nsh):
+        for d in range(dim):
+            bit = (i >> d) & 1
+            xi = qpts[:, d]
+            f = xi if bit else 1.0 - xi
+            df = 1.0 if bit else -1.0
+            N[:, i] *= f
+            for dd in range(dim):
+                dN[:, i, dd] *= df if dd == d else f
+    return N, dN
+
+
+def _cell_quadrature(dim: int, n1d: int) -> Tuple[np.ndarray, np.ndarray]:
+    p, w = _gauss_1d(n1d)
+    if dim == 1:
+        return p[:, None], w
+    grids = np.meshgrid(*([p] * dim), indexing="ij")
+    pts = np.stack([g.ravel() for g in grids], axis=1)
+    wgrids = np.meshgrid(*([w] * dim), indexing="ij")
+    wts = np.ones(pts.shape[0])
+    for g in wgrids:
+        wts = wts * g.ravel()
+    return pts, wts
+
+
+@dataclasses.dataclass
+class BoundaryGroup:
+    """Boundary DoFs of one boundary-condition id, vectorized."""
+
+    index: np.ndarray  # [k] node indices
+    normal: np.ndarray  # [k, dim] averaged, normalized normals
+    normal_mass: np.ndarray  # [k]
+    boundary_mass: np.ndarray  # [k]
+    position: np.ndarray  # [k, dim]
+
+
+@dataclasses.dataclass
+class SparseOfflineData:
+    """Everything mesh-dependent, in node-graph (CSR) form."""
+
+    dim: int
+    n_nodes: int
+    positions: np.ndarray  # [n, dim] nodal positions
+    # CSR of the node-coupling graph *excluding* the diagonal:
+    indptr: np.ndarray  # [n+1]
+    indices: np.ndarray  # [nnz]
+    cij: np.ndarray  # [nnz, dim]
+    mij: np.ndarray  # [nnz]
+    cii: np.ndarray  # [n, dim] diagonal of c
+    mii: np.ndarray  # [n] diagonal of m
+    lumped_mass: np.ndarray  # [n]
+    measure_of_omega: float
+    # Boundary map, grouped by Boundary id, in multimap application order:
+    # a list of "rounds"; within a round all node indices are unique.  The
+    # reference applies the (index-sorted) multimap sequentially
+    # (hyperbolic_module.template.h:123-144); duplicated indices (corners)
+    # land in later rounds.
+    boundary_rounds: List[Dict[int, BoundaryGroup]]
+    # masters[i] gives the representative node for constrained (periodic
+    # slave) nodes; identity elsewhere.
+    master: np.ndarray  # [n]
+    is_constrained: np.ndarray  # [n] bool
+
+    def validate(self, tol: float = 1e-10):
+        """Reference DEBUG consistency checks (offline_data.template.h:1002-1104)."""
+        total_mass = float(self.lumped_mass[~self.is_constrained].sum())
+        assert abs(total_mass - self.measure_of_omega) < tol * max(
+            1.0, self.measure_of_omega
+        ), (total_mass, self.measure_of_omega)
+
+        n = self.n_nodes
+        # row sums of m equal lumped mass; c row sums are zero:
+        for i in range(n):
+            if self.is_constrained[i]:
+                continue
+            sl = slice(self.indptr[i], self.indptr[i + 1])
+            msum = self.mii[i] + self.mij[sl].sum()
+            assert abs(msum - self.lumped_mass[i]) < tol, i
+            csum = self.cii[i] + self.cij[sl].sum(axis=0)
+            assert np.abs(csum).max() < tol, (i, csum)
+
+        # symmetry of m, antisymmetry of interior c:
+        A: Dict[Tuple[int, int], int] = {}
+        for i in range(n):
+            for k in range(self.indptr[i], self.indptr[i + 1]):
+                A[(i, int(self.indices[k]))] = k
+        boundary_nodes = set()
+        for rounds in self.boundary_rounds:
+            for g in rounds.values():
+                boundary_nodes.update(g.index.tolist())
+        for (i, j), k in A.items():
+            kT = A[(j, i)]
+            assert abs(self.mij[k] - self.mij[kT]) < tol
+            if i not in boundary_nodes or j not in boundary_nodes:
+                assert np.abs(self.cij[k] + self.cij[kT]).max() < tol, (i, j)
+
+
+def assemble(mesh: Mesh, order_nodes: bool = True) -> SparseOfflineData:
+    """Assemble all offline data for a Q1 continuous ansatz."""
+    dim = mesh.dim
+    nsh = 2**dim
+    cells = mesh.cells
+    nc = cells.shape[0]
+
+    # ---- periodic identification --------------------------------------
+    n_raw = mesh.n_vertices
+    master = np.arange(n_raw)
+    constrained = np.zeros(n_raw, dtype=bool)
+    if mesh.periodic_pairs is not None and len(mesh.periodic_pairs):
+        for s, m in mesh.periodic_pairs:
+            # union toward the smaller index, path-compress chains (corners)
+            rs, rm = int(s), int(m)
+            while master[rs] != rs:
+                rs = master[rs]
+            while master[rm] != rm:
+                rm = master[rm]
+            if rs != rm:
+                hi, lo = max(rs, rm), min(rs, rm)
+                master[hi] = lo
+                constrained[hi] = True
+        # path compression
+        for i in range(n_raw):
+            r = i
+            while master[r] != r:
+                r = master[r]
+            master[i] = r
+
+    acells = master[cells]
+
+    # ---- quadrature ----------------------------------------------------
+    qp, qw = _cell_quadrature(dim, 2)  # QGauss(2): exact for Q1 mass on affine cells
+    N, dN = _shape_q1(dim, qp)  # [nq, nsh], [nq, nsh, dim]
+    nq = qp.shape[0]
+
+    X = mesh.vertices[cells]  # [nc, nsh, dim]
+    # Jacobian J[q] = dx/dxi: [nc, nq, dim, dim]
+    J = np.einsum("qsd,nse->nqed", dN, X)  # J[n,q,e,d] = d x_e / d xi_d
+    detJ = np.linalg.det(J)
+    assert (detJ > 0).all(), "negatively oriented or degenerate cells"
+    Jinv = np.linalg.inv(J)  # [nc, nq, dim, dim] = d xi / d x
+    # physical gradients: grad_e phi_s = dN[q,s,d] * dxi_d/dx_e
+    gradN = np.einsum("qsd,nqde->nqse", dN, Jinv)  # [nc, nq, nsh, dim]
+    JxW = detJ * qw[None, :]  # [nc, nq]
+
+    measure = float(JxW.sum())
+
+    # cell matrices
+    cell_m = np.einsum("qi,qj,nq->nij", N, N, JxW)  # [nc, nsh, nsh]
+    cell_c = np.einsum("qi,nqje,nq->nije", N, gradN, JxW)  # [nc,nsh,nsh,dim]
+
+    # ---- scatter into COO, sum duplicates ------------------------------
+    # order: for each cell, (i, j) with j fastest must match cell_m[n, i, j]
+    rows = np.repeat(acells[:, :, None], nsh, axis=2).ravel()
+    cols = np.repeat(acells[:, None, :], nsh, axis=1).ravel()
+    mvals = cell_m.ravel()
+    cvals = cell_c.reshape(-1, dim)
+
+    key = rows.astype(np.int64) * n_raw + cols
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq_key, start = np.unique(key_s, return_index=True)
+    m_sum = np.add.reduceat(mvals[order], start)
+    c_sum = np.add.reduceat(cvals[order], start, axis=0)
+    ui = (uniq_key // n_raw).astype(np.int64)
+    uj = (uniq_key % n_raw).astype(np.int64)
+
+    # drop entries touching constrained rows/cols (they were remapped already;
+    # constrained nodes have no entries by construction)
+    # build diag / offdiag split
+    diag_mask = ui == uj
+    di = ui[diag_mask]
+    mii = np.zeros(n_raw)
+    cii = np.zeros((n_raw, dim))
+    mii[di] = m_sum[diag_mask]
+    cii[di] = c_sum[diag_mask]
+
+    oi, oj = ui[~diag_mask], uj[~diag_mask]
+    omij = m_sum[~diag_mask]
+    ocij = c_sum[~diag_mask]
+
+    counts = np.bincount(oi, minlength=n_raw)
+    indptr = np.zeros(n_raw + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    # entries are already sorted by (i, j)
+    indices = oj
+    lumped = mii.copy()
+    np.add.at(lumped, oi, omij)
+
+    # ---- boundary map ---------------------------------------------------
+    boundary_rounds = _build_boundary_map(mesh, master, constrained)
+
+    positions = mesh.vertices.copy()
+
+    data = SparseOfflineData(
+        dim=dim,
+        n_nodes=n_raw,
+        positions=positions,
+        indptr=indptr,
+        indices=indices,
+        cij=ocij,
+        mij=omij,
+        cii=cii,
+        mii=mii,
+        lumped_mass=lumped,
+        measure_of_omega=measure,
+        boundary_rounds=boundary_rounds,
+        master=master,
+        is_constrained=constrained,
+    )
+    return data
+
+
+def _build_boundary_map(
+    mesh: Mesh, master: np.ndarray, constrained: np.ndarray
+) -> List[Dict[int, BoundaryGroup]]:
+    """Reference construct_boundary_map (offline_data.template.h:1171-1364).
+
+    Per boundary face and per face DoF we accumulate a face-normal integral
+    and boundary mass with a 3-point Gauss rule.  Entries of the same node
+    are merged when they share a boundary id and their normals describe an
+    angle with cos > 0.5; in 2D, unmerged slip pairs degrade to no_slip.
+    """
+    dim = mesh.dim
+    entries: Dict[int, List] = {}
+
+    if len(mesh.boundary_faces) == 0:
+        return []
+
+    if dim == 1:
+        for f, bid in zip(mesh.boundary_faces, mesh.boundary_ids):
+            if bid == Boundary.periodic:
+                continue
+            v = int(f[0])
+            if constrained[v]:
+                continue
+            x = mesh.vertices[f[0]]
+            # outward normal: -1 at left end, +1 at right end
+            interior_mean = mesh.vertices.mean()
+            nrm = np.array([1.0 if x[0] > interior_mean else -1.0])
+            entries.setdefault(v, []).append(
+                [nrm, 1.0, 1.0, int(bid), mesh.vertices[f[0]].copy()]
+            )
+    elif dim == 2:
+        qp, qw = _gauss_1d(3)
+        faces = mesh.boundary_faces
+        ids = mesh.boundary_ids
+        keep = ids != Boundary.periodic
+        faces, ids = faces[keep], ids[keep]
+        p0 = mesh.vertices[faces[:, 0]]  # [nf, 2]
+        p1 = mesh.vertices[faces[:, 1]]
+        tang = p1 - p0  # [nf, 2]
+        # The outward normal: faces come from cells with deal.II local face
+        # ordering; we orient by checking against the owning cell's interior.
+        # Build a map face -> cell center.
+        nrm = np.stack([tang[:, 1], -tang[:, 0]], axis=1)
+        nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+        cellcenter = _face_cell_centers(mesh, faces)
+        mid = 0.5 * (p0 + p1)
+        flip = np.einsum("fd,fd->f", nrm, mid - cellcenter) < 0
+        nrm[flip] *= -1.0
+        length = np.linalg.norm(tang, axis=1)
+
+        # per-face-per-endpoint shape integrals with 3-pt Gauss:
+        # phi_0 = 1 - s, phi_1 = s on the face
+        w_phi0 = float(np.sum((1 - qp) * qw))
+        w_phi1 = float(np.sum(qp * qw))
+        for k in range(len(faces)):
+            for loc, wphi in ((0, w_phi0), (1, w_phi1)):
+                v_raw = int(faces[k, loc])
+                if constrained[v_raw]:
+                    continue
+                v = int(master[v_raw])
+                bmass = wphi * length[k]
+                entries.setdefault(v, []).append(
+                    [
+                        nrm[k] * bmass,
+                        bmass,
+                        bmass,
+                        int(ids[k]),
+                        mesh.vertices[v_raw].copy(),
+                    ]
+                )
+    else:  # dim == 3
+        qp1, qw1 = _gauss_1d(3)
+        P, Q = np.meshgrid(qp1, qp1, indexing="ij")
+        W = np.outer(qw1, qw1).ravel()
+        S, T = P.ravel(), Q.ravel()
+        # bilinear shape functions on the face (vertex order v0,v1,v2,v3
+        # with deal.II face numbering: s toggles 0/1, t toggles 0/2)
+        shp = np.stack(
+            [(1 - S) * (1 - T), S * (1 - T), (1 - S) * T, S * T], axis=1
+        )  # [nq, 4]
+        dshp_s = np.stack([-(1 - T), (1 - T), -T, T], axis=1)
+        dshp_t = np.stack([-(1 - S), -S, (1 - S), S], axis=1)
+        faces = mesh.boundary_faces
+        ids = mesh.boundary_ids
+        keep = ids != Boundary.periodic
+        faces, ids = faces[keep], ids[keep]
+        XF = mesh.vertices[faces]  # [nf, 4, 3]
+        xs = np.einsum("qs,fsd->fqd", dshp_s, XF)
+        xt = np.einsum("qs,fsd->fqd", dshp_t, XF)
+        nq_v = np.cross(xs, xt)  # [nf, nq, 3] area-weighted normal
+        cellcenter = _face_cell_centers(mesh, faces)
+        fmid = XF.mean(axis=1)
+        sign = np.where(
+            np.einsum("fd,fd->f", nq_v.mean(axis=1), fmid - cellcenter) < 0,
+            -1.0,
+            1.0,
+        )
+        nq_v *= sign[:, None, None]
+        area_el = np.linalg.norm(nq_v, axis=2)  # [nf, nq]
+        for k in range(len(faces)):
+            for loc in range(4):
+                v_raw = int(faces[k, loc])
+                if constrained[v_raw]:
+                    continue
+                v = int(master[v_raw])
+                phi = shp[:, loc]
+                bmass = float(np.sum(phi * area_el[k] * W))
+                nvec = np.einsum("q,qd->d", phi * W, nq_v[k])
+                entries.setdefault(v, []).append(
+                    [nvec, bmass, bmass, int(ids[k]), mesh.vertices[v_raw].copy()]
+                )
+
+    # ---- filter/merge (offline_data.template.h:1295-1340) -------------
+    final: Dict[int, List] = {}
+    for v in sorted(entries.keys()):
+        flist: List = []
+        for e in entries[v]:
+            new_normal, _, new_bmass, new_id, pt = e
+            inserted = False
+            for f in flist:
+                normal, _, bmass, fid, _ = f
+                if fid != new_id:
+                    continue
+                nn = np.linalg.norm(normal) * np.linalg.norm(new_normal)
+                if nn > 0 and float(normal @ new_normal) / nn > 0.50:
+                    f[0] = normal + new_normal
+                    f[2] = bmass + new_bmass
+                    inserted = True
+                elif dim == 2 and new_id == Boundary.slip:
+                    f[3] = Boundary.no_slip
+                    e[3] = Boundary.no_slip
+                    new_id = int(Boundary.no_slip)
+            if not inserted:
+                flist.append(e)
+        final[v] = flist
+
+    # normalize normals, split into rounds / id groups
+    max_rounds = max((len(v) for v in final.values()), default=0)
+    rounds: List[Dict[int, BoundaryGroup]] = []
+    eps = np.finfo(np.float64).eps
+    for r in range(max_rounds):
+        groups: Dict[int, List] = {}
+        for v, flist in final.items():
+            if r >= len(flist):
+                continue
+            normal, _, bmass, fid, pt = flist[r]
+            nmass = float(np.linalg.norm(normal)) + eps
+            groups.setdefault(fid, []).append(
+                (v, normal / nmass, nmass, bmass, pt)
+            )
+        gdict: Dict[int, BoundaryGroup] = {}
+        for fid, lst in groups.items():
+            gdict[fid] = BoundaryGroup(
+                index=np.array([l[0] for l in lst], dtype=np.int64),
+                normal=np.array([l[1] for l in lst]),
+                normal_mass=np.array([l[2] for l in lst]),
+                boundary_mass=np.array([l[3] for l in lst]),
+                position=np.array([l[4] for l in lst]),
+            )
+        rounds.append(gdict)
+    return rounds
+
+
+def _face_cell_centers(mesh: Mesh, faces: np.ndarray) -> np.ndarray:
+    """For each (boundary) face return the center of the owning cell."""
+    dim = mesh.dim
+    nv = mesh.n_vertices
+    fsort = np.sort(faces, axis=1)
+    if dim == 2:
+        fkey = fsort[:, 0].astype(np.int64) * nv + fsort[:, 1]
+    else:
+        fkey = (
+            (fsort[:, 0].astype(np.int64) * nv + fsort[:, 1]) * nv + fsort[:, 2]
+        ) * nv + fsort[:, 3]
+
+    from .mesh import _FACE_VERTICES
+
+    cf = np.concatenate(
+        [mesh.cells[:, fl] for fl in _FACE_VERTICES[dim]], axis=0
+    )
+    owner = np.tile(np.arange(mesh.n_cells), len(_FACE_VERTICES[dim]))
+    cfs = np.sort(cf, axis=1)
+    if dim == 2:
+        ckey = cfs[:, 0].astype(np.int64) * nv + cfs[:, 1]
+    else:
+        ckey = (
+            (cfs[:, 0].astype(np.int64) * nv + cfs[:, 1]) * nv + cfs[:, 2]
+        ) * nv + cfs[:, 3]
+    order = np.argsort(ckey)
+    pos = np.searchsorted(ckey[order], fkey)
+    cell_ids = owner[order[pos]]
+    return mesh.vertices[mesh.cells[cell_ids]].mean(axis=1)
+
+
+# Backwards-compatible alias
+Q1Assembly = SparseOfflineData

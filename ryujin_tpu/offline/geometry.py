@@ -1,0 +1,427 @@
+"""Parameter-driven mesh generator library.
+
+Mirrors the geometry library of the reference
+(/root/reference/source/geometry_library.h:35 and geometry_*.h) with
+TPU-friendly host-side NumPy mesh construction:
+
+  * ``rectangular domain``  (geometry_rectangular_domain.h)
+  * ``step``                (geometry_step.h:163, Mach-3 forward facing step)
+  * ``cylinder``            (geometry_cylinder.h)
+  * ``annulus``             (geometry_annulus.h)
+  * ``disk``                (geometry_disk.h)
+  * ``wall``                (geometry_wall.h)
+
+Each generator returns a :class:`ryujin_tpu.offline.mesh.Mesh`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .mesh import Boundary, Mesh
+
+
+def _lattice_mesh_2d(
+    x: np.ndarray, y: np.ndarray, cell_mask: Optional[np.ndarray] = None
+) -> Mesh:
+    """Build a tensor-product quad mesh from 1D coordinate arrays.
+
+    cell_mask: optional [ny_cells, nx_cells] bool; False cells are removed
+    (used for the forward-facing step).  Vertices not referenced by any cell
+    are dropped.  The surviving lattice structure is recorded in
+    ``structured_shape`` / ``structured_index`` for the structured backend.
+    """
+    nx, ny = len(x), len(y)
+    X, Y = np.meshgrid(x, y, indexing="xy")  # [ny, nx]
+    verts = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    ix, iy = np.meshgrid(np.arange(nx - 1), np.arange(ny - 1), indexing="xy")
+    ix, iy = ix.ravel(), iy.ravel()
+    if cell_mask is not None:
+        keep = cell_mask[iy, ix]
+        ix, iy = ix[keep], iy[keep]
+    v0 = iy * nx + ix
+    cells = np.stack([v0, v0 + 1, v0 + nx, v0 + nx + 1], axis=1)
+
+    # compress vertices
+    used = np.zeros(nx * ny, dtype=bool)
+    used[cells.ravel()] = True
+    new_id = -np.ones(nx * ny, dtype=np.int64)
+    new_id[used] = np.arange(used.sum())
+    cells = new_id[cells]
+    verts_kept = verts[used]
+    lattice_idx = np.stack(
+        [np.arange(nx * ny) % nx, np.arange(nx * ny) // nx], axis=1
+    )[used]
+
+    # boundary faces: cell faces not shared by two cells
+    face_local = [
+        np.array([0, 2]),  # -x
+        np.array([1, 3]),  # +x
+        np.array([0, 1]),  # -y
+        np.array([2, 3]),  # +y
+    ]
+    faces = np.concatenate([cells[:, fl] for fl in face_local], axis=0)
+    fs = np.sort(faces, axis=1)
+    key = fs[:, 0] * (verts_kept.shape[0] + 1) + fs[:, 1]
+    _, first, counts = np.unique(key, return_index=True, return_counts=True)
+    bidx = first[counts == 1]
+    bfaces = faces[bidx]
+
+    return Mesh(
+        dim=2,
+        vertices=verts_kept,
+        cells=cells,
+        boundary_faces=bfaces,
+        boundary_ids=np.zeros(len(bfaces), dtype=np.int32),
+        structured_shape=(nx, ny),
+        structured_index=lattice_idx,
+    )
+
+
+def rectangular_domain(
+    point_left: Sequence[float],
+    point_right: Sequence[float],
+    subdivisions: Sequence[int],
+    refinement: int,
+    boundary_conditions: Sequence[int],
+    dim: int = 2,
+) -> Mesh:
+    """Rectangular domain generator (geometry_rectangular_domain.h).
+
+    boundary_conditions: per-face Boundary ids ordered (left, right) in 1D,
+    (left, right, bottom, top) in 2D, (+back/front appended) in 3D.
+    """
+    point_left = np.asarray(point_left, dtype=np.float64)
+    point_right = np.asarray(point_right, dtype=np.float64)
+    subs = [int(s) * 2**refinement for s in subdivisions]
+
+    if dim == 1:
+        x = np.linspace(point_left[0], point_right[0], subs[0] + 1)
+        verts = x[:, None]
+        cells = np.stack([np.arange(subs[0]), np.arange(1, subs[0] + 1)], axis=1)
+        bfaces = np.array([[0], [subs[0]]], dtype=np.int64)
+        bids = np.array(boundary_conditions[:2], dtype=np.int32)
+        mesh = Mesh(
+            dim=1, vertices=verts, cells=cells,
+            boundary_faces=bfaces, boundary_ids=bids,
+            structured_shape=(subs[0] + 1,),
+            structured_index=np.arange(subs[0] + 1)[:, None],
+        )
+        _maybe_build_periodic_pairs_1d(mesh, point_left, point_right)
+        return mesh
+
+    if dim == 2:
+        x = np.linspace(point_left[0], point_right[0], subs[0] + 1)
+        y = np.linspace(point_left[1], point_right[1], subs[1] + 1)
+        mesh = _lattice_mesh_2d(x, y)
+        _tag_rect_boundaries_2d(mesh, point_left, point_right, boundary_conditions)
+        _maybe_build_periodic_pairs(mesh, point_left, point_right)
+        return mesh
+
+    if dim == 3:
+        return _rectangular_domain_3d(
+            point_left, point_right, subs, boundary_conditions
+        )
+
+    raise ValueError(f"unsupported dim={dim}")
+
+
+def _tag_rect_boundaries_2d(mesh, pl, pr, bcs):
+    """bcs = (left, right, bottom, top)."""
+    centers = mesh.vertices[mesh.boundary_faces].mean(axis=1)
+    tol = 1e-10 * max(np.abs(pl).max(), np.abs(pr).max(), 1.0)
+    ids = mesh.boundary_ids
+    ids[np.abs(centers[:, 0] - pl[0]) < tol] = bcs[0]
+    ids[np.abs(centers[:, 0] - pr[0]) < tol] = bcs[1]
+    ids[np.abs(centers[:, 1] - pl[1]) < tol] = bcs[2]
+    ids[np.abs(centers[:, 1] - pr[1]) < tol] = bcs[3]
+
+
+def _maybe_build_periodic_pairs_1d(mesh: Mesh, pl, pr) -> None:
+    if np.any(mesh.boundary_ids == Boundary.periodic):
+        left = int(np.argmin(np.abs(mesh.vertices[:, 0] - pl[0])))
+        right = int(np.argmin(np.abs(mesh.vertices[:, 0] - pr[0])))
+        mesh.periodic_pairs = np.array([[right, left]], dtype=np.int64)
+
+
+def _maybe_build_periodic_pairs(mesh: Mesh, pl, pr) -> None:
+    """Identify periodic vertex pairs for faces tagged Boundary.periodic."""
+    per_faces = mesh.boundary_faces[mesh.boundary_ids == Boundary.periodic]
+    if len(per_faces) == 0:
+        return
+    vids = np.unique(per_faces.ravel())
+    coords = mesh.vertices[vids]
+    extent = pr - pl
+    pairs = []
+    for d in range(mesh.dim):
+        lo = np.abs(coords[:, d] - pl[d]) < 1e-10 * max(1.0, abs(extent[d]))
+        hi = np.abs(coords[:, d] - pr[d]) < 1e-10 * max(1.0, abs(extent[d]))
+        lo_ids, hi_ids = vids[lo], vids[hi]
+        if len(lo_ids) == 0:
+            continue
+        # match by the remaining coordinates
+        other = [k for k in range(mesh.dim) if k != d]
+        lo_key = mesh.vertices[lo_ids][:, other]
+        hi_key = mesh.vertices[hi_ids][:, other]
+        lo_order = np.lexsort(lo_key.T)
+        hi_order = np.lexsort(hi_key.T)
+        assert len(lo_ids) == len(hi_ids)
+        pairs.append(np.stack([hi_ids[hi_order], lo_ids[lo_order]], axis=1))
+    if pairs:
+        mesh.periodic_pairs = np.concatenate(pairs, axis=0)
+
+
+def _rectangular_domain_3d(pl, pr, subs, bcs) -> Mesh:
+    nx, ny, nz = subs[0] + 1, subs[1] + 1, subs[2] + 1
+    x = np.linspace(pl[0], pr[0], nx)
+    y = np.linspace(pl[1], pr[1], ny)
+    z = np.linspace(pl[2], pr[2], nz)
+    Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
+    verts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    iz, iy, ix = np.meshgrid(
+        np.arange(nz - 1), np.arange(ny - 1), np.arange(nx - 1), indexing="ij"
+    )
+    v0 = (iz * ny + iy) * nx + ix
+    v0 = v0.ravel()
+    dx, dy, dz = 1, nx, nx * ny
+    cells = np.stack(
+        [v0, v0 + dx, v0 + dy, v0 + dx + dy,
+         v0 + dz, v0 + dx + dz, v0 + dy + dz, v0 + dx + dy + dz],
+        axis=1,
+    )
+
+    face_local = [
+        np.array([0, 2, 4, 6]),
+        np.array([1, 3, 5, 7]),
+        np.array([0, 1, 4, 5]),
+        np.array([2, 3, 6, 7]),
+        np.array([0, 1, 2, 3]),
+        np.array([4, 5, 6, 7]),
+    ]
+    faces = np.concatenate([cells[:, fl] for fl in face_local], axis=0)
+    fs = np.sort(faces, axis=1)
+    nvv = verts.shape[0] + 1
+    key = ((fs[:, 0] * nvv + fs[:, 1]) * nvv + fs[:, 2]) * nvv + fs[:, 3]
+    _, first, counts = np.unique(key, return_index=True, return_counts=True)
+    bfaces = faces[first[counts == 1]]
+    centers = verts[bfaces].mean(axis=1)
+    tol = 1e-10 * max(np.abs(pl).max(), np.abs(pr).max(), 1.0)
+    ids = np.zeros(len(bfaces), dtype=np.int32)
+    # order: left,right,bottom,top,back,front
+    ids[np.abs(centers[:, 0] - pl[0]) < tol] = bcs[0]
+    ids[np.abs(centers[:, 0] - pr[0]) < tol] = bcs[1]
+    ids[np.abs(centers[:, 1] - pl[1]) < tol] = bcs[2]
+    ids[np.abs(centers[:, 1] - pr[1]) < tol] = bcs[3]
+    ids[np.abs(centers[:, 2] - pl[2]) < tol] = bcs[4]
+    ids[np.abs(centers[:, 2] - pr[2]) < tol] = bcs[5]
+    mesh = Mesh(
+        dim=3, vertices=verts, cells=cells,
+        boundary_faces=bfaces, boundary_ids=ids,
+        structured_shape=(nx, ny, nz),
+    )
+    _maybe_build_periodic_pairs(mesh, pl, pr)
+    return mesh
+
+
+def step(
+    length: float = 3.0,
+    height: float = 1.0,
+    step_position: float = 0.6,
+    step_height: float = 0.2,
+    refinement: int = 0,
+) -> Mesh:
+    """Mach-3 forward facing step (geometry_step.h:34-131).
+
+    The reference builds a 15x4 + 3x1 coarse lattice, refines 4 times inside
+    the generator, rounds the re-entrant corner with a spherical manifold of
+    radius 0.0125, and then applies `refinement` further global refinements.
+    We reproduce the same construction: boundary ids are slip on top/bottom
+    (including the step), dirichlet on the left inflow, do_nothing on the
+    right outflow.
+    """
+    # Coarse lattice: x in [0, length] with 15 cells, y in [0, height] with
+    # 4 cells above the step and 3x1 cells for the channel floor segment.
+    # The merged mesh is a lattice with spacing 0.2 in both directions.
+    x = np.linspace(0.0, length, 16)
+    y = np.linspace(0.0, height, 6)
+    assert abs(x[3] - step_position) < 1e-12 and abs(y[1] - step_height) < 1e-12
+    cm = np.ones((5, 15), dtype=bool)
+    cm[0, 3:] = False  # remove the step cells below y=0.2, x>0.6
+    mesh = _lattice_mesh_2d(x, y, cm)
+
+    centers = mesh.vertices[mesh.boundary_faces].mean(axis=1)
+    ids = mesh.boundary_ids
+    ids[:] = Boundary.do_nothing
+    interior_x = (centers[:, 0] > 1e-6) & (centers[:, 0] < length - 1e-6)
+    ids[interior_x] = Boundary.slip
+    # also the horizontal top/bottom faces at x<=0.6 region borders:
+    ids[np.abs(centers[:, 1] - 0.0) < 1e-12] = Boundary.slip
+    ids[np.abs(centers[:, 1] - height) < 1e-12] = Boundary.slip
+    ids[centers[:, 0] < 1e-6] = Boundary.dirichlet
+
+    # Corner rounding (geometry_step.h:88-130): spherical manifold of radius
+    # 0.0125 centered at (step_position + r, step_height - r).
+    r = 0.0125
+    center = np.array([step_position + r, step_height - r])
+
+    def spherical_projection(pts: np.ndarray) -> np.ndarray:
+        d = pts - center
+        norm = np.linalg.norm(d, axis=1, keepdims=True)
+        return center + r * d / np.maximum(norm, 1e-300)
+
+    mesh.manifolds = {1: spherical_projection}
+
+    total_ref = 4 + refinement
+    for level in range(total_ref):
+        # (Re)tag faces touching the corner vertex with manifold id 1:
+        fm = np.zeros(len(mesh.boundary_faces), dtype=np.int32)
+        fv = mesh.vertices[mesh.boundary_faces]  # [nf, 2, 2]
+        corner = np.array([step_position, step_height])
+        touches = (np.linalg.norm(fv - corner, axis=2) < 1e-6).any(axis=1)
+        fm[touches] = 1
+        mesh.face_manifold_ids = fm
+        mesh = mesh.refine_global(1)
+
+    # Final vertex snap of the two corner-adjacent vertices
+    # (geometry_step.h:110-129):
+    v = mesh.vertices
+    on_step_x = (np.abs(v[:, 0] - step_position) < 1e-6) & (
+        v[:, 1] > step_height - 1e-6
+    )
+    near = np.linalg.norm(v - np.array([step_position, step_height]), axis=1)
+    sel = on_step_x & (near < 2.0 * r)
+    mesh.vertices[sel & (np.abs(v[:, 1] - step_height) < 1e-6), 0] = (
+        step_position + r * (1 - np.sqrt(0.5))
+    )
+    on_step_y = (np.abs(v[:, 1] - step_height) < 1e-6) & (
+        v[:, 0] < step_position + 0.005
+    )
+    sel2 = on_step_y & (near < 2.0 * r)
+    mesh.vertices[sel2, 1] = step_height - r * (1 - np.sqrt(0.5))
+
+    return mesh
+
+
+def cylinder(
+    length: float = 4.0,
+    height: float = 2.0,
+    object_position: float = 0.6,
+    object_diameter: float = 0.5,
+    refinement: int = 0,
+) -> Mesh:
+    """2D channel with a cylindrical obstacle (geometry_cylinder.h).
+
+    Constructed as a lattice with a hole approximated by a ring of cells
+    graded onto the circle; we use the classic O-grid: a square ring around
+    the cylinder mapped to the circle, embedded in a rectangular channel.
+    """
+    r = object_diameter / 2.0
+    cx, cy = object_position, height / 2.0
+
+    # Build square [cx-2r, cx+2r]^2 with square hole [cx-r,cx+r]^2, then
+    # project the inner ring onto the circle; embed in the channel lattice.
+    # Simpler robust approach: polar O-grid ring + outer lattice blocks.
+    n_theta = 8 * 2**refinement  # cells around (per quadrant: n_theta/4)
+    n_rad = 2 * 2**refinement
+    box = 2.0 * r
+
+    thetas = np.linspace(0, 2 * np.pi, n_theta + 1)[:-1]
+    # outer square ring param: map theta to square of half-width `box`
+    ring_layers = []
+    for k in range(n_rad + 1):
+        t = k / n_rad
+        pts = []
+        for th in thetas:
+            cdir = np.array([np.cos(th), np.sin(th)])
+            # point on circle:
+            pc = np.array([cx, cy]) + r * cdir
+            # point on square:
+            m = max(abs(cdir[0]), abs(cdir[1]))
+            ps = np.array([cx, cy]) + box * cdir / m
+            pts.append((1 - t) * pc + t * ps)
+        ring_layers.append(np.array(pts))
+    ring_pts = np.concatenate(ring_layers, axis=0)
+    ring_cells = []
+    for k in range(n_rad):
+        for j in range(n_theta):
+            a = k * n_theta + j
+            b = k * n_theta + (j + 1) % n_theta
+            c = (k + 1) * n_theta + j
+            d = (k + 1) * n_theta + (j + 1) % n_theta
+            ring_cells.append([a, b, c, d])
+    ring_cells = np.array(ring_cells)
+
+    # outer lattice covering the channel minus the square hole:
+    h = box / max(2, n_rad)  # roughly matching spacing
+    nx = int(round(length / h))
+    ny = int(round(height / h))
+    x = np.linspace(0, length, nx + 1)
+    y = np.linspace(0, height, ny + 1)
+    # snap lattice lines to the box edges
+    for val in (cx - box, cx + box):
+        x[np.argmin(np.abs(x - val))] = val
+    for val in (cy - box, cy + box):
+        y[np.argmin(np.abs(y - val))] = val
+    cmask = np.ones((ny, nx), dtype=bool)
+    xc = 0.5 * (x[:-1] + x[1:])
+    yc = 0.5 * (y[:-1] + y[1:])
+    XC, YC = np.meshgrid(xc, yc, indexing="xy")
+    cmask[(np.abs(XC - cx) < box - 1e-12) & (np.abs(YC - cy) < box - 1e-12)] = False
+    outer = _lattice_mesh_2d(x, y, cmask)
+
+    # merge meshes (dedupe coincident vertices on the square interface)
+    all_verts = np.concatenate([outer.vertices, ring_pts], axis=0)
+    all_cells = np.concatenate(
+        [outer.cells, ring_cells + outer.n_vertices], axis=0
+    )
+    # deduplicate vertices
+    scale = max(length, height)
+    key = np.round(all_verts / (1e-9 * scale)).astype(np.int64)
+    _, uniq_idx, inv = np.unique(key, axis=0, return_index=True, return_inverse=True)
+    new_verts = all_verts[uniq_idx]
+    new_cells = inv[all_cells]
+    # fix orientation: ensure positive jacobian (det of bilinear map at center)
+    p = new_verts[new_cells]
+    det = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
+        p[:, 1, 1] - p[:, 0, 1]
+    ) * (p[:, 2, 0] - p[:, 0, 0])
+    flip = det < 0
+    new_cells[flip] = new_cells[flip][:, [1, 0, 3, 2]]
+
+    # boundary faces
+    face_local = [
+        np.array([0, 2]), np.array([1, 3]), np.array([0, 1]), np.array([2, 3]),
+    ]
+    faces = np.concatenate([new_cells[:, fl] for fl in face_local], axis=0)
+    fsrt = np.sort(faces, axis=1)
+    fkey = fsrt[:, 0] * (len(new_verts) + 1) + fsrt[:, 1]
+    _, first, counts = np.unique(fkey, return_index=True, return_counts=True)
+    bfaces = faces[first[counts == 1]]
+    centers = new_verts[bfaces].mean(axis=1)
+    ids = np.full(len(bfaces), Boundary.slip, dtype=np.int32)
+    ids[centers[:, 0] < 1e-6] = Boundary.dirichlet
+    ids[centers[:, 0] > length - 1e-6] = Boundary.do_nothing
+    on_circle = (
+        np.abs(np.linalg.norm(centers - np.array([cx, cy]), axis=1) - r) < 0.3 * r
+    )
+    ids[on_circle] = Boundary.slip
+
+    mesh = Mesh(
+        dim=2, vertices=new_verts, cells=new_cells,
+        boundary_faces=bfaces, boundary_ids=ids,
+    )
+
+    def circle_projection(pts: np.ndarray) -> np.ndarray:
+        d = pts - np.array([cx, cy])
+        nrm = np.linalg.norm(d, axis=1, keepdims=True)
+        return np.array([cx, cy]) + r * d / np.maximum(nrm, 1e-300)
+
+    mesh.manifolds = {1: circle_projection}
+    fm = np.zeros(len(bfaces), dtype=np.int32)
+    fm[on_circle] = 1
+    mesh.face_manifold_ids = fm
+    return mesh

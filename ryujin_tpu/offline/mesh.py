@@ -1,0 +1,359 @@
+"""Host-side quadrilateral/hexahedral mesh representation.
+
+TPU-native re-design of the mesh layer of conservation-laws/ryujin.  The
+reference delegates meshing to deal.II triangulations (see
+/root/reference/source/discretization.h:131-173 and geometry_*.h); here we
+keep a minimal, fully vectorized NumPy mesh container that supports
+
+  * 1D line meshes, 2D quadrilateral meshes, 3D hexahedral meshes,
+  * uniform ("global") refinement,
+  * boundary faces tagged with ryujin Boundary ids,
+  * optional manifold attachment (used e.g. for rounding the forward-facing
+    step corner, cf. /root/reference/source/geometry_step.h:88-130).
+
+Vertex ordering follows the deal.II convention for hypercubes: the d-th
+coordinate toggles with stride 2**d, i.e. in 2D
+
+    v2 --- v3
+    |       |
+    v0 --- v1
+
+All offline data (mass matrices, c_ij, boundary maps) is assembled from this
+container in assembly.py; nothing here ever runs on the TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+
+class Boundary(enum.IntEnum):
+    """Boundary condition ids (mirrors /root/reference/source/discretization.h:48-126)."""
+
+    do_nothing = 0
+    periodic = 1
+    slip = 2
+    no_slip = 3
+    dirichlet = 4
+    dynamic = 5
+    dirichlet_momentum = 6
+
+
+# Face -> (local vertex indices) for the deal.II hypercube numbering.
+# Faces are ordered: (-x, +x, -y, +y, -z, +z), matching deal.II.
+_FACE_VERTICES = {
+    1: [np.array([0]), np.array([1])],
+    2: [
+        np.array([0, 2]),  # -x
+        np.array([1, 3]),  # +x
+        np.array([0, 1]),  # -y
+        np.array([2, 3]),  # +y
+    ],
+    3: [
+        np.array([0, 2, 4, 6]),  # -x
+        np.array([1, 3, 5, 7]),  # +x
+        np.array([0, 1, 4, 5]),  # -y
+        np.array([2, 3, 6, 7]),  # +y
+        np.array([0, 1, 2, 3]),  # -z
+        np.array([4, 5, 6, 7]),  # +z
+    ],
+}
+
+
+@dataclasses.dataclass
+class Mesh:
+    """An unstructured conforming quad/hex mesh.
+
+    Attributes:
+      dim: spatial dimension (1, 2, or 3).
+      vertices: [n_vertices, dim] float64 coordinates.
+      cells: [n_cells, 2**dim] int64 vertex indices (deal.II ordering).
+      boundary_faces: [n_faces, 2**(dim-1)] int64 vertex indices of faces on
+        the domain boundary.
+      boundary_ids: [n_faces] int32 Boundary ids.
+      face_manifold_ids: optional [n_faces] int32; faces with id != 0 are
+        projected through `manifolds[id]` during refinement.
+      manifolds: map manifold id -> projection callable taking [k, dim]
+        midpoint candidates and returning projected points.
+      periodic_pairs: optional [n_pairs, 2] int64 vertex identification list
+        (slave, master) used for periodic boundary conditions.
+      structured_shape: if the mesh is a subset of a tensor lattice, the
+        lattice dims (nx+1, ny+1[, nz+1]) and `structured_index` maps each
+        vertex to its lattice multi-index; used by the structured solver
+        backend to turn gathers into shifts.
+    """
+
+    dim: int
+    vertices: np.ndarray
+    cells: np.ndarray
+    boundary_faces: np.ndarray
+    boundary_ids: np.ndarray
+    face_manifold_ids: Optional[np.ndarray] = None
+    manifolds: Optional[Dict[int, Callable[[np.ndarray], np.ndarray]]] = None
+    periodic_pairs: Optional[np.ndarray] = None
+    structured_shape: Optional[Tuple[int, ...]] = None
+    structured_index: Optional[np.ndarray] = None
+
+    @property
+    def n_vertices(self) -> int:
+        return self.vertices.shape[0]
+
+    @property
+    def n_cells(self) -> int:
+        return self.cells.shape[0]
+
+    def refine_global(self, times: int = 1) -> "Mesh":
+        mesh = self
+        for _ in range(times):
+            mesh = _refine_once(mesh)
+        return mesh
+
+
+def _unique_rows(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Deduplicate integer rows; returns (unique_rows, inverse)."""
+    sorted_rows = np.sort(rows, axis=1)
+    _, idx, inverse = np.unique(
+        sorted_rows, axis=0, return_index=True, return_inverse=True
+    )
+    return rows[idx], inverse
+
+
+def _refine_once(mesh: Mesh) -> Mesh:
+    """Uniformly refine: each cell splits into 2**dim children.
+
+    New vertices are created at edge/face/cell midpoints.  Midpoints of
+    boundary faces carrying a manifold id are projected through the attached
+    manifold (this reproduces e.g. deal.II's SphericalManifold behavior used
+    for the rounded step corner).
+    """
+    dim = mesh.dim
+    nv = mesh.n_vertices
+    cells = mesh.cells
+    verts = mesh.vertices
+
+    if dim == 1:
+        mid = 0.5 * (verts[cells[:, 0]] + verts[cells[:, 1]])
+        mid_idx = nv + np.arange(mesh.n_cells)
+        new_verts = np.concatenate([verts, mid], axis=0)
+        c0 = np.stack([cells[:, 0], mid_idx], axis=1)
+        c1 = np.stack([mid_idx, cells[:, 1]], axis=1)
+        new_cells = np.concatenate([c0, c1], axis=0)
+        # boundary faces in 1D are single vertices, unchanged:
+        return dataclasses.replace(
+            mesh, vertices=new_verts, cells=new_cells,
+            structured_shape=None, structured_index=None,
+        )
+
+    if dim == 2:
+        # Edges of each quad (deal.II ordering): bottom(0,1) top(2,3)
+        # left(0,2) right(1,3)
+        edge_local = np.array([[0, 1], [2, 3], [0, 2], [1, 3]])
+        cell_edges = cells[:, edge_local]  # [nc, 4, 2]
+        flat_edges = cell_edges.reshape(-1, 2)
+        uniq_edges, edge_inverse = _unique_rows(flat_edges)
+        n_edges = uniq_edges.shape[0]
+        edge_mid = 0.5 * (verts[uniq_edges[:, 0]] + verts[uniq_edges[:, 1]])
+
+        # Manifold projection for boundary-face midpoints:
+        if mesh.face_manifold_ids is not None and mesh.manifolds:
+            # Map vertex-pair -> edge id via dictionary on sorted pairs.
+            sorted_uniq = np.sort(uniq_edges, axis=1)
+            edge_key = sorted_uniq[:, 0].astype(np.int64) * (4 * nv) + sorted_uniq[:, 1]
+            order = np.argsort(edge_key)
+            sorted_keys = edge_key[order]
+            bf = np.sort(mesh.boundary_faces, axis=1)
+            bf_key = bf[:, 0].astype(np.int64) * (4 * nv) + bf[:, 1]
+            pos = order[np.searchsorted(sorted_keys, bf_key)]
+            for mid_id, proj in mesh.manifolds.items():
+                sel = mesh.face_manifold_ids == mid_id
+                if np.any(sel):
+                    eids = pos[sel]
+                    edge_mid[eids] = proj(edge_mid[eids])
+
+        cell_mid = 0.25 * (
+            verts[cells[:, 0]] + verts[cells[:, 1]]
+            + verts[cells[:, 2]] + verts[cells[:, 3]]
+        )
+
+        new_verts = np.concatenate([verts, edge_mid, cell_mid], axis=0)
+        e = nv + edge_inverse.reshape(-1, 4)  # per-cell edge-mid ids
+        c = nv + n_edges + np.arange(mesh.n_cells)
+        v0, v1, v2, v3 = cells[:, 0], cells[:, 1], cells[:, 2], cells[:, 3]
+        eb, et, el, er = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+        children = [
+            np.stack([v0, eb, el, c], axis=1),
+            np.stack([eb, v1, c, er], axis=1),
+            np.stack([el, c, v2, et], axis=1),
+            np.stack([c, er, et, v3], axis=1),
+        ]
+        new_cells = np.concatenate(children, axis=0)
+
+        # Refine boundary faces (each edge splits into two):
+        bf = mesh.boundary_faces
+        bf_sorted = np.sort(bf, axis=1)
+        bf_key = bf_sorted[:, 0].astype(np.int64) * (4 * nv) + bf_sorted[:, 1]
+        sorted_uniq = np.sort(uniq_edges, axis=1)
+        edge_key = sorted_uniq[:, 0].astype(np.int64) * (4 * nv) + sorted_uniq[:, 1]
+        order = np.argsort(edge_key)
+        pos = order[np.searchsorted(edge_key[order], bf_key)]
+        mid_ids = nv + pos
+        f0 = np.stack([bf[:, 0], mid_ids], axis=1)
+        f1 = np.stack([mid_ids, bf[:, 1]], axis=1)
+        new_faces = np.concatenate([f0, f1], axis=0)
+        new_ids = np.concatenate([mesh.boundary_ids, mesh.boundary_ids])
+        new_mids = None
+        if mesh.face_manifold_ids is not None:
+            new_mids = np.concatenate(
+                [mesh.face_manifold_ids, mesh.face_manifold_ids]
+            )
+        return dataclasses.replace(
+            mesh,
+            vertices=new_verts,
+            cells=new_cells,
+            boundary_faces=new_faces,
+            boundary_ids=new_ids,
+            face_manifold_ids=new_mids,
+            structured_shape=None,
+            structured_index=None,
+        )
+
+    if dim == 3:
+        # Edges (12), faces (6), center (1).
+        edge_local = np.array(
+            [[0, 1], [2, 3], [4, 5], [6, 7],
+             [0, 2], [1, 3], [4, 6], [5, 7],
+             [0, 4], [1, 5], [2, 6], [3, 7]]
+        )
+        face_local = np.array(_FACE_VERTICES[3])
+        cell_edges = cells[:, edge_local].reshape(-1, 2)
+        uniq_edges, edge_inv = _unique_rows(cell_edges)
+        n_edges = uniq_edges.shape[0]
+        edge_mid = 0.5 * (verts[uniq_edges[:, 0]] + verts[uniq_edges[:, 1]])
+
+        cell_faces = cells[:, face_local].reshape(-1, 4)
+        uniq_faces, face_inv = _unique_rows(cell_faces)
+        n_faces = uniq_faces.shape[0]
+        face_mid = verts[uniq_faces].mean(axis=1)
+
+        cell_mid = verts[cells].mean(axis=1)
+
+        new_verts = np.concatenate([verts, edge_mid, face_mid, cell_mid], axis=0)
+        E = nv + edge_inv.reshape(-1, 12)
+        F = nv + n_edges + face_inv.reshape(-1, 6)
+        C = nv + n_edges + n_faces + np.arange(mesh.n_cells)
+
+        # Build the 27-point lattice per cell: index (i,j,k) in {0,1,2}^3.
+        lat = np.empty((mesh.n_cells, 3, 3, 3), dtype=np.int64)
+        V = cells
+        # corners
+        for kz in (0, 2):
+            for ky in (0, 2):
+                for kx in (0, 2):
+                    lv = (kx // 2) + 2 * (ky // 2) + 4 * (kz // 2)
+                    lat[:, kz, ky, kx] = V[:, lv]
+        # edge midpoints: x-edges 0..3, y-edges 4..7, z-edges 8..11
+        lat[:, 0, 0, 1] = E[:, 0]
+        lat[:, 0, 2, 1] = E[:, 1]
+        lat[:, 2, 0, 1] = E[:, 2]
+        lat[:, 2, 2, 1] = E[:, 3]
+        lat[:, 0, 1, 0] = E[:, 4]
+        lat[:, 0, 1, 2] = E[:, 5]
+        lat[:, 2, 1, 0] = E[:, 6]
+        lat[:, 2, 1, 2] = E[:, 7]
+        lat[:, 1, 0, 0] = E[:, 8]
+        lat[:, 1, 0, 2] = E[:, 9]
+        lat[:, 1, 2, 0] = E[:, 10]
+        lat[:, 1, 2, 2] = E[:, 11]
+        # face midpoints (-x,+x,-y,+y,-z,+z)
+        lat[:, 1, 1, 0] = F[:, 0]
+        lat[:, 1, 1, 2] = F[:, 1]
+        lat[:, 1, 0, 1] = F[:, 2]
+        lat[:, 1, 2, 1] = F[:, 3]
+        lat[:, 0, 1, 1] = F[:, 4]
+        lat[:, 2, 1, 1] = F[:, 5]
+        # center
+        lat[:, 1, 1, 1] = C
+
+        children = []
+        for kz in range(2):
+            for ky in range(2):
+                for kx in range(2):
+                    child = np.stack(
+                        [
+                            lat[:, kz + dz, ky + dy, kx + dx]
+                            for dz in range(2)
+                            for dy in range(2)
+                            for dx in range(2)
+                        ],
+                        axis=1,
+                    )
+                    # reorder from (dz,dy,dx) nesting to deal.II (dx fastest)
+                    perm = [0, 0, 0, 0, 0, 0, 0, 0]
+                    for dz in range(2):
+                        for dy in range(2):
+                            for dx in range(2):
+                                src = dz * 4 + dy * 2 + dx
+                                dst = dx + 2 * dy + 4 * dz
+                                perm[dst] = src
+                    children.append(child[:, perm])
+        new_cells = np.concatenate(children, axis=0)
+
+        # Refine boundary faces (each quad face -> 4 children).
+        bf = mesh.boundary_faces
+        # face edge midpoints:
+        f_edge_local = np.array([[0, 1], [2, 3], [0, 2], [1, 3]])
+        sorted_uniq = np.sort(uniq_edges, axis=1)
+        ekey = sorted_uniq[:, 0].astype(np.int64) * (8 * nv) + sorted_uniq[:, 1]
+        eorder = np.argsort(ekey)
+
+        def edge_id(pairs):
+            p = np.sort(pairs, axis=1)
+            key = p[:, 0].astype(np.int64) * (8 * nv) + p[:, 1]
+            return eorder[np.searchsorted(ekey[eorder], key)]
+
+        fkey_uniq = np.sort(uniq_faces, axis=1)
+        fkey = (
+            fkey_uniq[:, 0].astype(np.int64) * (8 * nv) ** 2
+            + fkey_uniq[:, 1].astype(np.int64) * (8 * nv)
+            + fkey_uniq[:, 2]
+        )
+        forder = np.argsort(fkey)
+        bf_sorted = np.sort(bf, axis=1)
+        bkey = (
+            bf_sorted[:, 0].astype(np.int64) * (8 * nv) ** 2
+            + bf_sorted[:, 1].astype(np.int64) * (8 * nv)
+            + bf_sorted[:, 2]
+        )
+        fpos = forder[np.searchsorted(fkey[forder], bkey)]
+        fmid = nv + n_edges + fpos
+
+        eb = nv + edge_id(bf[:, f_edge_local[0]])
+        et = nv + edge_id(bf[:, f_edge_local[1]])
+        el = nv + edge_id(bf[:, f_edge_local[2]])
+        er = nv + edge_id(bf[:, f_edge_local[3]])
+        v0, v1, v2, v3 = bf[:, 0], bf[:, 1], bf[:, 2], bf[:, 3]
+        nf0 = np.stack([v0, eb, el, fmid], axis=1)
+        nf1 = np.stack([eb, v1, fmid, er], axis=1)
+        nf2 = np.stack([el, fmid, v2, et], axis=1)
+        nf3 = np.stack([fmid, er, et, v3], axis=1)
+        new_faces = np.concatenate([nf0, nf1, nf2, nf3], axis=0)
+        new_ids = np.concatenate([mesh.boundary_ids] * 4)
+        new_mids = None
+        if mesh.face_manifold_ids is not None:
+            new_mids = np.concatenate([mesh.face_manifold_ids] * 4)
+        return dataclasses.replace(
+            mesh,
+            vertices=new_verts,
+            cells=new_cells,
+            boundary_faces=new_faces,
+            boundary_ids=new_ids,
+            face_manifold_ids=new_mids,
+            structured_shape=None,
+            structured_index=None,
+        )
+
+    raise ValueError(f"unsupported dim={dim}")
