@@ -1,0 +1,78 @@
+"""Headline benchmark: 2D Euler Mach-3 forward facing step throughput.
+
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: MQ/s = million DoF (Q-point) updates per second per chip, the
+reference's primary throughput figure (time_loop.template.h:1160-1214):
+n_dofs * n_substeps / wall.  Baseline: 100 MQ/s/chip (driver north star).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_MQS = 100.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.equations.euler_initial_states import make_initial_state
+    from ryujin_tpu.offline import assembly, geometry
+    from ryujin_tpu.postprocess.error import interpolate_nodal
+    from ryujin_tpu.solver.hyperbolic import HyperbolicModule
+    from ryujin_tpu.solver.integrator import TimeIntegrator
+
+    refinement = int(os.environ.get("BENCH_REFINEMENT", "3"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    dtype = jnp.float32
+
+    eq = Euler(dim=2)
+    mesh = geometry.step(refinement=refinement)
+    data = assembly.assemble(mesh)
+
+    from ryujin_tpu.offline import structured
+
+    packed = structured.pack_structured(data, mesh)
+    init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
+    hm = HyperbolicModule(eq, packed, init, dtype=dtype)
+    ti = TimeIntegrator(
+        hm, scheme="erk 33", cfl_min=0.45, cfl_max=0.9,
+        cfl_recovery_strategy="none",
+    )
+
+    U = interpolate_nodal(init, packed, eq, 0.0, dtype)
+
+    # warmup / compile (also evolves the shock a little so the timed
+    # region sees a realistic state):
+    U, _, t, _, _, _ = ti.advance(U, 0.0, n_steps=2)
+    U.block_until_ready()
+
+    t0 = time.perf_counter()
+    out = ti.advance(U, t, n_steps=n_steps)
+    jax.block_until_ready(out)
+    wall = time.perf_counter() - t0
+
+    n_dofs = packed.n_nodes
+    substeps_per_step = 3  # erk 33
+    mqs = n_dofs * n_steps * substeps_per_step / wall / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "euler2d_mach3_step_throughput",
+                "value": round(mqs, 3),
+                "unit": "MQ/s/chip",
+                "vs_baseline": round(mqs / BASELINE_MQS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

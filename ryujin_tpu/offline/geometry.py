@@ -227,6 +227,28 @@ def _rectangular_domain_3d(pl, pr, subs, bcs) -> Mesh:
     return mesh
 
 
+def spherical_manifold(center: Sequence[float]):
+    """Endpoint-averaging manifold (dealii::SphericalManifold analog).
+
+    Returns a callable mapping face endpoint coordinates [k, nv, dim] to new
+    midpoints [k, dim]: the spherical average around `center` (mean radius,
+    normalized mean direction).
+    """
+    c = np.asarray(center, dtype=np.float64)
+
+    def avg(endpoints: np.ndarray) -> np.ndarray:
+        d = endpoints - c
+        r = np.linalg.norm(d, axis=2)  # [k, nv]
+        dirs = d / np.maximum(r[..., None], 1e-300)
+        mean_dir = dirs.mean(axis=1)
+        mean_dir /= np.maximum(
+            np.linalg.norm(mean_dir, axis=1, keepdims=True), 1e-300
+        )
+        return c + r.mean(axis=1)[:, None] * mean_dir
+
+    return avg
+
+
 def step(
     length: float = 3.0,
     height: float = 1.0,
@@ -236,16 +258,15 @@ def step(
 ) -> Mesh:
     """Mach-3 forward facing step (geometry_step.h:34-131).
 
-    The reference builds a 15x4 + 3x1 coarse lattice, refines 4 times inside
-    the generator, rounds the re-entrant corner with a spherical manifold of
-    radius 0.0125, and then applies `refinement` further global refinements.
-    We reproduce the same construction: boundary ids are slip on top/bottom
-    (including the step), dirichlet on the left inflow, do_nothing on the
-    right outflow.
+    Follows the reference construction exactly: build the 15x4 + 3x1 coarse
+    lattice, tag boundary ids (slip top/bottom/step, dirichlet inflow,
+    do_nothing outflow), refine 4 times plain, then round off the re-entrant
+    corner: attach a spherical manifold (radius 0.0125) to the two boundary
+    faces containing the corner vertex and snap the corner-cell vertices onto
+    the arc (geometry_step.h:92-129).  `refinement` further global
+    refinements are applied with the manifold active (the reference does
+    these later in Discretization::prepare).
     """
-    # Coarse lattice: x in [0, length] with 15 cells, y in [0, height] with
-    # 4 cells above the step and 3x1 cells for the channel floor segment.
-    # The merged mesh is a lattice with spacing 0.2 in both directions.
     x = np.linspace(0.0, length, 16)
     y = np.linspace(0.0, height, 6)
     assert abs(x[3] - step_position) < 1e-12 and abs(y[1] - step_height) < 1e-12
@@ -258,51 +279,43 @@ def step(
     ids[:] = Boundary.do_nothing
     interior_x = (centers[:, 0] > 1e-6) & (centers[:, 0] < length - 1e-6)
     ids[interior_x] = Boundary.slip
-    # also the horizontal top/bottom faces at x<=0.6 region borders:
-    ids[np.abs(centers[:, 1] - 0.0) < 1e-12] = Boundary.slip
-    ids[np.abs(centers[:, 1] - height) < 1e-12] = Boundary.slip
     ids[centers[:, 0] < 1e-6] = Boundary.dirichlet
 
-    # Corner rounding (geometry_step.h:88-130): spherical manifold of radius
-    # 0.0125 centered at (step_position + r, step_height - r).
+    mesh = mesh.refine_global(4)
+
+    # Corner rounding (geometry_step.h:92-129): radius r circle centered at
+    # (step_position + r, step_height - r).
     r = 0.0125
-    center = np.array([step_position + r, step_height - r])
+    corner = np.array([step_position, step_height])
+    mesh.manifolds = {1: spherical_manifold([step_position + r, step_height - r])}
 
-    def spherical_projection(pts: np.ndarray) -> np.ndarray:
-        d = pts - center
-        norm = np.linalg.norm(d, axis=1, keepdims=True)
-        return center + r * d / np.maximum(norm, 1e-300)
+    # Tag the boundary faces containing the corner vertex:
+    fv = mesh.vertices[mesh.boundary_faces]  # [nf, 2, 2]
+    touches = (np.linalg.norm(fv - corner, axis=2) < 1e-6).any(axis=1)
+    fm = np.zeros(len(mesh.boundary_faces), dtype=np.int32)
+    fm[touches] = 1
+    mesh.face_manifold_ids = fm
 
-    mesh.manifolds = {1: spherical_projection}
-
-    total_ref = 4 + refinement
-    for level in range(total_ref):
-        # (Re)tag faces touching the corner vertex with manifold id 1:
-        fm = np.zeros(len(mesh.boundary_faces), dtype=np.int32)
-        fv = mesh.vertices[mesh.boundary_faces]  # [nf, 2, 2]
-        corner = np.array([step_position, step_height])
-        touches = (np.linalg.norm(fv - corner, axis=2) < 1e-6).any(axis=1)
-        fm[touches] = 1
-        mesh.face_manifold_ids = fm
-        mesh = mesh.refine_global(1)
-
-    # Final vertex snap of the two corner-adjacent vertices
-    # (geometry_step.h:110-129):
+    # Snap the vertices of the cells touching the corner vertex:
+    cv = mesh.vertices[mesh.cells]  # [nc, 4, 2]
+    corner_cells = (np.linalg.norm(cv - corner, axis=2) < 1e-6).any(axis=1)
+    vids = np.unique(mesh.cells[corner_cells].ravel())
     v = mesh.vertices
-    on_step_x = (np.abs(v[:, 0] - step_position) < 1e-6) & (
-        v[:, 1] > step_height - 1e-6
-    )
-    near = np.linalg.norm(v - np.array([step_position, step_height]), axis=1)
-    sel = on_step_x & (near < 2.0 * r)
-    mesh.vertices[sel & (np.abs(v[:, 1] - step_height) < 1e-6), 0] = (
-        step_position + r * (1 - np.sqrt(0.5))
-    )
-    on_step_y = (np.abs(v[:, 1] - step_height) < 1e-6) & (
-        v[:, 0] < step_position + 0.005
-    )
-    sel2 = on_step_y & (near < 2.0 * r)
-    mesh.vertices[sel2, 1] = step_height - r * (1 - np.sqrt(0.5))
+    snap = r * (1.0 - np.sqrt(0.5))
+    for vid in vids:
+        if (
+            abs(v[vid, 0] - step_position) < 1e-6
+            and v[vid, 1] > step_height - 1e-6
+        ):
+            v[vid, 0] = step_position + snap
+        if (
+            abs(v[vid, 1] - step_height) < 1e-6
+            and v[vid, 0] < step_position + 0.005
+        ):
+            v[vid, 1] = step_height - snap
 
+    if refinement:
+        mesh = mesh.refine_global(refinement)
     return mesh
 
 
@@ -415,12 +428,7 @@ def cylinder(
         boundary_faces=bfaces, boundary_ids=ids,
     )
 
-    def circle_projection(pts: np.ndarray) -> np.ndarray:
-        d = pts - np.array([cx, cy])
-        nrm = np.linalg.norm(d, axis=1, keepdims=True)
-        return np.array([cx, cy]) + r * d / np.maximum(nrm, 1e-300)
-
-    mesh.manifolds = {1: circle_projection}
+    mesh.manifolds = {1: spherical_manifold([cx, cy])}
     fm = np.zeros(len(bfaces), dtype=np.int32)
     fm[on_circle] = 1
     mesh.face_manifold_ids = fm

@@ -77,8 +77,9 @@ class Mesh:
       boundary_ids: [n_faces] int32 Boundary ids.
       face_manifold_ids: optional [n_faces] int32; faces with id != 0 are
         projected through `manifolds[id]` during refinement.
-      manifolds: map manifold id -> projection callable taking [k, dim]
-        midpoint candidates and returning projected points.
+      manifolds: map manifold id -> averaging callable taking the face
+        endpoint coordinates [k, n_face_vertices, dim] and returning the new
+        midpoint [k, dim] (the analog of dealii::Manifold::get_new_point).
       periodic_pairs: optional [n_pairs, 2] int64 vertex identification list
         (slave, master) used for periodic boundary conditions.
       structured_shape: if the mesh is a subset of a tensor lattice, the
@@ -142,10 +143,16 @@ def _refine_once(mesh: Mesh) -> Mesh:
         c0 = np.stack([cells[:, 0], mid_idx], axis=1)
         c1 = np.stack([mid_idx, cells[:, 1]], axis=1)
         new_cells = np.concatenate([c0, c1], axis=0)
+        new_shape, new_sidx = None, None
+        if mesh.structured_index is not None:
+            si = mesh.structured_index
+            mid_si = si[cells[:, 0]] + si[cells[:, 1]]
+            new_sidx = np.concatenate([2 * si, mid_si], axis=0)
+            new_shape = tuple(2 * s - 1 for s in mesh.structured_shape)
         # boundary faces in 1D are single vertices, unchanged:
         return dataclasses.replace(
             mesh, vertices=new_verts, cells=new_cells,
-            structured_shape=None, structured_index=None,
+            structured_shape=new_shape, structured_index=new_sidx,
         )
 
     if dim == 2:
@@ -172,7 +179,7 @@ def _refine_once(mesh: Mesh) -> Mesh:
                 sel = mesh.face_manifold_ids == mid_id
                 if np.any(sel):
                     eids = pos[sel]
-                    edge_mid[eids] = proj(edge_mid[eids])
+                    edge_mid[eids] = proj(verts[uniq_edges[eids]])
 
         cell_mid = 0.25 * (
             verts[cells[:, 0]] + verts[cells[:, 1]]
@@ -210,6 +217,14 @@ def _refine_once(mesh: Mesh) -> Mesh:
             new_mids = np.concatenate(
                 [mesh.face_manifold_ids, mesh.face_manifold_ids]
             )
+        new_shape, new_sidx = None, None
+        if mesh.structured_index is not None:
+            si = mesh.structured_index
+            edge_si = si[uniq_edges[:, 0]] + si[uniq_edges[:, 1]]
+            cell_si = (si[cells[:, 0]] + si[cells[:, 1]]
+                       + si[cells[:, 2]] + si[cells[:, 3]]) // 2
+            new_sidx = np.concatenate([2 * si, edge_si, cell_si], axis=0)
+            new_shape = tuple(2 * s - 1 for s in mesh.structured_shape)
         return dataclasses.replace(
             mesh,
             vertices=new_verts,
@@ -217,8 +232,8 @@ def _refine_once(mesh: Mesh) -> Mesh:
             boundary_faces=new_faces,
             boundary_ids=new_ids,
             face_manifold_ids=new_mids,
-            structured_shape=None,
-            structured_index=None,
+            structured_shape=new_shape,
+            structured_index=new_sidx,
         )
 
     if dim == 3:
@@ -345,6 +360,14 @@ def _refine_once(mesh: Mesh) -> Mesh:
         new_mids = None
         if mesh.face_manifold_ids is not None:
             new_mids = np.concatenate([mesh.face_manifold_ids] * 4)
+        new_shape, new_sidx = None, None
+        if mesh.structured_index is not None:
+            si = mesh.structured_index
+            edge_si = si[uniq_edges[:, 0]] + si[uniq_edges[:, 1]]
+            face_si = si[uniq_faces].sum(axis=1) // 2
+            cell_si = si[cells].sum(axis=1) // 4
+            new_sidx = np.concatenate([2 * si, edge_si, face_si, cell_si], axis=0)
+            new_shape = tuple(2 * s - 1 for s in mesh.structured_shape)
         return dataclasses.replace(
             mesh,
             vertices=new_verts,
@@ -352,8 +375,8 @@ def _refine_once(mesh: Mesh) -> Mesh:
             boundary_faces=new_faces,
             boundary_ids=new_ids,
             face_manifold_ids=new_mids,
-            structured_shape=None,
-            structured_index=None,
+            structured_shape=new_shape,
+            structured_index=new_sidx,
         )
 
     raise ValueError(f"unsupported dim={dim}")

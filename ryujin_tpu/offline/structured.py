@@ -1,0 +1,211 @@
+"""Pack the assembled node graph onto a structured lattice canvas.
+
+TPU-native alternative to the padded-ELL layout (ell.py): when the mesh is a
+tensor lattice (possibly with holes, e.g. the forward-facing step), every
+node sits at a lattice position and the Q1 stencil is exactly the set of
+lattice neighbors at offsets {-1,0,1}^dim.  Neighbor access then becomes a
+*static shift* of a [H, W] (2D) canvas instead of a gather — on TPU this
+compiles to fused slice/concat at HBM bandwidth, whereas irregular gathers
+serialize.  This is the structured analog of the reference's SIMD-blocked
+CSR (sparse_matrix_simd.h:40-297): the reference pays bookkeeping for
+stride-uniform rows; the lattice makes every row uniform by construction.
+
+Lattice positions without a node (removed cells, padding added for TPU tile
+alignment) are masked: their edge masks are zero and their states are held
+at a safe constant.  Canvas dims of non-periodic axes are padded to TPU
+friendly multiples; periodic axes keep their exact period so that the
+wrap-around of the shift *is* the periodic identification.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .assembly import BoundaryGroup, SparseOfflineData
+from .mesh import Mesh
+
+
+def lattice_offsets(dim: int) -> Tuple[Tuple[int, ...], ...]:
+    """All 3**dim - 1 nonzero offsets in {-1,0,1}**dim, lexicographic.
+
+    The ordering is symmetric under negation-reversal: offsets[k] ==
+    -offsets[K-1-k], so the transposed-edge slot of k is K-1-k.
+    """
+    offs = [o for o in itertools.product((-1, 0, 1), repeat=dim) if any(o)]
+    return tuple(offs)
+
+
+@dataclasses.dataclass
+class StructuredData:
+    """Host-side structured stencil data (canvas-flattened, row-major)."""
+
+    dim: int
+    n_nodes: int
+    n_pad: int  # prod(shape)
+    max_degree: int  # K = 3**dim - 1
+    shape: Tuple[int, ...]  # canvas dims (slowest first)
+    offsets: Tuple[Tuple[int, ...], ...]  # K lattice offsets (canvas axes)
+
+    cij: np.ndarray  # [n_pad, K, dim]
+    mij: np.ndarray  # [n_pad, K]
+    mask: np.ndarray  # [n_pad, K]
+    cii: np.ndarray  # [n_pad, dim]
+    lumped_mass: np.ndarray  # [n_pad]
+    n_nbrs: np.ndarray  # [n_pad]
+    node_mask: np.ndarray  # [n_pad]
+    positions: np.ndarray  # [n_pad, dim]
+    measure_of_omega: float
+
+    vertex_to_node: np.ndarray  # [n_raw] canvas id of (master of) vertex
+    node_to_vertex: np.ndarray  # [n_pad] representative vertex; -1 pad
+    boundary_rounds: List[Dict[int, BoundaryGroup]]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pack_structured(
+    data: SparseOfflineData,
+    mesh: Mesh,
+    pad_minor: int = 128,
+    pad_major: int = 8,
+) -> StructuredData:
+    """Pack onto the lattice canvas recorded in mesh.structured_index.
+
+    Canvas axis order is (slowest ... fastest) = reversed lattice dims, i.e.
+    2D canvas is [ny, nx] with x fastest — matching the row-major vertex
+    numbering of the lattice generators.
+    """
+    if mesh.structured_index is None or mesh.structured_shape is None:
+        raise ValueError("mesh carries no lattice structure")
+    dim = data.dim
+    si = np.asarray(mesh.structured_index)  # [n_raw, dim], (ix, iy[, iz])
+    lat_shape = tuple(mesh.structured_shape)  # (nx, ny[, nz])
+
+    real = ~data.is_constrained
+    # Periodicity per lattice dim: constrained (slave) nodes sit on the far
+    # face; their removal shortens the logical period to lat_shape[d]-1.
+    periodic = np.zeros(dim, dtype=bool)
+    for d in range(dim):
+        hi = si[:, d] == lat_shape[d] - 1
+        if hi.any() and not real[hi].any():
+            periodic[d] = True
+    logical = np.array(
+        [lat_shape[d] - 1 if periodic[d] else lat_shape[d] for d in range(dim)]
+    )
+    assert (si[real].max(axis=0) < logical).all()
+
+    # Canvas dims, slowest-first: (…, ny, nx); pad non-periodic axes.
+    pads = [pad_major] * (dim - 1) + [pad_minor]
+    canvas = []
+    for axis in range(dim):  # canvas axis 0 = lattice dim (dim-1)
+        d = dim - 1 - axis
+        size = int(logical[d])
+        if not periodic[d]:
+            size = _round_up(size, pads[axis] if dim > 1 else pad_minor)
+        canvas.append(size)
+    canvas = tuple(canvas)
+    n_pad = int(np.prod(canvas))
+
+    # canvas multi-index per vertex (canvas order: slowest-first):
+    cidx = si[:, ::-1]  # [n_raw, dim] now (iy..., ix) for 2D: (iy, ix)
+    flat = np.ravel_multi_index(tuple(cidx.T), canvas, mode="wrap")
+    vertex_to_node = flat[data.master]
+
+    offsets = lattice_offsets(dim)
+    K = len(offsets)
+
+    cij = np.zeros((n_pad, K, dim))
+    mij = np.zeros((n_pad, K))
+    mask = np.zeros((n_pad, K))
+    cii = np.zeros((n_pad, dim))
+    lumped = np.ones(n_pad)
+    n_nbrs = np.ones(n_pad)
+    node_mask = np.zeros(n_pad)
+    positions = np.zeros((n_pad, dim))
+    node_to_vertex = np.full(n_pad, -1, dtype=np.int64)
+
+    rows = np.flatnonzero(real)
+    rid = flat[rows]
+    node_mask[rid] = 1.0
+    lumped[rid] = data.lumped_mass[rows]
+    cii[rid] = data.cii[rows]
+    positions[rid] = data.positions[rows]
+    deg = data.indptr[rows + 1] - data.indptr[rows]
+    n_nbrs[rid] = np.maximum(deg, 1)
+    node_to_vertex[rid] = rows
+
+    # edges, vectorized: source row i repeated deg times
+    i_e = np.repeat(rows, deg)
+    total = int(deg.sum())
+    cum = np.cumsum(deg) - deg
+    src = (
+        np.arange(total)
+        - np.repeat(cum, deg)
+        + np.repeat(data.indptr[rows], deg)
+    )
+    j_e = data.indices[src]
+    # lattice delta per canvas axis, wrapped into {-1, 0, 1}:
+    delta = np.empty((len(i_e), dim), dtype=np.int64)
+    for axis in range(dim):
+        d = dim - 1 - axis
+        P = int(logical[d])
+        dd = (si[j_e, d] - si[i_e, d]) % P
+        dd = np.where(dd > P // 2, dd - P, dd)
+        delta[:, axis] = dd
+    assert (np.abs(delta) <= 1).all(), "edge beyond lattice neighborhood"
+    lut = np.full(3**dim, -1, dtype=np.int64)
+    for k, o in enumerate(offsets):
+        base3 = 0
+        for v in o:
+            base3 = 3 * base3 + (v + 1)
+        lut[base3] = k
+    base3_e = np.zeros(len(i_e), dtype=np.int64)
+    for axis in range(dim):
+        base3_e = 3 * base3_e + (delta[:, axis] + 1)
+    slot = lut[base3_e]
+    assert (slot >= 0).all(), "degenerate zero-offset edge"
+    ci = flat[i_e]
+    cij[ci, slot] = data.cij[src]
+    mij[ci, slot] = data.mij[src]
+    mask[ci, slot] = 1.0
+
+    # boundary rounds in canvas numbering
+    rounds: List[Dict[int, BoundaryGroup]] = []
+    for rnd in data.boundary_rounds:
+        g2: Dict[int, BoundaryGroup] = {}
+        for fid, g in rnd.items():
+            g2[fid] = BoundaryGroup(
+                index=vertex_to_node[g.index],
+                normal=g.normal,
+                normal_mass=g.normal_mass,
+                boundary_mass=g.boundary_mass,
+                position=g.position,
+            )
+        rounds.append(g2)
+
+    return StructuredData(
+        dim=dim,
+        n_nodes=int(real.sum()),
+        n_pad=n_pad,
+        max_degree=K,
+        shape=canvas,
+        offsets=offsets,
+        cij=cij,
+        mij=mij,
+        mask=mask,
+        cii=cii,
+        lumped_mass=lumped,
+        n_nbrs=n_nbrs,
+        node_mask=node_mask,
+        positions=positions,
+        measure_of_omega=data.measure_of_omega,
+        vertex_to_node=vertex_to_node,
+        node_to_vertex=node_to_vertex,
+        boundary_rounds=rounds,
+    )

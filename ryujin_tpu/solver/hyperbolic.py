@@ -38,6 +38,7 @@ import numpy as np
 
 from ..offline.ell import EllData
 from ..offline.mesh import Boundary
+from ..offline.structured import StructuredData
 
 
 def _f(x, dtype):
@@ -88,6 +89,82 @@ class Stencil:
         )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    meta_fields=("shape", "offsets"),
+    data_fields=(
+        "cij", "mij", "mask", "cii", "m_lumped", "m_lumped_inv",
+        "n_nbrs", "node_mask", "measure_inv",
+    ),
+)
+@dataclasses.dataclass(frozen=True)
+class StructuredStencil:
+    """Lattice-canvas stencil: neighbor access by static shifts, no gathers.
+
+    Arrays are canvas-flattened [n_pad, ...] like Stencil, but `nbr` and
+    `transpose_edge` reshape to the canvas and use jnp.roll with static
+    shifts (slice+concat on TPU — no gather).  Wrapped-in values at
+    non-periodic canvas edges correspond to masked edges; for periodic axes
+    the wrap is exactly the periodic identification (offline/structured.py).
+    The transposed slot of offset k is K-1-k (lattice_offsets ordering).
+    """
+
+    shape: Tuple[int, ...]
+    offsets: Tuple[Tuple[int, ...], ...]
+
+    cij: jax.Array  # [n, K, dim]
+    mij: jax.Array  # [n, K]
+    mask: jax.Array  # [n, K]
+    cii: jax.Array  # [n, dim]
+    m_lumped: jax.Array  # [n]
+    m_lumped_inv: jax.Array  # [n]
+    n_nbrs: jax.Array  # [n]
+    node_mask: jax.Array  # [n]
+    measure_inv: jax.Array  # scalar
+
+    def _shift(self, Xc: jax.Array, off) -> jax.Array:
+        axes = tuple(range(len(self.shape)))
+        return jnp.roll(Xc, tuple(-o for o in off), axis=axes)
+
+    def nbr(self, X: jax.Array) -> jax.Array:
+        n = X.shape[0]
+        Xc = X.reshape(self.shape + X.shape[1:])
+        out = jnp.stack(
+            [self._shift(Xc, off) for off in self.offsets],
+            axis=len(self.shape),
+        )
+        return out.reshape((n, len(self.offsets)) + X.shape[1:])
+
+    def transpose_edge(self, E: jax.Array) -> jax.Array:
+        n, K = E.shape[:2]
+        Ec = E.reshape(self.shape + E.shape[1:])
+        d = len(self.shape)
+        out = jnp.stack(
+            [
+                self._shift(Ec[(slice(None),) * d + (K - 1 - k,)], off)
+                for k, off in enumerate(self.offsets)
+            ],
+            axis=d,
+        )
+        return out.reshape((n, K) + E.shape[2:])
+
+    @staticmethod
+    def from_data(sd: StructuredData, dtype=jnp.float64) -> "StructuredStencil":
+        return StructuredStencil(
+            shape=tuple(sd.shape),
+            offsets=tuple(map(tuple, sd.offsets)),
+            cij=_f(sd.cij, dtype),
+            mij=_f(sd.mij, dtype),
+            mask=_f(sd.mask, dtype),
+            cii=_f(sd.cii, dtype),
+            m_lumped=_f(sd.lumped_mass, dtype),
+            m_lumped_inv=_f(1.0 / sd.lumped_mass, dtype),
+            n_nbrs=_f(sd.n_nbrs, dtype),
+            node_mask=_f(sd.node_mask, dtype),
+            measure_inv=_f(1.0 / sd.measure_of_omega, dtype),
+        )
+
+
 @dataclasses.dataclass(frozen=True)
 class BoundaryCondition:
     """One group of boundary nodes sharing a Boundary id (static arrays)."""
@@ -135,7 +212,10 @@ class HyperbolicModule:
         self.eq = equation
         self.params = params
         self.dtype = dtype
-        self.stencil = Stencil.from_ell(ell, dtype)
+        if isinstance(ell, StructuredData):
+            self.stencil = StructuredStencil.from_data(ell, dtype)
+        else:
+            self.stencil = Stencil.from_ell(ell, dtype)
         self.initial_state_fn = initial_state_fn
         self.n_pad = ell.n_pad
         if initial_precomputed is None:
@@ -196,18 +276,25 @@ class HyperbolicModule:
         self,
         U_old: jax.Array,
         prec_old: jax.Array,
-        stage_states: Sequence[Tuple[jax.Array, jax.Array]],
-        stage_weights: Sequence[float],
+        stage_U: jax.Array,
+        stage_prec: jax.Array,
+        stage_weights: jax.Array,
         tau,
         cfl,
         tau_cap,
+        stencil=None,
     ):
         """One forward-Euler IDP substep.
 
         Args:
           U_old, prec_old: prepared state (BCs applied, precomputed filled).
-          stage_states: [(U_s, prec_s)] high-order stage contributions.
-          stage_weights: matching weights (static floats).
+          stage_U, stage_prec: stacked high-order stage states [S, n, C] /
+            [S, n, P]; S is static, weights select active slots.  A slot
+            with weight 0 is skipped at runtime via lax.cond, so one
+            compiled substep serves every stage of a Runge-Kutta scheme
+            (the reference instead instantiates step<stages> per stage
+            count, hyperbolic_module.h:208-223).
+          stage_weights: traced [S] stage weights.
           tau: step size; pass 0.0 to use the computed tau_max.
           cfl: relative CFL number (traced scalar ok).
           tau_cap: upper bound for the computed tau (t_final - t etc.).
@@ -215,13 +302,14 @@ class HyperbolicModule:
         Returns (U_new, tau_used, ok).
         """
         eq = self.eq
-        st = self.stencil
+        # The stencil may be passed as a traced argument: capturing the
+        # [n, K, ...] arrays as jit constants triggers XLA compile-time
+        # constant folding over the whole mesh (compile time then scales
+        # with mesh size).
+        st = stencil if stencil is not None else self.stencil
         p = self.params
         dtype = self.dtype
         tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
-
-        n, K = st.cols.shape
-        C = eq.n_comp
 
         U_j = st.nbr(U_old)  # [n, K, C]
         prec_j = st.nbr(prec_old)
@@ -248,7 +336,7 @@ class HyperbolicModule:
         )
 
         # ---- step 3: symmetrize, diagonal, tau_max ----------------------
-        d = jnp.maximum(d, st.transpose_edge(d))
+        d = jnp.maximum(d, st.transpose_edge(d)) * st.mask
         d_sum = -jnp.sum(d, axis=-1)
         d_sum = jnp.minimum(d_sum, -1.0e6 * tiny)  # (reference :545-546)
 
@@ -259,7 +347,8 @@ class HyperbolicModule:
         tau = jnp.where(tau == 0.0, tau_max, tau)
 
         # ---- step 4: low-order update, bounds, r_i, P_ij ----------------
-        weight = 1.0 - float(sum(stage_weights))
+        S = stage_U.shape[0] if stage_U is not None else 0
+        weight = 1.0 - (jnp.sum(stage_weights) if S else 0.0)
 
         alpha_j = st.nbr(alpha)
         factor = 0.5 * (alpha[:, None] + alpha_j)
@@ -291,15 +380,27 @@ class HyperbolicModule:
         )
         P = (weight - 1.0) * flux_ij + (d_H - d)[..., None] * dU
 
-        for (U_s, prec_s), w_s in zip(stage_states, stage_weights):
-            flux_s_i = eq.flux_contribution(prec_s, self.initial_precomputed, U_s)
-            flux_s_j = st.nbr(flux_s_i)
-            flux_s_ij = eq.flux_divergence(flux_s_i[:, None], flux_s_j, st.cij)
-            flux_s_ii = eq.flux_divergence(flux_s_i, flux_s_i, st.cii)
-            F_iH = F_iH + w_s * (
-                jnp.sum(flux_s_ij * m, axis=1) + flux_s_ii
+        for s in range(S):
+            w_s = stage_weights[s]
+
+            def _accumulate(args, s=s, w_s=w_s):
+                F_iH, P = args
+                flux_s_i = eq.flux_contribution(
+                    stage_prec[s], self.initial_precomputed, stage_U[s]
+                )
+                flux_s_j = st.nbr(flux_s_i)
+                flux_s_ij = eq.flux_divergence(
+                    flux_s_i[:, None], flux_s_j, st.cij
+                )
+                flux_s_ii = eq.flux_divergence(flux_s_i, flux_s_i, st.cii)
+                F_iH = F_iH + w_s * (
+                    jnp.sum(flux_s_ij * m, axis=1) + flux_s_ii
+                )
+                return F_iH, P + w_s * flux_s_ij
+
+            F_iH, P = jax.lax.cond(
+                w_s != 0.0, _accumulate, lambda args: args, (F_iH, P)
             )
-            P = P + w_s * flux_s_ij
 
         bounds = eq.limiter_bounds(
             U_old, prec_old, U_j, prec_j, scaled_c_ij, st.mask, hd_i,
@@ -315,7 +416,7 @@ class HyperbolicModule:
 
         # ---- step 5: mass-matrix correction + first limiter pass --------
         F_jH = st.nbr(F_iH)
-        m_j = st.m_lumped[st.cols]
+        m_j = st.nbr(st.m_lumped)
         b_ij = -st.mij / m_j  # kronecker term vanishes off-diagonal
         b_ji = -st.mij * st.m_lumped_inv[:, None]
         P = P + b_ij[..., None] * F_jH - b_ji[..., None] * F_iH[:, None]
