@@ -11,11 +11,15 @@ TPU-native re-implementation of the reference Euler module:
     with quadratic Newton):
       /root/reference/source/euler/limiter.h + limiter.template.h
 
-All functions are written as vectorized jnp math over arbitrary leading
-batch axes; states are stored with the component axis last:
-[rho, m_1..m_dim, E].  There are no loops over nodes or stencil entries —
-the solver broadcasts these functions over [n, K, ...] arrays and lets XLA
-fuse everything.
+Layout convention (TPU-critical): the COMPONENT axis comes FIRST and the
+(large) node axis LAST — states are [C, ...batch] with components
+[rho, m_1..m_dim, E].  On TPU the minormost array dimension maps to the
+128-lane vector axis; putting the huge node dimension there keeps every
+elementwise kernel at full lane utilization, whereas component-last
+layouts pad 4-wide vectors to 128 lanes (32x waste).  All functions
+broadcast over arbitrary trailing batch axes ([n], [K, n], ...) and
+contain no loops — the solver maps them over edge/node arrays and lets
+XLA fuse.
 """
 
 from __future__ import annotations
@@ -92,29 +96,29 @@ class Euler:
 
     # ---- derived quantities (hyperbolic_system.h:740-979) --------------
     def density(self, U):
-        return U[..., 0]
+        return U[0]
 
     def momentum(self, U):
-        return U[..., 1 : 1 + self.dim]
+        return U[1 : 1 + self.dim]
 
     def total_energy(self, U):
-        return U[..., 1 + self.dim]
+        return U[1 + self.dim]
 
     def internal_energy(self, U):
         rho_inv = 1.0 / self.density(U)
         m = self.momentum(U)
-        return self.total_energy(U) - 0.5 * jnp.sum(m * m, -1) * rho_inv
+        return self.total_energy(U) - 0.5 * jnp.sum(m * m, 0) * rho_inv
 
     def internal_energy_derivative(self, U):
         rho_inv = 1.0 / self.density(U)
-        u = self.momentum(U) * rho_inv[..., None]
+        u = self.momentum(U) * rho_inv[None]
         return jnp.concatenate(
             [
-                (0.5 * jnp.sum(u * u, -1))[..., None],
+                (0.5 * jnp.sum(u * u, 0))[None],
                 -u,
-                jnp.ones_like(U[..., :1]),
+                jnp.ones_like(U[:1]),
             ],
-            axis=-1,
+            axis=0,
         )
 
     def pressure(self, U):
@@ -134,7 +138,7 @@ class Euler:
         rho = self.density(U)
         m = self.momentum(U)
         E = self.total_energy(U)
-        rho_rho_e = rho * E - 0.5 * jnp.sum(m * m, -1)
+        rho_rho_e = rho * E - 0.5 * jnp.sum(m * m, 0)
         return jnp.power(rho_rho_e, 1.0 / (g + 1.0))
 
     def harten_entropy_derivative(self, U):
@@ -142,15 +146,15 @@ class Euler:
         rho = self.density(U)
         m = self.momentum(U)
         E = self.total_energy(U)
-        rho_rho_e = rho * E - 0.5 * jnp.sum(m * m, -1)
+        rho_rho_e = rho * E - 0.5 * jnp.sum(m * m, 0)
         factor = (1.0 / (g + 1.0)) * jnp.power(rho_rho_e, -g / (g + 1.0))
         return jnp.concatenate(
             [
-                (factor * E)[..., None],
-                -factor[..., None] * m,
-                (factor * rho)[..., None],
+                (factor * E)[None],
+                -factor[None] * m,
+                (factor * rho)[None],
             ],
-            axis=-1,
+            axis=0,
         )
 
     def filter_vacuum_density(self, rho):
@@ -172,51 +176,45 @@ class Euler:
     # ---- state transforms ---------------------------------------------
     def from_primitive_state(self, prim):
         g = self.params.gamma
-        rho = prim[..., 0]
-        u = prim[..., 1 : 1 + self.dim]
-        p = prim[..., 1 + self.dim]
-        E = p / (g - 1.0) + 0.5 * rho * jnp.sum(u * u, -1)
-        return jnp.concatenate(
-            [rho[..., None], rho[..., None] * u, E[..., None]], axis=-1
-        )
+        rho = prim[0]
+        u = prim[1 : 1 + self.dim]
+        p = prim[1 + self.dim]
+        E = p / (g - 1.0) + 0.5 * rho * jnp.sum(u * u, 0)
+        return jnp.concatenate([rho[None], rho[None] * u, E[None]], axis=0)
 
     def to_primitive_state(self, U):
         rho_inv = 1.0 / self.density(U)
         p = self.pressure(U)
         return jnp.concatenate(
-            [
-                U[..., :1],
-                self.momentum(U) * rho_inv[..., None],
-                p[..., None],
-            ],
-            axis=-1,
+            [U[:1], self.momentum(U) * rho_inv[None], p[None]], axis=0
         )
 
     # ---- precomputation (hyperbolic_system.h:702-737) -------------------
     def precompute(self, U, initial_precomputed, cycle: int = 0):
         del initial_precomputed, cycle
         return jnp.stack(
-            [self.specific_entropy(U), self.harten_entropy(U)], axis=-1
+            [self.specific_entropy(U), self.harten_entropy(U)], axis=0
         )
 
     # ---- fluxes (hyperbolic_system.h:1162-1216) -------------------------
     def f(self, U):
-        """Flux tensor [..., C, dim]."""
+        """Flux tensor [C, dim, ...batch]."""
+        d = self.dim
         rho_inv = 1.0 / self.density(U)
-        m = self.momentum(U)
+        m = self.momentum(U)  # [dim, ...]
         p = self.pressure(U)
         E = self.total_energy(U)
-        v = m * rho_inv[..., None]
-        mom_flux = m[..., :, None] * v[..., None, :]  # [..., dim, dim]
-        eye = jnp.eye(self.dim, dtype=U.dtype)
-        mom_flux = mom_flux + p[..., None, None] * eye
+        v = m * rho_inv[None]
+        mom_flux = m[:, None] * v[None, :]  # [dim, dim, ...]
+        eye = jnp.eye(d, dtype=U.dtype).reshape((d, d) + (1,) * (U.ndim - 1))
+        mom_flux = mom_flux + p * eye
         return jnp.concatenate(
             [
-                m[..., None, :],
+                m[None],
                 mom_flux,
-                (v * (E + p)[..., None])[..., None, :],
+                (v * (E + p)[None])[None],
             ],
-            axis=-2,
+            axis=0,
         )
 
     def flux_contribution(self, precomputed, initial_precomputed, U):
@@ -224,8 +222,11 @@ class Euler:
         return self.f(U)
 
     def flux_divergence(self, flux_i, flux_j, c_ij):
-        """-(f_i + f_j) . c_ij  (hyperbolic_system.h:1208-1216)."""
-        return -jnp.einsum("...cd,...d->...c", flux_i + flux_j, c_ij)
+        """-(f_i + f_j) . c_ij  (hyperbolic_system.h:1208-1216).
+
+        flux_* [C, dim, ...], c_ij [dim, ...] -> [C, ...].
+        """
+        return -jnp.sum((flux_i + flux_j) * c_ij[None], axis=1)
 
     # ---- Riemann solver (riemann_solver.template.h) ---------------------
     def riemann_data(self, U, n):
@@ -233,9 +234,9 @@ class Euler:
         rho = self.density(U)
         rho_inv = 1.0 / rho
         m = self.momentum(U)
-        proj_m = jnp.sum(n * m, -1)
-        perp = m - proj_m[..., None] * n
-        E = self.total_energy(U) - 0.5 * jnp.sum(perp * perp, -1) * rho_inv
+        proj_m = jnp.sum(n * m, 0)
+        perp = m - proj_m[None] * n
+        E = self.total_energy(U) - 0.5 * jnp.sum(perp * perp, 0) * rho_inv
         g = self.params.gamma
         rho_e = E - 0.5 * proj_m * proj_m * rho_inv
         p = (g - 1.0) * rho_e
@@ -367,38 +368,34 @@ class Euler:
     ):
         """Entropy viscosity commutator over the stencil.
 
-        Shapes: U_i [n, C], U_j [n, K, C], c_ij [n, K, dim], mask [n, K],
+        Shapes: U_i [C, n], U_j [C, K, n], c_ij [dim, K, n], mask [K, n],
         prec_* carry (s, eta).  Returns alpha [n].
         """
-        eta_i = prec_i[..., 1]
+        eta_i = prec_i[1]
         rho_i = self.density(U_i)
         rho_i_inv = 1.0 / rho_i
         d_eta_i = self.harten_entropy_derivative(U_i)
-        d_eta_i = d_eta_i.at[..., 0].add(-eta_i * rho_i_inv)
-        f_i = self.f(U_i)
+        d_eta_i = d_eta_i.at[0].add(-eta_i * rho_i_inv)
+        f_i = self.f(U_i)  # [C, dim, n]
 
-        eta_j = prec_j[..., 1]
+        eta_j = prec_j[1]
         rho_j = self.density(U_j)
-        m_j = self.momentum(U_j)
-        f_j = self.f(U_j)
+        m_j = self.momentum(U_j)  # [dim, K, n]
+        f_j = self.f(U_j)  # [C, dim, K, n]
 
-        entropy_flux = (eta_j / rho_j - (eta_i * rho_i_inv)[..., None]) * jnp.einsum(
-            "nkd,nkd->nk", m_j, c_ij
-        )
-        left = jnp.sum(entropy_flux * mask, axis=-1)
+        entropy_flux = (
+            eta_j / rho_j - (eta_i * rho_i_inv)[None]
+        ) * jnp.sum(m_j * c_ij, axis=0)
+        left = jnp.sum(entropy_flux * mask, axis=0)  # [n]
 
-        components = jnp.einsum(
-            "nkcd,nkd->nkc", f_j - f_i[..., None, :, :], c_ij
-        )
-        right = jnp.sum(components * mask[..., None], axis=-2)  # [n, C]
+        components = jnp.sum(
+            (f_j - f_i[:, :, None]) * c_ij[None], axis=1
+        )  # [C, K, n]
+        right = jnp.sum(components * mask[None], axis=1)  # [C, n]
 
-        numerator = left - jnp.sum(d_eta_i * right, axis=-1)
-        denominator = jnp.abs(left) + jnp.sum(
-            jnp.abs(d_eta_i * right), axis=-1
-        )
-        quotient = jnp.abs(numerator) / (
-            denominator + hd_i * jnp.abs(eta_i)
-        )
+        numerator = left - jnp.sum(d_eta_i * right, axis=0)
+        denominator = jnp.abs(left) + jnp.sum(jnp.abs(d_eta_i * right), axis=0)
+        quotient = jnp.abs(numerator) / (denominator + hd_i * jnp.abs(eta_i))
         return jnp.minimum(1.0, evc_factor * quotient)
 
     # ---- limiter --------------------------------------------------------
@@ -415,48 +412,42 @@ class Euler:
     ):
         """Accumulate + relax bounds (euler/limiter.h:255-363).
 
-        Includes the diagonal (j = i) contributions analytically: the
-        reference's stencil loop runs over the full row including the
-        diagonal entry (hyperbolic_module.template.h:722-795), for which
-        rho_bar = rho_i, s_interp = s_i, and relaxation terms (rho_i + rho_i).
+        Returns [3, n] = (rho_min, rho_max, s_min).  Includes the diagonal
+        (j = i) contributions analytically: the reference's stencil loop
+        runs over the full row including the diagonal entry
+        (hyperbolic_module.template.h:722-795).
         """
         dtype = U_i.dtype
         rho_i = self.density(U_i)
-        m_i = self.momentum(U_i)
-        rho_j = self.density(U_j)
-        m_j = self.momentum(U_j)
+        m_i = self.momentum(U_i)  # [dim, n]
+        rho_j = self.density(U_j)  # [K, n]
+        m_j = self.momentum(U_j)  # [dim, K, n]
 
         rho_ij_bar = 0.5 * (
-            rho_i[..., None]
+            rho_i[None]
             + rho_j
-            + jnp.einsum("nkd,nkd->nk", m_i[..., None, :] - m_j, scaled_c_ij)
+            + jnp.sum((m_i[:, None] - m_j) * scaled_c_ij, axis=0)
         )
         big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-        rho_min = jnp.min(
-            jnp.where(mask > 0, rho_ij_bar, big), axis=-1
-        )
-        rho_max = jnp.max(jnp.where(mask > 0, rho_ij_bar, -big), axis=-1)
+        rho_min = jnp.min(jnp.where(mask > 0, rho_ij_bar, big), axis=0)
+        rho_max = jnp.max(jnp.where(mask > 0, rho_ij_bar, -big), axis=0)
         rho_min = jnp.minimum(rho_min, rho_i)  # diagonal entry
         rho_max = jnp.maximum(rho_max, rho_i)
 
-        s_j = prec_j[..., 0]
-        s_min = jnp.min(jnp.where(mask > 0, s_j, big), axis=-1)
-        s_i = prec_i[..., 0]
+        s_j = prec_j[0]
+        s_min = jnp.min(jnp.where(mask > 0, s_j, big), axis=0)
+        s_i = prec_i[0]
         s_min = jnp.minimum(s_min, s_i)
 
         # relaxation accumulation (beta_ij = 1), incl. diagonal:
-        k_count = jnp.sum(mask, axis=-1)
-        rho_relax_num = jnp.sum(
-            (rho_i[..., None] + rho_j) * mask, axis=-1
-        ) + 2.0 * rho_i
+        k_count = jnp.sum(mask, axis=0)
+        rho_relax_num = (
+            jnp.sum((rho_i[None] + rho_j) * mask, axis=0) + 2.0 * rho_i
+        )
         rho_relax_den = k_count + 1.0
 
-        s_interp = self.specific_entropy(
-            0.5 * (U_i[..., None, :] + U_j)
-        )
-        s_interp_max = jnp.max(
-            jnp.where(mask > 0, s_interp, -big), axis=-1
-        )
+        s_interp = self.specific_entropy(0.5 * (U_i[:, None] + U_j))
+        s_interp_max = jnp.max(jnp.where(mask > 0, s_interp, -big), axis=0)
         s_interp_max = jnp.maximum(s_interp_max, s_i)
 
         # relaxation (limiter.h:330-363)
@@ -477,7 +468,7 @@ class Euler:
         entropy_relaxation = relaxation_factor * (s_interp_max - s_min)
         s_min = jnp.maximum((1.0 - r_i) * s_min, s_min - entropy_relaxation)
 
-        return jnp.stack([rho_min, rho_max, s_min], axis=-1)
+        return jnp.stack([rho_min, rho_max, s_min], axis=0)
 
     def limiter_limit(
         self,
@@ -491,7 +482,7 @@ class Euler:
     ):
         """Convex limiter (euler/limiter.template.h:15-327).
 
-        bounds [..., 3], U [..., C], P [..., C].  Returns (l, success).
+        bounds [3, ...], U [C, ...], P [C, ...].  Returns (l, success).
         """
         dtype = U.dtype
         g = self.params.gamma
@@ -500,9 +491,9 @@ class Euler:
         relax_small = 1.0 + self.params.vacuum_state_relaxation_small * eps
         relax = 1.0 + self.params.vacuum_state_relaxation_large * eps
 
-        rho_min = bounds[..., 0]
-        rho_max = bounds[..., 1]
-        s_min = bounds[..., 2]
+        rho_min = bounds[0]
+        rho_max = bounds[1]
+        s_min = bounds[2]
 
         rho_U = self.density(U)
         rho_P = self.density(P)
@@ -512,7 +503,8 @@ class Euler:
         test_max = self.filter_vacuum_density(_pos(rho_min - relax * rho_U))
         success = (test_min == 0.0) & (test_max == 0.0)
 
-        t_r = jnp.full_like(rho_U, t_max)
+        t_r = jnp.full(jnp.broadcast_shapes(rho_U.shape, rho_P.shape),
+                       t_max, dtype)
         denominator = 1.0 / (jnp.abs(rho_P) + eps * rho_max)
         t_r = jnp.where(
             rho_max < rho_U + t_r * rho_P, (rho_max - rho_U) * denominator, t_r
@@ -523,10 +515,10 @@ class Euler:
         t_r = jnp.clip(t_r, t_min, t_max)
 
         # -- specific entropy limiting via quadratic Newton (:143-291)
-        t_l = jnp.full_like(rho_U, t_min)
+        t_l = jnp.full_like(t_r, t_min)
 
         def psi_of(t):
-            U_t = U + t[..., None] * P
+            U_t = U + t[None] * P
             rho = self.density(U_t)
             rho_gamma = jnp.power(rho, g)
             rho_e = self.internal_energy(U_t)
@@ -546,8 +538,12 @@ class Euler:
                 success = success & (psi_l - lower_bound >= 0.0)
 
             drho = rho_P
-            drho_e_l = jnp.sum(self.internal_energy_derivative(U + t_l[..., None] * P) * P, -1)
-            drho_e_r = jnp.sum(self.internal_energy_derivative(U + t_r[..., None] * P) * P, -1)
+            drho_e_l = jnp.sum(
+                self.internal_energy_derivative(U + t_l[None] * P) * P, 0
+            )
+            drho_e_r = jnp.sum(
+                self.internal_energy_derivative(U + t_r[None] * P) * P, 0
+            )
             dpsi_l = rho_l * drho_e_l + (rho_e_l - gp1 * s_min * rho_l_gamma) * drho
             dpsi_r = rho_r * drho_e_r + (rho_e_r - gp1 * s_min * rho_r_gamma) * drho
 
@@ -563,36 +559,37 @@ class Euler:
     def combine_bounds(self, a, b):
         return jnp.stack(
             [
-                jnp.minimum(a[..., 0], b[..., 0]),
-                jnp.maximum(a[..., 1], b[..., 1]),
-                jnp.minimum(a[..., 2], b[..., 2]),
+                jnp.minimum(a[0], b[0]),
+                jnp.maximum(a[1], b[1]),
+                jnp.minimum(a[2], b[2]),
             ],
-            axis=-1,
+            axis=0,
         )
 
     # ---- boundary conditions (hyperbolic_system.h:1096-1159) -------------
     def apply_boundary_conditions(self, bc_id: int, U, normal, dirichlet_data):
-        """Vectorized over a group of boundary nodes sharing one bc id."""
+        """Vectorized over a group of boundary nodes sharing one bc id.
+
+        U [C, k], normal [dim, k].
+        """
         if bc_id == Boundary.do_nothing:
             return U
         if bc_id == Boundary.dirichlet:
             return dirichlet_data
         if bc_id == Boundary.slip:
             m = self.momentum(U)
-            m = m - jnp.sum(m * normal, -1, keepdims=True) * normal
-            return jnp.concatenate(
-                [U[..., :1], m, U[..., 1 + self.dim :]], axis=-1
-            )
+            m = m - jnp.sum(m * normal, 0, keepdims=True) * normal
+            return jnp.concatenate([U[:1], m, U[1 + self.dim :]], axis=0)
         if bc_id == Boundary.no_slip:
             return jnp.concatenate(
-                [U[..., :1], jnp.zeros_like(self.momentum(U)), U[..., 1 + self.dim :]],
-                axis=-1,
+                [U[:1], jnp.zeros_like(self.momentum(U)), U[1 + self.dim :]],
+                axis=0,
             )
         if bc_id == Boundary.dynamic:
             m = self.momentum(U)
             rho = self.density(U)
             a = self.speed_of_sound(U)
-            vn = jnp.sum(m * normal, -1) / rho
+            vn = jnp.sum(m * normal, 0) / rho
             U_d = dirichlet_data
             sup_in = vn < -a
             sub_in = (vn >= -a) & (vn <= 0.0)
@@ -604,15 +601,13 @@ class Euler:
                 U, U_d, normal, component=1
             )
             result = U
-            result = jnp.where(sub_out[..., None], r_sub_out, result)
-            result = jnp.where(sub_in[..., None], r_sub_in, result)
-            result = jnp.where(sup_in[..., None], U_d, result)
+            result = jnp.where(sub_out[None], r_sub_out, result)
+            result = jnp.where(sub_in[None], r_sub_in, result)
+            result = jnp.where(sup_in[None], U_d, result)
             return result
         if bc_id == Boundary.dirichlet_momentum:
             m_d = self.momentum(dirichlet_data)
-            return jnp.concatenate(
-                [U[..., :1], m_d, U[..., 1 + self.dim :]], axis=-1
-            )
+            return jnp.concatenate([U[:1], m_d, U[1 + self.dim :]], axis=0)
         raise ValueError(f"unknown boundary id {bc_id}")
 
     def prescribe_riemann_characteristic(self, U, U_bar, normal, component: int):
@@ -621,12 +616,12 @@ class Euler:
         m = self.momentum(U)
         rho = self.density(U)
         a = self.speed_of_sound(U)
-        vn = jnp.sum(m * normal, -1) / rho
+        vn = jnp.sum(m * normal, 0) / rho
 
         m_bar = self.momentum(U_bar)
         rho_bar = self.density(U_bar)
         a_bar = self.speed_of_sound(U_bar)
-        vn_bar = jnp.sum(m_bar * normal, -1) / rho_bar
+        vn_bar = jnp.sum(m_bar * normal, 0) / rho_bar
 
         R_1 = (
             vn_bar - 2.0 * a_bar / (g - 1.0)
@@ -642,22 +637,18 @@ class Euler:
         p = self.pressure(U)
         s = p / jnp.power(rho, g)
 
-        vperp = m / rho[..., None] - vn[..., None] * normal
+        vperp = m / rho[None] - vn[None] * normal
         vn_new = 0.5 * (R_1 + R_2)
 
-        rho_new = (
-            1.0 / (g * s) * jnp.square((g - 1.0) / 4.0 * (R_2 - R_1))
-        )
+        rho_new = 1.0 / (g * s) * jnp.square((g - 1.0) / 4.0 * (R_2 - R_1))
         rho_new = jnp.power(rho_new, 1.0 / (g - 1.0))
         p_new = s * jnp.power(rho_new, g)
 
-        mom_new = rho_new[..., None] * (vn_new[..., None] * normal + vperp)
+        mom_new = rho_new[None] * (vn_new[None] * normal + vperp)
         E_new = p_new / (g - 1.0) + 0.5 * rho_new * (
-            vn_new * vn_new + jnp.sum(vperp * vperp, -1)
+            vn_new * vn_new + jnp.sum(vperp * vperp, 0)
         )
-        return jnp.concatenate(
-            [rho_new[..., None], mom_new, E_new[..., None]], axis=-1
-        )
+        return jnp.concatenate([rho_new[None], mom_new, E_new[None]], axis=0)
 
 
 def quadratic_newton_step(p_1, p_2, phi_p_1, phi_p_2, dphi_p_1, dphi_p_2, sign=1.0):

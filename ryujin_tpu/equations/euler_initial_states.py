@@ -2,7 +2,8 @@
 
 Re-implements the reference initial states
 (/root/reference/source/euler/initial_state_library_euler.h:42-57) as
-jit-traceable functions `(points [..., dim], t) -> states [..., C]`:
+jit-traceable functions `(points [dim, ...], t) -> states [C, ...]`
+(component-first layout, see equations/euler.py):
 
   uniform, isentropic vortex, contrast, shock front, rarefaction, leblanc,
   smooth wave, ramp up, function (callable)
@@ -30,57 +31,53 @@ def galilei_wrap(state_fn, direction, position, dim):
     position = np.asarray(position, dtype=np.float64)
 
     def transform_point(x):
-        d = x - position
+        # x [dim, ...]
+        d = x - position.reshape((dim,) + (1,) * (x.ndim - 1))
         if dim == 3:
             n_x, n_z = direction[0], direction[2]
             norm = math.sqrt(n_x * n_x + n_z * n_z)
             if norm > 1e-14:
                 nx, nz = n_x / norm, n_z / norm
-                d0 = nx * d[..., 0] + nz * d[..., 2]
-                d2 = -nz * d[..., 0] + nx * d[..., 2]
-                d = jnp.stack([d0, d[..., 1], d2], axis=-1)
+                d0 = nx * d[0] + nz * d[2]
+                d2 = -nz * d[0] + nx * d[2]
+                d = jnp.stack([d0, d[1], d2], axis=0)
         if dim >= 2:
             n_x, n_y = direction[0], direction[1]
             norm = math.sqrt(n_x * n_x + n_y * n_y)
             if norm > 1e-14:
                 nx, ny = n_x / norm, n_y / norm
-                d0 = nx * d[..., 0] + ny * d[..., 1]
-                d1 = -ny * d[..., 0] + nx * d[..., 1]
-                rest = [d[..., 2:]] if dim == 3 else []
-                d = jnp.concatenate(
-                    [d0[..., None], d1[..., None]] + rest, axis=-1
-                )
+                d0 = nx * d[0] + ny * d[1]
+                d1 = -ny * d[0] + nx * d[1]
+                rows = [d0, d1] + ([d[2]] if dim == 3 else [])
+                d = jnp.stack(rows, axis=0)
         return d
 
     def transform_momentum(mv):
+        # mv [dim, ...]
         if dim >= 2:
             n_x, n_y = direction[0], direction[1]
             norm = math.sqrt(n_x * n_x + n_y * n_y)
             if norm > 1e-14:
                 nx, ny = n_x / norm, n_y / norm
-                m0 = nx * mv[..., 0] - ny * mv[..., 1]
-                m1 = ny * mv[..., 0] + nx * mv[..., 1]
-                rest = [mv[..., 2:]] if dim == 3 else []
-                mv = jnp.concatenate(
-                    [m0[..., None], m1[..., None]] + rest, axis=-1
-                )
+                m0 = nx * mv[0] - ny * mv[1]
+                m1 = ny * mv[0] + nx * mv[1]
+                rows = [m0, m1] + ([mv[2]] if dim == 3 else [])
+                mv = jnp.stack(rows, axis=0)
         if dim == 3:
             n_x, n_z = direction[0], direction[2]
             norm = math.sqrt(n_x * n_x + n_z * n_z)
             if norm > 1e-14:
                 nx, nz = n_x / norm, n_z / norm
-                m0 = nx * mv[..., 0] - nz * mv[..., 2]
-                m2 = nz * mv[..., 0] + nx * mv[..., 2]
-                mv = jnp.stack([m0, mv[..., 1], m2], axis=-1)
+                m0 = nx * mv[0] - nz * mv[2]
+                m2 = nz * mv[0] + nx * mv[2]
+                mv = jnp.stack([m0, mv[1], m2], axis=0)
         return mv
 
     def wrapped(points, t):
         p = transform_point(points)
         state = state_fn(p, t)
-        m = transform_momentum(state[..., 1 : 1 + dim])
-        return jnp.concatenate(
-            [state[..., :1], m, state[..., 1 + dim :]], axis=-1
-        )
+        m = transform_momentum(state[1 : 1 + dim])
+        return jnp.concatenate([state[:1], m, state[1 + dim :]], axis=0)
 
     return wrapped
 
@@ -91,8 +88,8 @@ def isentropic_vortex(eq, mach_number=2.0, beta=5.0):
     dim = eq.dim
 
     def fn(points, t):
-        x = points[..., 0] - mach_number * t
-        y = points[..., 1] if dim >= 2 else jnp.zeros_like(x)
+        x = points[0] - mach_number * t
+        y = points[1] if dim >= 2 else jnp.zeros_like(x)
         r_sq = x * x + y * y
         factor = beta / (2.0 * jnp.pi) * jnp.exp(0.5 - 0.5 * r_sq)
         T = 1.0 - (gamma - 1.0) / (2.0 * gamma) * factor * factor
@@ -102,10 +99,10 @@ def isentropic_vortex(eq, mach_number=2.0, beta=5.0):
         p = jnp.power(rho, gamma)
         E = p / (gamma - 1.0) + 0.5 * rho * (u * u + v * v)
         if dim == 2:
-            return jnp.stack([rho, rho * u, rho * v, E], axis=-1)
+            return jnp.stack([rho, rho * u, rho * v, E], axis=0)
         elif dim == 3:
             return jnp.stack(
-                [rho, rho * u, rho * v, jnp.zeros_like(rho), E], axis=-1
+                [rho, rho * u, rho * v, jnp.zeros_like(rho), E], axis=0
             )
         raise ValueError("isentropic vortex requires dim >= 2")
 
@@ -118,7 +115,7 @@ def uniform(eq, primitive_state: Sequence[float] = (1.4, 3.0, 1.0)):
     dim = eq.dim
 
     def fn(points, t):
-        shape = points.shape[:-1]
+        shape = points.shape[1:]
         rho = jnp.full(shape, prim[0], dtype=points.dtype)
         # expand 1d primitive (rho, u, p) to dim velocity components:
         if len(prim) == 3:
@@ -132,7 +129,7 @@ def uniform(eq, primitive_state: Sequence[float] = (1.4, 3.0, 1.0)):
                 for d in range(dim)
             ]
             p = jnp.full(shape, prim[1 + dim], dtype=points.dtype)
-        prim_state = jnp.stack([rho] + vel + [p], axis=-1)
+        prim_state = jnp.stack([rho] + vel + [p], axis=0)
         return eq.from_primitive_state(prim_state)
 
     return fn
@@ -144,7 +141,7 @@ def contrast(eq, primitive_left=(1.4, 0.0, 1.0), primitive_right=(1.4, 0.0, 1.0)
     R = uniform(eq, primitive_right)
 
     def fn(points, t):
-        sel = (points[..., 0] > 0.0)[..., None]
+        sel = (points[0] > 0.0)[None]
         return jnp.where(sel, R(points, t), L(points, t))
 
     return fn
@@ -173,32 +170,22 @@ def shock_front(eq, mach_number=2.0, primitive_right=(1.4, 0.0, 1.0)):
     R = uniform(eq, (rho_R, u_R, p_R))
 
     def fn(points, t):
-        pos = points[..., 0] - S3 * t
-        sel = (pos > 0.0)[..., None]
+        pos = points[0] - S3 * t
+        sel = (pos > 0.0)[None]
         return jnp.where(sel, R(points, t), L(points, t))
 
     return fn
 
 
 def leblanc(eq):
-    """LeBlanc shock tube analytic solution (initial_state_leblanc.h).
-
-    Exact solution of the Riemann problem with left state
-    (rho, u, p) = (1, 0, (2/3)*1e-1 * ... ) per the reference setup:
-    left (1, 0, 1/15 * 1e-0?)  -- we follow the reference constants:
-    rho_L=1, p_L=(2/3)*1e-1; rho_R=1e-3, p_R=(2/3)*1e-10, gamma=5/3.
-    """
+    """LeBlanc shock tube analytic solution (initial_state_leblanc.h)."""
     gamma = 5.0 / 3.0
 
     def fn(points, t):
-        x = points[..., 0]
-        # exact rarefaction-contact-shock solution evaluated at (x, t)
-        # states:
+        x = points[0]
         rho_L, p_L = 1.0, (2.0 / 3.0) * 1.0e-1
         rho_R, p_R = 1.0e-3, (2.0 / 3.0) * 1.0e-10
         a_L = jnp.sqrt(gamma * p_L / rho_L)
-        # Known solution values for the LeBlanc problem (cf. reference
-        # initial_state_leblanc.h): contact speed and shock speed
         u_star = 0.621838
         p_star = 0.515577e-3
         rho_star_L = 5.40793353493162e-2
@@ -206,11 +193,8 @@ def leblanc(eq):
         S_shock = 0.829867
 
         xt = jnp.where(t > 0, x / jnp.maximum(t, 1e-300), jnp.sign(x) * 1e10)
-        a_star_L = a_L + 0.5 * (gamma - 1.0) * (0.0 - u_star) * (-1.0)
         a_star_L = a_L - 0.5 * (gamma - 1.0) * u_star
-        # regions: x/t < -a_L : left state
-        # -a_L < x/t < u_star - a_star_L : rarefaction fan
-        # < u_star: star left; < S_shock: star right; else right state
+
         def fan(xt):
             u = 2.0 / (gamma + 1.0) * (a_L + xt)
             a = a_L - 0.5 * (gamma - 1.0) * u
@@ -251,11 +235,9 @@ def leblanc(eq):
             ),
         )
         zeros = [jnp.zeros_like(rho) for _ in range(eq.dim - 1)]
-        prim = jnp.stack([rho, u] + zeros + [p], axis=-1)
         g = eq.params.gamma
-        E = prim[..., -1] / (g - 1.0) + 0.5 * rho * u * u
-        mom = [rho * u] + zeros
-        return jnp.stack([rho] + mom + [E], axis=-1)
+        E = p / (g - 1.0) + 0.5 * rho * u * u
+        return jnp.stack([rho, rho * u] + zeros + [E], axis=0)
 
     return fn
 
@@ -264,7 +246,7 @@ def smooth_wave(eq, rho_ref=1.0, p_ref=1.0, mach=1.0, x0=0.1, x1=0.3):
     """Smooth traveling density wave (initial_state_smooth_wave.h)."""
 
     def fn(points, t):
-        x = points[..., 0] - mach * t
+        x = points[0] - mach * t
         inside = (x > x0) & (x < x1)
         z = jnp.where(inside, (x - x0) * (x1 - x), 0.0)
         bump = 64.0**2 * z**3 / (x1 - x0) ** 6
@@ -272,7 +254,7 @@ def smooth_wave(eq, rho_ref=1.0, p_ref=1.0, mach=1.0, x0=0.1, x1=0.3):
         u = jnp.full_like(rho, mach)
         p = jnp.full_like(rho, p_ref)
         zeros = [jnp.zeros_like(rho) for _ in range(eq.dim - 1)]
-        prim = jnp.stack([rho, u] + zeros + [p], axis=-1)
+        prim = jnp.stack([rho, u] + zeros + [p], axis=0)
         return eq.from_primitive_state(prim)
 
     return fn

@@ -54,24 +54,24 @@ def compute_error(
     if components is None:
         components = names
 
-    U = np.asarray(U)
+    U = np.asarray(U)  # [C, n_pad] (component-first layout)
     analytic = np.asarray(
-        initial_state_fn(jnp.asarray(mesh.vertices, dtype=U.dtype), t)
-    )  # [n_raw, C]
+        initial_state_fn(jnp.asarray(mesh.vertices.T, dtype=U.dtype), t)
+    )  # [C, n_raw]
 
     # nodal numerical values at mesh vertices (constrained vertices read
     # from their master, matching affine_constraints().distribute()):
-    U_vertices = U[ell.vertex_to_node]
+    U_vertices = U[:, ell.vertex_to_node]
 
     linf = l1 = l2 = 0.0
     for name in components:
         idx = names.index(name)
-        err = U_vertices[:, idx] - analytic[:, idx]
+        err = U_vertices[idx] - analytic[idx]
         linf_e = float(np.max(np.abs(err)))
         l1_e = _cell_norms(mesh, err, "L1")
         l2_e = _cell_norms(mesh, err, "L2")
         if normalize:
-            a = analytic[:, idx]
+            a = analytic[idx]
             linf_a = float(np.max(np.abs(a)))
             l1_a = _cell_norms(mesh, a, "L1")
             l2_a = _cell_norms(mesh, a, "L2")
@@ -94,9 +94,9 @@ def interpolate_nodal(initial_state_fn, ell: EllData, eq, t, dtype):
     """
     import jax.numpy as jnp
 
-    pos = jnp.asarray(ell.positions, dtype=dtype)
-    U = initial_state_fn(pos, t)
-    safe = jnp.zeros((eq.n_comp,), dtype=dtype)
-    safe = safe.at[0].set(1.0).at[-1].set(1.0)
-    mask = jnp.asarray(ell.node_mask, dtype=dtype)[:, None]
+    pos = jnp.asarray(ell.positions.T, dtype=dtype)  # [dim, n_pad]
+    U = initial_state_fn(pos, t)  # [C, n_pad]
+    safe = jnp.zeros((eq.n_comp, 1), dtype=dtype)
+    safe = safe.at[0, 0].set(1.0).at[-1, 0].set(1.0)
+    mask = jnp.asarray(ell.node_mask, dtype=dtype)[None]
     return jnp.where(mask > 0, U, safe)
