@@ -37,6 +37,17 @@ class EllData:
     mij: np.ndarray  # [n_pad, K]
     mask: np.ndarray  # [n_pad, K] float64 (1 real edge, 0 padding)
     trans: np.ndarray  # [n_pad, K] int32 flattened transposed-edge index
+
+    @property
+    def cij_t(self) -> np.ndarray:
+        """Transposed-edge coefficients: cij_t[i, k] = cij at the (j->i) edge.
+
+        Static data enabling local evaluation of d_ji = |c_ji| lambda(U_j,
+        U_i, n_ji) without a runtime transposed gather (the analog of
+        get_transposed_tensor, sparse_matrix_simd.h:651).
+        """
+        n, K, dim = self.cij.shape
+        return self.cij.reshape(n * K, dim)[self.trans]
     cii: np.ndarray  # [n_pad, dim]
     lumped_mass: np.ndarray  # [n_pad]
     n_nbrs: np.ndarray  # [n_pad] float (row_length - 1, >= 1)

@@ -53,6 +53,19 @@ class StructuredData:
     cij: np.ndarray  # [n_pad, K, dim]
     mij: np.ndarray  # [n_pad, K]
     mask: np.ndarray  # [n_pad, K]
+
+    @property
+    def cij_t(self) -> np.ndarray:
+        """Transposed-edge coefficients via canvas shifts (see EllData.cij_t)."""
+        K = self.max_degree
+        c = self.cij.reshape(self.shape + (K, self.dim))
+        out = np.empty_like(c)
+        axes = tuple(range(len(self.shape)))
+        for k, off in enumerate(self.offsets):
+            out[..., k, :] = np.roll(
+                c[..., K - 1 - k, :], tuple(-o for o in off), axis=axes
+            )
+        return out.reshape(self.cij.shape)
     cii: np.ndarray  # [n_pad, dim]
     lumped_mass: np.ndarray  # [n_pad]
     n_nbrs: np.ndarray  # [n_pad]

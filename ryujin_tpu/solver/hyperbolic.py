@@ -60,6 +60,7 @@ class Stencil:
 
     cols: jax.Array  # [K, n] int32
     cij: jax.Array  # [dim, K, n]
+    cij_t: jax.Array  # [dim, K, n] transposed-edge coefficients (static)
     mij: jax.Array  # [K, n]
     mask: jax.Array  # [K, n]
     trans: jax.Array  # [K, n] int32 (flattened over [K, n])
@@ -103,6 +104,7 @@ def _stencil_from_ell(ell: EllData, dtype=jnp.float64) -> Stencil:
     return Stencil(
         cols=jnp.asarray(ell.cols.T.astype(np.int32)),
         cij=_f(_edge_vec(ell.cij), dtype),
+        cij_t=_f(_edge_vec(ell.cij_t), dtype),
         mij=_f(ell.mij.T, dtype),
         mask=_f(ell.mask.T, dtype),
         trans=jnp.asarray(trans.astype(np.int32)),
@@ -119,7 +121,7 @@ def _stencil_from_ell(ell: EllData, dtype=jnp.float64) -> Stencil:
     jax.tree_util.register_dataclass,
     meta_fields=("shape", "offsets"),
     data_fields=(
-        "cij", "mij", "mask", "cii", "m_lumped", "m_lumped_inv",
+        "cij", "cij_t", "mij", "mask", "cii", "m_lumped", "m_lumped_inv",
         "n_nbrs", "node_mask", "measure_inv",
     ),
 )
@@ -139,6 +141,7 @@ class StructuredStencil:
     offsets: Tuple[Tuple[int, ...], ...]
 
     cij: jax.Array  # [dim, K, n]
+    cij_t: jax.Array  # [dim, K, n] transposed-edge coefficients (static)
     mij: jax.Array  # [K, n]
     mask: jax.Array  # [K, n]
     cii: jax.Array  # [dim, n]
@@ -188,6 +191,7 @@ class StructuredStencil:
             shape=tuple(sd.shape),
             offsets=tuple(map(tuple, sd.offsets)),
             cij=_f(_edge_vec(sd.cij), dtype),
+            cij_t=_f(_edge_vec(sd.cij_t), dtype),
             mij=_f(sd.mij.T, dtype),
             mask=_f(sd.mask.T, dtype),
             cii=_f(sd.cii.T, dtype),
@@ -197,6 +201,220 @@ class StructuredStencil:
             node_mask=_f(sd.node_mask, dtype),
             measure_inv=_f(1.0 / sd.measure_of_omega, dtype),
         )
+
+
+
+# ---------------------------------------------------------------------------
+# Phase functions: the IDP substep split at its global synchronisation
+# points (tau reduction, F/l halo exchanges).  Each phase is pure math over
+# node-last arrays; all neighbor-gathered inputs are passed in explicitly so
+# the same code runs (a) full-canvas under XLA and (b) per-tile inside the
+# fused Pallas kernels (solver/pallas_step.py), where the caller slices
+# halo'd VMEM windows instead of calling st.nbr.
+# ---------------------------------------------------------------------------
+
+
+def phase_d_alpha(eq, p, sa, U, prec, U_j, prec_j):
+    """Step 2: graph viscosity d_ij and EVC indicator alpha_i.
+
+    The reference computes the upper triangle and symmetrizes via a
+    transposed exchange (hyperbolic_module.template.h:432-490); here both
+    edge directions are evaluated locally using the statically precomputed
+    transposed coefficients c_ji (sa.cij_t), which is numerically identical
+    and removes the communication/synchronisation point.
+
+    Returns (d [K, n], alpha [n]).
+    """
+    dtype = U.dtype
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+
+    norm = jnp.sqrt(jnp.sum(sa.cij * sa.cij, axis=0))  # [K, n]
+    norm_t = jnp.sqrt(jnp.sum(sa.cij_t * sa.cij_t, axis=0))
+    n_ij = sa.cij / jnp.maximum(norm, tiny)[None]
+    n_ji = sa.cij_t / jnp.maximum(norm_t, tiny)[None]
+
+    U_i = U[:, None]
+    lam_f = eq.riemann_lambda_max(
+        U_i, U_j, n_ij,
+        newton_iterations=p.riemann_newton_max_iterations,
+        newton_tol=p.riemann_newton_tolerance,
+    )
+    lam_b = eq.riemann_lambda_max(
+        U_j, U_i, n_ji,
+        newton_iterations=p.riemann_newton_max_iterations,
+        newton_tol=p.riemann_newton_tolerance,
+    )
+    d = jnp.maximum(norm * lam_f, norm_t * lam_b) * sa.mask
+
+    hd_i = sa.m_lumped * sa.measure_inv
+    alpha = eq.indicator_alpha(
+        U, prec, U_j, prec_j, sa.cij, sa.mask, hd_i,
+        evc_factor=p.evc_factor,
+    )
+    return d, alpha
+
+
+def tau_max_from_d(sa, d, cfl, tau_cap):
+    """Step 3: tau_max = min_i cfl m_i / (-2 d_ii)  (reference :494-564)."""
+    dtype = d.dtype
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+    d_sum = -jnp.sum(d, axis=0)
+    d_sum = jnp.minimum(d_sum, -1.0e6 * tiny)  # (reference :545-546)
+    tau_i = cfl * sa.m_lumped / (-2.0 * d_sum)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    tau_max = jnp.min(jnp.where(sa.node_mask > 0, tau_i, big))
+    return jnp.minimum(tau_max, tau_cap)
+
+
+def _high_order_fluxes(eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j):
+    flux_i = eq.flux_contribution(prec, init_prec, U)
+    # flux is pointwise in (prec, U), so evaluating it on the gathered
+    # neighbor states equals gathering the nodal flux:
+    flux_j = eq.flux_contribution(prec_j, init_prec_j, U_j)
+    flux_ij = eq.flux_divergence(flux_i[:, :, None], flux_j, sa.cij)
+    flux_ii = eq.flux_divergence(flux_i, flux_i, sa.cii)
+    return flux_ij, flux_ii
+
+
+def _stage_flux_sum(eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
+                    stage_weights, init_prec, init_prec_j, want_P):
+    """Accumulated stage contributions (sum_s w_s flux^s) via lax.cond slots."""
+    S = stage_U.shape[0] if stage_U is not None else 0
+    F_acc = None
+    P_acc = None
+    for s in range(S):
+        w_s = stage_weights[s]
+
+        def _compute(_, s=s, w_s=w_s):
+            flux_s_ij, flux_s_ii = _high_order_fluxes(
+                eq, sa, stage_prec[s], init_prec, stage_U[s],
+                stage_U_j[s], stage_prec_j[s], init_prec_j,
+            )
+            F_inc = w_s * (jnp.sum(flux_s_ij * m, axis=1) + flux_s_ii)
+            P_inc = w_s * flux_s_ij if want_P else jnp.zeros((), F_inc.dtype)
+            return F_inc, P_inc
+
+        def _zero(_, s=s):
+            return (
+                jnp.zeros_like(stage_U[s]),
+                jnp.zeros(
+                    stage_U[s].shape[:1] + sa.mask.shape, stage_U.dtype
+                ) if want_P else jnp.zeros((), stage_U.dtype),
+            )
+
+        F_inc, P_inc = jax.lax.cond(w_s != 0.0, _compute, _zero, None)
+        F_acc = F_inc if F_acc is None else F_acc + F_inc
+        if want_P:
+            P_acc = P_inc if P_acc is None else P_acc + P_inc
+    return F_acc, P_acc
+
+
+def phase_low_order(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
+                    stage_U, stage_prec, stage_U_j, stage_prec_j,
+                    stage_weights, init_prec, init_prec_j):
+    """Step 4: low-order update, high-order RHS F_i, limiter bounds.
+
+    Returns (U_low [C, n], F [C, n], bounds [B, n]).
+    """
+    dtype = U.dtype
+    S = stage_U.shape[0] if stage_U is not None else 0
+    weight = 1.0 - (jnp.sum(stage_weights) if S else 0.0)
+
+    d_H = d * (0.5 * (alpha[None] + alpha_j))
+    regularization = jnp.asarray(
+        100.0 * np.finfo(np.dtype(dtype)).tiny, dtype
+    )
+    scaled_c_ij = sa.cij / jnp.maximum(d, regularization)[None]
+
+    flux_ij, flux_ii = _high_order_fluxes(
+        eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j
+    )
+    dU = U_j - U[:, None]
+    m = sa.mask[None]
+
+    U_low = U + (tau * sa.m_lumped_inv)[None] * (
+        jnp.sum((flux_ij + d[None] * dU) * m, axis=1) + flux_ii
+    )
+    F = (
+        jnp.sum((d_H[None] * dU + weight * flux_ij) * m, axis=1)
+        + weight * flux_ii
+    )
+    if S:
+        F_inc, _ = _stage_flux_sum(
+            eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
+            stage_weights, init_prec, init_prec_j, want_P=False,
+        )
+        F = F + F_inc
+
+    hd_i = sa.m_lumped * sa.measure_inv
+    bounds = eq.limiter_bounds(
+        U, prec, U_j, prec_j, scaled_c_ij, sa.mask, hd_i,
+        relaxation_factor=p.limiter_relaxation_factor,
+    )
+    return U_low, F, bounds
+
+
+def phase_p_l1(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
+               F, F_j, m_j, U_low, bounds,
+               stage_U, stage_prec, stage_U_j, stage_prec_j, stage_weights,
+               init_prec, init_prec_j):
+    """Step 5: P_ij with mass-matrix correction + first limiter pass.
+
+    Returns (P [C, K, n], l [K, n], success [K, n]).
+    """
+    S = stage_U.shape[0] if stage_U is not None else 0
+    weight = 1.0 - (jnp.sum(stage_weights) if S else 0.0)
+
+    d_H = d * (0.5 * (alpha[None] + alpha_j))
+    flux_ij, _ = _high_order_fluxes(
+        eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j
+    )
+    dU = U_j - U[:, None]
+
+    P = (weight - 1.0) * flux_ij + (d_H - d)[None] * dU
+    if S:
+        m = sa.mask[None]
+        _, P_inc = _stage_flux_sum(
+            eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
+            stage_weights, init_prec, init_prec_j, want_P=True,
+        )
+        P = P + P_inc
+
+    b_ij = -sa.mij / m_j  # kronecker term vanishes off-diagonal
+    b_ji = -sa.mij * sa.m_lumped_inv[None]
+    P = P + b_ij[None] * F_j - b_ji[None] * F[:, None]
+    P = P * (tau * sa.m_lumped_inv * sa.n_nbrs)[None, None]
+
+    l, success = eq.limiter_limit(
+        bounds[:, None],
+        U_low[:, None],
+        P,
+        newton_iterations=p.limiter_newton_max_iterations,
+        newton_tol=p.limiter_newton_tolerance,
+    )
+    return P, l, success
+
+
+def phase_update(eq, p, sa, U_cur, bounds, P, l, l_T, last: bool):
+    """Steps 6/7: symmetrized limited high-order update.
+
+    l_T is the transposed-edge gather of l (caller-provided).  When not
+    `last`, also returns the next-pass l' = (1 - l_sym) l2 implementing the
+    reference shortcut (hyperbolic_module.template.h:1163-1170).
+    """
+    l_sym = jnp.minimum(l, l_T)
+    lam_i = (1.0 / sa.n_nbrs)[None]
+    U_next = U_cur + lam_i * jnp.sum(l_sym[None] * P * sa.mask[None], axis=1)
+    if last:
+        return U_next, None
+    l2, _ = eq.limiter_limit(
+        bounds[:, None],
+        U_next[:, None],
+        (1.0 - l_sym)[None] * P,
+        newton_iterations=p.limiter_newton_max_iterations,
+        newton_tol=p.limiter_newton_tolerance,
+    )
+    return U_next, (1.0 - l_sym) * l2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -342,150 +560,65 @@ class HyperbolicModule:
         eq = self.eq
         st = stencil if stencil is not None else self.stencil
         p = self.params
-        dtype = self.dtype
-        tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
 
         U_j = st.nbr(U_old)  # [C, K, n]
         prec_j = st.nbr(prec_old)  # [P, K, n]
-        U_i = U_old[:, None]  # [C, 1, n]
-
-        # ---- step 2: d_ij for all directed edges + alpha ----------------
-        norm = jnp.sqrt(jnp.sum(st.cij * st.cij, axis=0))  # [K, n]
-        norm_safe = jnp.maximum(norm, tiny)
-        n_ij = st.cij / norm_safe[None]
-
-        lam = eq.riemann_lambda_max(
-            U_i,
-            U_j,
-            n_ij,
-            newton_iterations=p.riemann_newton_max_iterations,
-            newton_tol=p.riemann_newton_tolerance,
+        init_prec_j = (
+            st.nbr(self.initial_precomputed)
+            if self.initial_precomputed.shape[0]
+            else jnp.zeros((0,) + st.mask.shape, self.dtype)
         )
-        d = norm * lam * st.mask  # [K, n]
-
-        hd_i = st.m_lumped * st.measure_inv
-        alpha = eq.indicator_alpha(
-            U_old, prec_old, U_j, prec_j, st.cij, st.mask, hd_i,
-            evc_factor=p.evc_factor,
+        S = stage_U.shape[0] if stage_U is not None else 0
+        stage_U_j = (
+            jnp.stack([st.nbr(stage_U[s]) for s in range(S)])
+            if S else stage_U
+        )
+        stage_prec_j = (
+            jnp.stack([st.nbr(stage_prec[s]) for s in range(S)])
+            if S else stage_prec
         )
 
-        # ---- step 3: symmetrize, diagonal, tau_max ----------------------
-        d = jnp.maximum(d, st.transpose_edge(d)) * st.mask
-        d_sum = -jnp.sum(d, axis=0)  # [n]
-        d_sum = jnp.minimum(d_sum, -1.0e6 * tiny)  # (reference :545-546)
-
-        tau_i = cfl * st.m_lumped / (-2.0 * d_sum)
-        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-        tau_max = jnp.min(jnp.where(st.node_mask > 0, tau_i, big))
-        tau_max = jnp.minimum(tau_max, tau_cap)
+        # ---- steps 2/3: d_ij (both directions, local), alpha, tau_max ---
+        d, alpha = phase_d_alpha(eq, p, st, U_old, prec_old, U_j, prec_j)
+        tau_max = tau_max_from_d(st, d, cfl, tau_cap)
         tau = jnp.where(tau == 0.0, tau_max, tau)
 
-        # ---- step 4: low-order update, bounds, r_i, P_ij ----------------
-        S = stage_U.shape[0] if stage_U is not None else 0
-        weight = 1.0 - (jnp.sum(stage_weights) if S else 0.0)
-
-        alpha_j = st.nbr(alpha)  # [K, n]
-        factor = 0.5 * (alpha[None] + alpha_j)
-        d_H = d * factor
-
-        regularization = jnp.asarray(
-            100.0 * np.finfo(np.dtype(dtype)).tiny, dtype
+        # ---- step 4: low-order update, bounds, F_i ----------------------
+        alpha_j = st.nbr(alpha)
+        U_low, F, bounds = phase_low_order(
+            eq, p, st, U_old, prec_old, U_j, prec_j, d, alpha, alpha_j, tau,
+            stage_U, stage_prec, stage_U_j, stage_prec_j, stage_weights,
+            self.initial_precomputed, init_prec_j,
         )
-        scaled_c_ij = st.cij / jnp.maximum(d, regularization)[None]
-
-        flux_i = eq.flux_contribution(prec_old, self.initial_precomputed, U_old)
-        flux_j = st.nbr(flux_i) if _flux_is_state_local(eq) else None
-        if flux_j is None:
-            flux_j = eq.flux_contribution(prec_j, None, U_j)
-
-        flux_ij = eq.flux_divergence(flux_i[:, :, None], flux_j, st.cij)  # [C,K,n]
-        flux_ii = eq.flux_divergence(flux_i, flux_i, st.cii)  # [C, n] diagonal
-
-        dU = U_j - U_i  # [C, K, n]
-
-        m = st.mask[None]  # [1, K, n]
-        U_new = U_old + (tau * st.m_lumped_inv)[None] * (
-            jnp.sum((flux_ij + d[None] * dU) * m, axis=1) + flux_ii
-        )
-
-        F_iH = (
-            jnp.sum((d_H[None] * dU + weight * flux_ij) * m, axis=1)
-            + weight * flux_ii
-        )
-        P = (weight - 1.0) * flux_ij + (d_H - d)[None] * dU
-
-        for s in range(S):
-            w_s = stage_weights[s]
-
-            def _accumulate(args, s=s, w_s=w_s):
-                F_iH, P = args
-                flux_s_i = eq.flux_contribution(
-                    stage_prec[s], self.initial_precomputed, stage_U[s]
-                )
-                flux_s_j = st.nbr(flux_s_i)
-                flux_s_ij = eq.flux_divergence(
-                    flux_s_i[:, :, None], flux_s_j, st.cij
-                )
-                flux_s_ii = eq.flux_divergence(flux_s_i, flux_s_i, st.cii)
-                F_iH = F_iH + w_s * (
-                    jnp.sum(flux_s_ij * m, axis=1) + flux_s_ii
-                )
-                return F_iH, P + w_s * flux_s_ij
-
-            F_iH, P = jax.lax.cond(
-                w_s != 0.0, _accumulate, lambda args: args, (F_iH, P)
-            )
-
-        bounds = eq.limiter_bounds(
-            U_old, prec_old, U_j, prec_j, scaled_c_ij, st.mask, hd_i,
-            relaxation_factor=p.limiter_relaxation_factor,
-        )  # [B, n]
 
         if p.limiter_iterations == 0:
             # With zero limiter iterations the reference performs the pure
             # low-order update (step 5 and the 6/7 loop are skipped,
             # hyperbolic_module.template.h:892,1054).
-            ok = jnp.asarray(True)
-            return U_new, tau, ok
+            return U_low, tau, jnp.asarray(True)
 
         # ---- step 5: mass-matrix correction + first limiter pass --------
-        F_jH = st.nbr(F_iH)  # [C, K, n]
-        m_j = st.nbr(st.m_lumped)  # [K, n]
-        b_ij = -st.mij / m_j  # kronecker term vanishes off-diagonal
-        b_ji = -st.mij * st.m_lumped_inv[None]
-        P = P + b_ij[None] * F_jH - b_ji[None] * F_iH[:, None]
-        P = P * (tau * st.m_lumped_inv * st.n_nbrs)[None, None]
-
-        l_ij, success = eq.limiter_limit(
-            bounds[:, None],
-            U_new[:, None],
-            P,
-            newton_iterations=p.limiter_newton_max_iterations,
-            newton_tol=p.limiter_newton_tolerance,
-        )  # [K, n]
-
+        F_j = st.nbr(F)
+        m_j = st.nbr(st.m_lumped)
+        P, l_ij, success = phase_p_l1(
+            eq, p, st, U_old, prec_old, U_j, prec_j, d, alpha, alpha_j, tau,
+            F, F_j, m_j, U_low, bounds,
+            stage_U, stage_prec, stage_U_j, stage_prec_j, stage_weights,
+            self.initial_precomputed, init_prec_j,
+        )
         ok = jnp.all(
             (success | (st.mask == 0.0)) | (st.node_mask[None] == 0.0)
         )
 
         # ---- steps 6/7: symmetrize l, high-order update ------------------
-        lam_i = (1.0 / st.n_nbrs)[None]  # [1, n]
+        U_new = U_low
         n_iter = p.limiter_iterations
         for it in range(n_iter):
             last = it + 1 == n_iter
-            l_sym = jnp.minimum(l_ij, st.transpose_edge(l_ij))
-            U_new = U_new + lam_i * jnp.sum(l_sym[None] * P * m, axis=1)
-            if not last:
-                P2 = (1.0 - l_sym)[None] * P
-                l_next, _ = eq.limiter_limit(
-                    bounds[:, None],
-                    U_new[:, None],
-                    P2,
-                    newton_iterations=p.limiter_newton_max_iterations,
-                    newton_tol=p.limiter_newton_tolerance,
-                )
-                # shortcut (1 - l^(1)) * l^(2)  (reference :1163-1170)
-                l_ij = (1.0 - l_sym) * l_next
+            U_new, l_ij = phase_update(
+                eq, p, st, U_new, bounds, P, l_ij,
+                st.transpose_edge(l_ij), last,
+            )
 
         return U_new, tau, ok
 
