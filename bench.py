@@ -19,6 +19,8 @@ BASELINE_MQS = 100.0
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
     import jax.numpy as jnp
 
     from ryujin_tpu.equations.euler import Euler
@@ -40,7 +42,8 @@ def main():
 
     packed = structured.pack_structured(data, mesh)
     init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
-    hm = HyperbolicModule(eq, packed, init, dtype=dtype)
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    hm = HyperbolicModule(eq, packed, init, dtype=dtype, backend=backend)
     ti = TimeIntegrator(
         hm, scheme="erk 33", cfl_min=0.45, cfl_max=0.9,
         cfl_recovery_strategy="none",

@@ -205,17 +205,15 @@ class Euler:
         p = self.pressure(U)
         E = self.total_energy(U)
         v = m * rho_inv[None]
-        mom_flux = m[:, None] * v[None, :]  # [dim, dim, ...]
-        eye = jnp.eye(d, dtype=U.dtype).reshape((d, d) + (1,) * (U.ndim - 1))
-        mom_flux = mom_flux + p * eye
-        return jnp.concatenate(
-            [
-                m[None],
-                mom_flux,
-                (v * (E + p)[None])[None],
-            ],
-            axis=0,
-        )
+        # explicit row construction (no broadcasted eye: small-array
+        # reshapes don't lower inside Pallas TPU kernels):
+        rows = [m]
+        for a in range(d):
+            comps = [m[a] * v[b] for b in range(d)]
+            comps[a] = comps[a] + p
+            rows.append(jnp.stack(comps, axis=0))
+        rows.append(v * (E + p)[None])
+        return jnp.stack(rows, axis=0)
 
     def flux_contribution(self, precomputed, initial_precomputed, U):
         del precomputed, initial_precomputed
@@ -375,7 +373,10 @@ class Euler:
         rho_i = self.density(U_i)
         rho_i_inv = 1.0 / rho_i
         d_eta_i = self.harten_entropy_derivative(U_i)
-        d_eta_i = d_eta_i.at[0].add(-eta_i * rho_i_inv)
+        # (no .at[].add: scatter ops don't lower inside Pallas TPU kernels)
+        d_eta_i = jnp.concatenate(
+            [(d_eta_i[0] - eta_i * rho_i_inv)[None], d_eta_i[1:]], axis=0
+        )
         f_i = self.f(U_i)  # [C, dim, n]
 
         eta_j = prec_j[1]

@@ -27,12 +27,17 @@ import numpy as np
 def galilei_wrap(state_fn, direction, position, dim):
     """Affine transform of InitialValues (initial_values.template.h:66-155)."""
     direction = np.asarray(direction, dtype=np.float64)
-    direction = direction / np.linalg.norm(direction)
+    # python floats (weak-typed) so the transform preserves the points' dtype:
+    direction = tuple(
+        float(v) for v in direction / np.linalg.norm(direction)
+    )
     position = np.asarray(position, dtype=np.float64)
 
     def transform_point(x):
-        # x [dim, ...]
-        d = x - position.reshape((dim,) + (1,) * (x.ndim - 1))
+        # x [dim, ...]; cast the numpy constant to preserve x's dtype
+        d = x - jnp.asarray(position, x.dtype).reshape(
+            (dim,) + (1,) * (x.ndim - 1)
+        )
         if dim == 3:
             n_x, n_z = direction[0], direction[2]
             norm = math.sqrt(n_x * n_x + n_z * n_z)

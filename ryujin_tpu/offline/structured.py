@@ -49,6 +49,7 @@ class StructuredData:
     max_degree: int  # K = 3**dim - 1
     shape: Tuple[int, ...]  # canvas dims (slowest first)
     offsets: Tuple[Tuple[int, ...], ...]  # K lattice offsets (canvas axes)
+    margins: Tuple[int, ...]  # masked margin width per canvas axis
 
     cij: np.ndarray  # [n_pad, K, dim]
     mij: np.ndarray  # [n_pad, K]
@@ -87,6 +88,7 @@ def pack_structured(
     mesh: Mesh,
     pad_minor: int = 128,
     pad_major: int = 8,
+    margin: int = 8,
 ) -> StructuredData:
     """Pack onto the lattice canvas recorded in mesh.structured_index.
 
@@ -114,19 +116,31 @@ def pack_structured(
     assert (si[real].max(axis=0) < logical).all()
 
     # Canvas dims, slowest-first: (…, ny, nx); pad non-periodic axes.
+    # Non-periodic leading axes get a `margin`-row masked band top and
+    # bottom so that halo windows of the fused Pallas kernels
+    # (solver/pallas_step.py) never leave the canvas for tiles containing
+    # real nodes.
     pads = [pad_major] * (dim - 1) + [pad_minor]
     canvas = []
+    offs = []
     for axis in range(dim):  # canvas axis 0 = lattice dim (dim-1)
         d = dim - 1 - axis
         size = int(logical[d])
+        off = 0
         if not periodic[d]:
+            if dim > 1 and axis < dim - 1 and margin:
+                off = margin
+                size = size + 2 * margin
             size = _round_up(size, pads[axis] if dim > 1 else pad_minor)
         canvas.append(size)
+        offs.append(off)
     canvas = tuple(canvas)
+    margins = tuple(offs)
     n_pad = int(np.prod(canvas))
 
     # canvas multi-index per vertex (canvas order: slowest-first):
-    cidx = si[:, ::-1]  # [n_raw, dim] now (iy..., ix) for 2D: (iy, ix)
+    cidx = si[:, ::-1].copy()  # [n_raw, dim] now (iy..., ix) for 2D
+    cidx += np.asarray(margins)[None, :]
     flat = np.ravel_multi_index(tuple(cidx.T), canvas, mode="wrap")
     vertex_to_node = flat[data.master]
 
@@ -209,6 +223,7 @@ def pack_structured(
         max_degree=K,
         shape=canvas,
         offsets=offsets,
+        margins=margins,
         cij=cij,
         mij=mij,
         mask=mask,

@@ -460,7 +460,13 @@ class HyperbolicModule:
         params: HyperbolicModuleParams = HyperbolicModuleParams(),
         dtype=jnp.float64,
         initial_precomputed: Optional[jax.Array] = None,
+        backend: str = "xla",
+        tile: Tuple[int, int] = (16, 256),
     ):
+        """backend: "xla" (any mesh/dtype; CPU verification path) or
+        "pallas" (fused TPU kernels; 2D non-periodic structured canvases;
+        "pallas_interpret" runs the same kernels in interpreter mode for
+        CPU debugging)."""
         self.eq = equation
         self.params = params
         self.dtype = dtype
@@ -468,6 +474,19 @@ class HyperbolicModule:
             self.stencil = StructuredStencil.from_data(ell, dtype)
         else:
             self.stencil = _stencil_from_ell(ell, dtype)
+        self._pallas = None
+        if backend.startswith("pallas"):
+            if not isinstance(ell, StructuredData):
+                raise ValueError("pallas backend requires structured data")
+            from .pallas_step import PallasStepper
+
+            self._pallas = PallasStepper(
+                equation, params, ell, dtype=dtype, tile=tile,
+                interpret=(backend == "pallas_interpret"),
+            )
+            # the integrator threads self.stencil through the jit boundary;
+            # for the pallas path that must be the canvas-array pytree:
+            self.stencil = self._pallas.arrays
         self.initial_state_fn = initial_state_fn
         self.n_pad = ell.n_pad
         if initial_precomputed is None:
@@ -557,6 +576,12 @@ class HyperbolicModule:
 
         Returns (U_new, tau_used, ok).
         """
+        if self._pallas is not None:
+            return self._pallas.step(
+                U_old, prec_old, stage_U, stage_prec, stage_weights,
+                tau, cfl, tau_cap, stencil,
+            )
+
         eq = self.eq
         st = stencil if stencil is not None else self.stencil
         p = self.params

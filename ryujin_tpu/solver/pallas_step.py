@@ -1,0 +1,590 @@
+"""Fused Pallas TPU kernels for the IDP substep on structured canvases.
+
+Motivation: under plain XLA the substep lowers to ~100 small fusions per
+substep, each re-reading [K, n]-sized intermediates from HBM (the
+roll/concat neighbor accesses break producer-consumer fusion).  Here the
+substep runs as five tiled kernels; each kernel DMAs a (TH+2, TW+2) halo
+window of its inputs into VMEM once and evaluates an entire phase of
+/root/reference/source/hyperbolic_module.template.h per tile:
+
+  PK1  d_ij (both directions via static c_ji) + EVC alpha       (:341-424)
+  ---  tau_max reduction (XLA, one pass over d)                 (:494-564)
+  PK2  low-order update + high-order RHS F_i + limiter bounds   (:597-884)
+  PK3  P_ij with mass-matrix correction + first limiter pass    (:892-1041)
+  PK4  symmetrized update + next limiter pass (x n_iter-1)      (:1054-1182)
+  PK5  final symmetrized update
+
+The kernels share the phase functions of solver/hyperbolic.py — the same
+math runs full-canvas under XLA (CPU/verification path) and per-tile here.
+Intermediate arrays (d, alpha, F, bounds, P, l) round-trip through HBM once
+per phase; everything else stays in VMEM.
+
+Constraints: 2D structured canvases, non-periodic axes (periodic wrap
+would need margin exchange; such meshes fall back to the XLA path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..offline.structured import StructuredData
+from . import hyperbolic as hyp
+
+
+class _TileView:
+    """Neighbor access on halo'd VMEM windows for one canvas tile.
+
+    When the tile spans the full canvas width (halo_x=False), x-neighbors
+    use a lane roll of the window instead of a column halo — whose wrap is
+    exactly the periodic identification for periodic-x canvases and hits
+    masked edges otherwise (same semantics as StructuredStencil).
+    """
+
+    def __init__(self, offsets, ly, lx, TH, TW, halo_x=True, halo_y=True,
+                 wy=None, wx=None):
+        self.offsets = offsets
+        self.ly, self.lx = ly, lx
+        self.TH, self.TW = TH, TW
+        self.halo_x, self.halo_y = halo_x, halo_y
+        self.wy = wy if wy is not None else 3 * TH
+        self.wx = wx if wx is not None else 3 * TW
+
+    def _slot(self, w, k_plane, dy, dx):
+        # Clamp starts into the window: only all-margin tiles (masked
+        # nodes) ever hit the clamp; real tiles have ly = lx = 1.  On
+        # hardware an out-of-bounds VMEM slice faults rather than clamps.
+        if self.halo_y:
+            r0 = self.ly + dy  # static: interior tiles only
+            rows = slice(r0, r0 + self.TH)
+        else:
+            rows = slice(None)
+        if self.halo_x:
+            cols = pl.ds(
+                jnp.clip(self.lx + dx, 0, self.wx - self.TW), self.TW
+            )
+        else:
+            cols = slice(None)
+        if k_plane is None:
+            sl = w[:, rows, cols]
+        else:
+            sl = w[k_plane, rows, cols]
+        if not self.halo_y and dy:
+            sl = pltpu.roll(sl, (-dy) % self.TH, axis=sl.ndim - 2)
+        if not self.halo_x and dx:
+            sl = pltpu.roll(sl, (-dx) % self.TW, axis=sl.ndim - 1)
+        return sl
+
+    def center(self, w):
+        if w.shape[-2] == self.TH and (not self.halo_x or w.shape[-1] == self.TW):
+            return w[...]
+        return self._slot(w, None, 0, 0)
+
+    def nbr(self, w):
+        """Window -> [pl, K, TH, TW]."""
+        sls = [self._slot(w, None, dy, dx) for (dy, dx) in self.offsets]
+        return jnp.stack(sls, axis=1)
+
+    def transpose_edge(self, w):
+        """Window of an edge array [K, ...] -> l_T [K, TH, TW].
+
+        out[k] = w[K-1-k] at the (dy, dx) neighbor (lattice_offsets order).
+        """
+        K = len(self.offsets)
+        sls = [
+            self._slot(w, K - 1 - k, dy, dx)
+            for k, (dy, dx) in enumerate(self.offsets)
+        ]
+        return jnp.stack(sls, axis=0)
+
+
+def _tiled_call(
+    compute,
+    ins: Sequence,
+    scalars: Sequence[jax.Array],
+    out_init: Sequence[jax.Array],
+    offsets,
+    H: int,
+    W: int,
+    TH: int,
+    TW: int,
+    tile_rows: Tuple[int, int],
+    dtype,
+    interpret: bool = False,
+):
+    """Run `compute` over the interior row-tiles.
+
+    ins: canvas arrays [pl_i, H, W], or (array, False) for inputs needed
+    only at the center tile.  Center inputs are fed as pipelined BlockSpec
+    blocks (auto double-buffered); halo inputs are DMA'd as (3*TH, W)
+    windows into VMEM scratch (window starts 8-aligned and in-bounds by
+    construction: `tile_rows` excludes the masked canvas margins).
+
+    out_init: one canvas array per output, aliased as the output buffer —
+    tiles outside `tile_rows` keep the init values (margins must hold
+    valid data for downstream halo reads).
+
+    scalars: () arrays delivered via SMEM.
+    compute(windows, scalars, tv) -> list of [pl_o, TH, TW] tiles.
+    """
+    t0, t1 = tile_rows
+    assert t0 >= 1 and t1 * TH + TH <= H, (tile_rows, H, TH)
+    gw = W // TW
+    halo_x = gw > 1
+    wy = 3 * TH
+    wx = 3 * TW if halo_x else TW
+
+    norm = [(a, True) if not isinstance(a, tuple) else a for a in ins]
+    cent = [
+        i for i, (a, h) in enumerate(norm)
+        if a is not None and a.shape[0] > 0 and not h
+    ]
+    halo = [
+        i for i, (a, h) in enumerate(norm)
+        if a is not None and a.shape[0] > 0 and h
+    ]
+    ins_c = [norm[i][0] for i in cent]
+    ins_h = [norm[i][0] for i in halo]
+    n_c, n_h, n_sc, n_out = len(ins_c), len(ins_h), len(scalars), len(out_init)
+
+    def kernel(*refs):
+        k = 0
+        sc_refs = refs[k : k + n_sc]; k += n_sc
+        c_refs = refs[k : k + n_c]; k += n_c
+        h_refs = refs[k : k + n_h]; k += n_h
+        k += n_out  # aliased init refs (unused)
+        out_refs = refs[k : k + n_out]; k += n_out
+        wins_h = refs[k : k + n_h]; k += n_h
+        sems = refs[-1]
+
+        ty = pl.program_id(0) + t0
+        tx = pl.program_id(1)
+        sy = (ty - 1) * TH
+        if halo_x:
+            sx = jnp.clip(tx * TW - TW, 0, W - wx)
+            lx = tx * TW - sx
+        else:
+            sx, lx = tx * TW, 0
+
+        cps = []
+        for i in range(n_h):
+            cp = pltpu.make_async_copy(
+                h_refs[i].at[:, pl.ds(sy, wy), pl.ds(sx, wx)],
+                wins_h[i],
+                sems.at[i],
+            )
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+        wins = [None] * len(ins)
+        for j, i in enumerate(cent):
+            wins[i] = c_refs[j]
+        for j, i in enumerate(halo):
+            wins[i] = wins_h[j]
+        scal = [r[0, 0] for r in sc_refs]
+        tv = _TileView(offsets, TH, lx, TH, TW, halo_x, True, wy, wx)
+        outs = compute(wins, scal, tv)
+        for oref, val in zip(out_refs, outs):
+            oref[...] = val
+
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in out_init]
+    in_specs = (
+        [pl.BlockSpec((1, 1), lambda ty, tx: (0, 0),
+                      memory_space=pltpu.SMEM)] * n_sc
+        + [
+            pl.BlockSpec(
+                (a.shape[0], TH, TW),
+                lambda ty, tx, _t0=t0: (0, ty + _t0, tx),
+                memory_space=pltpu.VMEM,
+            )
+            for a in ins_c
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_h
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_out  # aliased inits
+    )
+    out_specs = [
+        pl.BlockSpec(
+            (a.shape[0], TH, TW),
+            lambda ty, tx, _t0=t0: (0, ty + _t0, tx),
+            memory_space=pltpu.VMEM,
+        )
+        for a in out_init
+    ]
+    scratch = [
+        pltpu.VMEM((a.shape[0], wy, wx), dtype) for a in ins_h
+    ] + [pltpu.SemaphoreType.DMA((max(n_h, 1),))]
+    aliases = {n_sc + n_c + n_h + k: k for k in range(n_out)}
+    return pl.pallas_call(
+        kernel,
+        grid=(t1 - t0, gw),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        *[jnp.reshape(x, (1, 1)) for x in scalars],
+        *ins_c,
+        *ins_h,
+        *out_init,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PallasArrays:
+    """Static canvas arrays, passed as a traced pytree through the jit
+    boundary (embedding them as closure constants bloats the serialized
+    module past the remote-compile size limit and triggers XLA
+    constant-folding over the whole mesh)."""
+
+    g_cij: jax.Array
+    g_cij_t: jax.Array
+    g_mask: jax.Array
+    g_mij: jax.Array
+    g_cii: jax.Array
+    g_node: jax.Array
+    node_mask_flat: jax.Array
+    m_lumped_flat: jax.Array
+
+
+@dataclasses.dataclass
+class _SA:
+    """Per-tile static stencil arrays handed to the phase functions."""
+
+    cij: jax.Array
+    cij_t: jax.Array
+    mij: jax.Array
+    mask: jax.Array
+    cii: jax.Array
+    m_lumped: jax.Array
+    m_lumped_inv: jax.Array
+    n_nbrs: jax.Array
+    node_mask: jax.Array
+    measure_inv: float
+
+
+class PallasStepper:
+    """Orchestrates the five fused kernels for HyperbolicModule.step."""
+
+    def __init__(
+        self,
+        eq,
+        params,
+        sd: StructuredData,
+        dtype=jnp.float32,
+        tile: Tuple[int, int] = (16, 256),
+        interpret: bool = False,
+    ):
+        assert sd.dim == 2, "pallas backend currently supports 2D canvases"
+        self.eq = eq
+        self.params = params
+        self.dtype = dtype
+        self.interpret = interpret
+        self.H, self.W = sd.shape
+        self.offsets = tuple(map(tuple, sd.offsets))
+        self.K = sd.max_degree
+        self.dim = sd.dim
+        self.measure_inv = float(1.0 / sd.measure_of_omega)
+
+        # Row tiles of 8 with full canvas width: the 8-row masked margins
+        # (offline/structured.py) guarantee that halo windows of tiles
+        # containing real nodes stay in bounds (all-margin tiles clamp,
+        # which is harmless — their nodes are masked).  x-neighbors use
+        # lane rolls of the full-width window (correct for periodic-x and
+        # masked otherwise).
+        del tile
+        TH, TW = 8, self.W
+        if self.H % TH:
+            raise ValueError(f"canvas height {self.H} not a multiple of 8")
+        if sd.margins[0] < TH and self.H // TH > 1:
+            raise ValueError(
+                "pallas backend needs >=8-row canvas margins "
+                "(pack_structured(margin=8))"
+            )
+        self.TH, self.TW = TH, TW
+
+        H, W = self.H, self.W
+        dim, K = self.dim, self.K
+
+        def canv(x, planes):
+            return jnp.asarray(
+                np.ascontiguousarray(x).reshape(planes, H, W), dtype
+            )
+
+        # static canvases (device-resident, built once):
+        cij = np.transpose(sd.cij.reshape(H, W, K, dim), (3, 2, 0, 1))
+        cij_t = np.transpose(sd.cij_t.reshape(H, W, K, dim), (3, 2, 0, 1))
+        lumped = sd.lumped_mass.reshape(1, H, W)
+        self.arrays = PallasArrays(
+            g_cij=canv(cij, dim * K),
+            g_cij_t=canv(cij_t, dim * K),
+            g_mask=canv(sd.mask.T.reshape(K, H, W), K),
+            g_mij=canv(sd.mij.T.reshape(K, H, W), K),
+            g_cii=canv(sd.cii.T.reshape(dim, H, W), dim),
+            g_node=canv(
+                np.concatenate(
+                    [
+                        lumped,
+                        1.0 / lumped,
+                        sd.n_nbrs.reshape(1, H, W),
+                        sd.node_mask.reshape(1, H, W),
+                    ],
+                    axis=0,
+                ),
+                4,
+            ),
+            node_mask_flat=jnp.asarray(sd.node_mask, dtype),
+            m_lumped_flat=jnp.asarray(sd.lumped_mass, dtype),
+        )
+
+        # interior tile-row range (tiles containing real nodes); the masked
+        # margins guarantee t0 >= 1 and one tile of slack below:
+        rows_with_nodes = np.flatnonzero(
+            sd.node_mask.reshape(H, W).any(axis=1)
+        )
+        r0, r1 = int(rows_with_nodes[0]), int(rows_with_nodes[-1]) + 1
+        self.tile_rows = (r0 // self.TH, (r1 - 1) // self.TH + 1)
+        if self.tile_rows[0] < 1 or self.tile_rows[1] * self.TH + self.TH > H:
+            raise ValueError(
+                "pallas backend needs >=8-row masked canvas margins "
+                "(pack_structured(margin=8))"
+            )
+
+    # -- helpers ----------------------------------------------------------
+    def _sa(self, tv, w_cij, w_cij_t, w_mask, w_mij, w_cii, w_node):
+        c = tv.center
+        dim, K = self.dim, self.K
+        TH, TW = self.TH, self.TW
+        node = c(w_node) if w_node is not None else None
+        return _SA(
+            cij=c(w_cij).reshape(dim, K, TH, TW)
+            if w_cij is not None
+            else None,
+            cij_t=c(w_cij_t).reshape(dim, K, TH, TW)
+            if w_cij_t is not None
+            else None,
+            mij=c(w_mij) if w_mij is not None else None,
+            mask=c(w_mask),
+            cii=c(w_cii) if w_cii is not None else None,
+            m_lumped=node[0] if node is not None else None,
+            m_lumped_inv=node[1] if node is not None else None,
+            n_nbrs=node[2] if node is not None else None,
+            node_mask=node[3] if node is not None else None,
+            measure_inv=self.measure_inv,
+        )
+
+    def _stage_views(self, tv, w_stageU, w_stageP, S, C, P):
+        if S == 0:
+            z = jnp.zeros((0, C, self.TH, self.TW), self.dtype)
+            zj = jnp.zeros((0, C, self.K, self.TH, self.TW), self.dtype)
+            zp = jnp.zeros((0, max(P, 1), self.TH, self.TW), self.dtype)[:, :P]
+            zpj = jnp.zeros(
+                (0, max(P, 1), self.K, self.TH, self.TW), self.dtype
+            )[:, :P]
+            return z, zp, zj, zpj
+        sU = tv.center(w_stageU).reshape(S, C, self.TH, self.TW)
+        sUj = tv.nbr(w_stageU).reshape(S, C, self.K, self.TH, self.TW)
+        if P:
+            sP = tv.center(w_stageP).reshape(S, P, self.TH, self.TW)
+            sPj = tv.nbr(w_stageP).reshape(S, P, self.K, self.TH, self.TW)
+        else:
+            sP = jnp.zeros((S, 0, self.TH, self.TW), self.dtype)
+            sPj = jnp.zeros((S, 0, self.K, self.TH, self.TW), self.dtype)
+        return sU, sP, sUj, sPj
+
+    # -- the five kernels ---------------------------------------------------
+    def step(self, U, prec, stage_U, stage_prec, stage_weights, tau, cfl,
+             tau_cap, stencil):
+        """Same contract as HyperbolicModule.step (node-last flat arrays)."""
+        eq, p = self.eq, self.params
+        ga = stencil if isinstance(stencil, PallasArrays) else self.arrays
+        H, W, TH, TW = self.H, self.W, self.TH, self.TW
+        C = eq.n_comp
+        PP = eq.n_precomputed
+        K = self.K
+        S = stage_U.shape[0]
+        dtype = self.dtype
+
+        Uc = U.reshape(C, H, W)
+        precc = prec.reshape(PP, H, W)
+        sUc = stage_U.reshape(S * C, H, W) if S else jnp.zeros(
+            (0, H, W), dtype
+        )
+        sPc = (
+            stage_prec.reshape(S * PP, H, W)
+            if S and PP
+            else jnp.zeros((0, H, W), dtype)
+        )
+        w_vec = (
+            stage_weights.astype(dtype)
+            if S
+            else jnp.zeros((0,), dtype)
+        )
+
+        common = dict(
+            offsets=self.offsets, H=H, W=W, TH=TH, TW=TW,
+            tile_rows=self.tile_rows, dtype=dtype,
+            interpret=self.interpret,
+        )
+
+        def zeros(planes):
+            return jnp.zeros((planes, H, W), dtype)
+
+        # ---- PK1: d + alpha -------------------------------------------
+        def pk1(wins, scal, tv):
+            w_cij, w_cij_t, w_mask, w_node, w_U, w_prec = wins
+            sa = self._sa(tv, w_cij, w_cij_t, w_mask, None, None, w_node)
+            Ut = tv.center(w_U)
+            prect = tv.center(w_prec)
+            U_j = tv.nbr(w_U)
+            prec_j = tv.nbr(w_prec)
+            d, alpha = hyp.phase_d_alpha(eq, p, sa, Ut, prect, U_j, prec_j)
+            return [d, alpha[None]]
+
+        d, alpha = _tiled_call(
+            pk1,
+            [(ga.g_cij, False), (ga.g_cij_t, False),
+             (ga.g_mask, False), (ga.g_node, False), Uc, precc],
+            [],
+            [zeros(K), zeros(1)],
+            **common,
+        )
+
+        # ---- tau reduction (XLA; one pass over d) -----------------------
+        sa_flat = _SA(
+            cij=None, cij_t=None, mij=None, mask=None, cii=None,
+            m_lumped=ga.m_lumped_flat, m_lumped_inv=None, n_nbrs=None,
+            node_mask=ga.node_mask_flat, measure_inv=self.measure_inv,
+        )
+        tau_max = hyp.tau_max_from_d(
+            sa_flat, d.reshape(K, H * W), cfl, tau_cap
+        )
+        tau = jnp.where(tau == 0.0, tau_max, tau).astype(dtype)
+
+        # ---- PK2: low-order + F + bounds --------------------------------
+        n_b = eq.n_bounds
+
+        def pk2(wins, scal, tv):
+            (w_cij, w_mask, w_cii, w_node, w_U, w_prec, w_d, w_alpha,
+             w_sU, w_sP) = wins
+            tau_s = scal[0]
+            w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
+            sa = self._sa(tv, w_cij, None, w_mask, None, w_cii, w_node)
+            Ut, prect = tv.center(w_U), tv.center(w_prec)
+            U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
+            dt_ = tv.center(w_d)
+            alpha_t = tv.center(w_alpha)[0]
+            alpha_j = tv.nbr(w_alpha)[0]
+            sU, sP, sUj, sPj = self._stage_views(tv, w_sU, w_sP, S, C, PP)
+            U_low, F, bounds = hyp.phase_low_order(
+                eq, p, sa, Ut, prect, U_j, prec_j, dt_, alpha_t, alpha_j,
+                tau_s, sU, sP, sUj, sPj, w_arr, None, None,
+            )
+            return [U_low, F, bounds]
+
+        U_low, F, bounds = _tiled_call(
+            pk2,
+            [(ga.g_cij, False), (ga.g_mask, False), (ga.g_cii, False),
+             (ga.g_node, False), Uc, precc, (d, False), alpha, sUc, sPc],
+            [tau] + [w_vec[s] for s in range(S)],
+            [Uc, zeros(C), zeros(n_b)],
+            **common,
+        )
+
+        ok = jnp.asarray(True)
+        if p.limiter_iterations == 0:
+            return U_low.reshape(C, H * W), tau, ok
+
+        # ---- PK3: P + first limiter pass --------------------------------
+        def pk3(wins, scal, tv):
+            (w_cij, w_mask, w_mij, w_cii, w_node, w_U, w_prec, w_d, w_alpha,
+             w_F, w_Ulow, w_bounds, w_sU, w_sP) = wins
+            tau_s = scal[0]
+            w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
+            sa = self._sa(tv, w_cij, None, w_mask, w_mij, w_cii, w_node)
+            Ut, prect = tv.center(w_U), tv.center(w_prec)
+            U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
+            dt_ = tv.center(w_d)
+            alpha_t = tv.center(w_alpha)[0]
+            alpha_j = tv.nbr(w_alpha)[0]
+            Ft = tv.center(w_F)
+            F_j = tv.nbr(w_F)
+            m_j = tv.nbr(w_node)[0]  # lumped mass neighbors
+            U_low_t = tv.center(w_Ulow)
+            bounds_t = tv.center(w_bounds)
+            sU, sP, sUj, sPj = self._stage_views(tv, w_sU, w_sP, S, C, PP)
+            P, l, success = hyp.phase_p_l1(
+                eq, p, sa, Ut, prect, U_j, prec_j, dt_, alpha_t, alpha_j,
+                tau_s, Ft, F_j, m_j, U_low_t, bounds_t,
+                sU, sP, sUj, sPj, w_arr, None, None,
+            )
+            okp = jnp.min(
+                jnp.where(
+                    (sa.mask > 0) & (sa.node_mask[None] > 0),
+                    success.astype(dtype),
+                    jnp.ones_like(sa.mask),
+                ),
+                axis=0,
+            )
+            return [P.reshape(C * K, self.TH, self.TW), l, okp[None]]
+
+        P, l_ij, okp = _tiled_call(
+            pk3,
+            [(ga.g_cij, False), (ga.g_mask, False), (ga.g_mij, False),
+             (ga.g_cii, False), ga.g_node, Uc, precc, (d, False),
+             alpha, F, (U_low, False), (bounds, False), sUc, sPc],
+            [tau] + [w_vec[s] for s in range(S)],
+            [zeros(C * K), zeros(K), jnp.ones((1, H, W), dtype)],
+            **common,
+        )
+        ok = jnp.min(okp) > 0.5
+
+        # ---- PK4/PK5: symmetrized limited updates -----------------------
+        U_cur = U_low
+        n_iter = p.limiter_iterations
+        for it in range(n_iter):
+            last = it + 1 == n_iter
+
+            def pk_up(wins, scal, tv, last=last):
+                w_mask, w_node, w_Ucur, w_bounds, w_P, w_l = wins
+                sa = self._sa(tv, None, None, w_mask, None, None, w_node)
+                U_t = tv.center(w_Ucur)
+                bounds_t = tv.center(w_bounds)
+                P_t = tv.center(w_P).reshape(C, K, self.TH, self.TW)
+                l_t = tv.center(w_l)
+                l_T = tv.transpose_edge(w_l)
+                U_next, l_new = hyp.phase_update(
+                    eq, p, sa, U_t, bounds_t, P_t, l_t, l_T, last
+                )
+                if last:
+                    return [U_next]
+                return [U_next, l_new]
+
+            outs = _tiled_call(
+                pk_up,
+                [(ga.g_mask, False), (ga.g_node, False),
+                 (U_cur, False), (bounds, False), (P, False), l_ij],
+                [],
+                [Uc] if last else [Uc, zeros(K)],
+                **common,
+            )
+            if last:
+                (U_cur,) = outs
+            else:
+                U_cur, l_ij = outs
+
+        return U_cur.reshape(C, H * W), tau, ok
