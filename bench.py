@@ -54,11 +54,11 @@ def main():
     # warmup / compile (also evolves the shock a little so the timed
     # region sees a realistic state):
     U, _, t, _, _, _ = ti.advance(U, 0.0, n_steps=2)
-    U.block_until_ready()
+    float(t)  # full sync (block_until_ready is unreliable on some backends)
 
     t0 = time.perf_counter()
     out = ti.advance(U, t, n_steps=n_steps)
-    jax.block_until_ready(out)
+    float(out[2])
     wall = time.perf_counter() - t0
 
     n_dofs = packed.n_nodes
