@@ -242,7 +242,8 @@ class Euler:
         return rho, proj_m * rho_inv, p, a
 
     def riemann_lambda_max(
-        self, U_i, U_j, n_ij, newton_iterations: int = 0, newton_tol: float = 1e-10
+        self, U_i, U_j, n_ij, prec_i=None, prec_j=None,
+        newton_iterations: int = 0, newton_tol: float = 1e-10,
     ):
         """Upper bound on the maximal wave speed (riemann_solver.template.h:406-582)."""
         g = self.params.gamma

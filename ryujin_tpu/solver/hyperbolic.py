@@ -234,13 +234,14 @@ def phase_d_alpha(eq, p, sa, U, prec, U_j, prec_j):
     n_ji = sa.cij_t / jnp.maximum(norm_t, tiny)[None]
 
     U_i = U[:, None]
+    prec_i = prec[:, None]
     lam_f = eq.riemann_lambda_max(
-        U_i, U_j, n_ij,
+        U_i, U_j, n_ij, prec_i=prec_i, prec_j=prec_j,
         newton_iterations=p.riemann_newton_max_iterations,
         newton_tol=p.riemann_newton_tolerance,
     )
     lam_b = eq.riemann_lambda_max(
-        U_j, U_i, n_ji,
+        U_j, U_i, n_ji, prec_i=prec_j, prec_j=prec_i,
         newton_iterations=p.riemann_newton_max_iterations,
         newton_tol=p.riemann_newton_tolerance,
     )

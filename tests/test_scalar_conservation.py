@@ -1,0 +1,99 @@
+"""Scalar conservation verification.
+
+Mirrors the reference testsuite's linear transport runs
+(tests/scalar_conservation/verification-linear_transport-*.prm): 1D
+periodic domain [0, 2pi], flux f(u) = u via the "function" flux with
+central-difference derivative, initial data sin(x - t), evc factor 0,
+CFL 0.8.  Expected errors (erk33, refinement 9):
+Linf = L1 = L2 = 2.66e-7 (verification-linear_transport-erk33.output).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ryujin_tpu.equations.scalar_conservation import (
+    ScalarConservation,
+    burgers,
+    function_flux,
+)
+from ryujin_tpu.offline import assembly, ell, geometry, structured
+from ryujin_tpu.offline.mesh import Boundary
+from ryujin_tpu.postprocess.error import compute_error, interpolate_nodal
+from ryujin_tpu.solver.hyperbolic import HyperbolicModule, HyperbolicModuleParams
+from ryujin_tpu.solver.integrator import TimeIntegrator
+
+
+def _sine(points, t):
+    return jnp.sin(points[0] - t)[None]
+
+
+def run_linear_transport(refinement, scheme, pack):
+    eq = ScalarConservation(dim=1, flux=function_flux(1, [lambda u: u]))
+    mesh = geometry.rectangular_domain(
+        [0.0], [2.0 * np.pi], [1], refinement=refinement,
+        boundary_conditions=[Boundary.periodic, Boundary.periodic], dim=1,
+    )
+    data = assembly.assemble(mesh)
+    packed = pack(data, mesh)
+    params = HyperbolicModuleParams(evc_factor=0.0)
+    hm = HyperbolicModule(eq, packed, _sine, params=params, dtype=jnp.float64)
+    ti = TimeIntegrator(hm, scheme, cfl_min=0.8, cfl_max=0.8,
+                        cfl_recovery_strategy="none")
+    U = interpolate_nodal(_sine, packed, eq, 0.0, jnp.float64)
+    t = 0.0
+    while t < 2.0 - 1e-12:
+        U, tau, ok = ti.step(U, t, 2.0)
+        t += float(tau)
+    return compute_error(eq, mesh, packed, np.asarray(U), t, _sine,
+                         components=["u"])
+
+
+def test_linear_transport_erk33_l7():
+    """Self-consistent third-order convergence point (cheaper than the
+    reference's l9; the l9 value is checked in the slow test below)."""
+    linf, l1, l2 = run_linear_transport(
+        7, "erk 33", lambda d, m: ell.pack(d)
+    )
+    assert l1 < 2.2e-5, l1
+
+
+@pytest.mark.slow
+def test_linear_transport_erk33_l9_matches_reference():
+    """verification-linear_transport-erk33.output: L1 = 2.6648e-7."""
+    linf, l1, l2 = run_linear_transport(
+        9, "erk 33", lambda d, m: ell.pack(d)
+    )
+    assert abs(l1 / 2.6648e-7 - 1.0) < 0.10, l1
+
+
+def test_linear_transport_structured_periodic_matches_ell():
+    """Periodic wrap of the structured canvas == ELL gather backend."""
+    r_ell = run_linear_transport(6, "erk 33", lambda d, m: ell.pack(d))
+    r_str = run_linear_transport(
+        6, "erk 33", lambda d, m: structured.pack_structured(d, m)
+    )
+    np.testing.assert_allclose(r_ell, r_str, rtol=1e-10)
+
+
+def test_burgers_shock_stays_in_bounds():
+    """Riding Burgers: initial sin stays within [-1, 1] (maximum principle)."""
+    eq = ScalarConservation(dim=1, flux=burgers(1))
+    mesh = geometry.rectangular_domain(
+        [0.0], [2.0 * np.pi], [1], refinement=7,
+        boundary_conditions=[Boundary.periodic, Boundary.periodic], dim=1,
+    )
+    data = assembly.assemble(mesh)
+    packed = ell.pack(data)
+    hm = HyperbolicModule(eq, packed, _sine, dtype=jnp.float64)
+    ti = TimeIntegrator(hm, "erk 33", cfl_min=0.8, cfl_max=0.8,
+                        cfl_recovery_strategy="none")
+    U = interpolate_nodal(_sine, packed, eq, 0.0, jnp.float64)
+    t = 0.0
+    for _ in range(60):
+        U, tau, ok = ti.step(U, t)
+        t += float(tau)
+    u = np.asarray(U)[0][np.asarray(packed.node_mask) > 0]
+    assert np.isfinite(u).all()
+    assert u.min() > -1.0 - 1e-8 and u.max() < 1.0 + 1e-8
+    assert t > 0.5  # made actual progress
