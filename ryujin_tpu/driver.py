@@ -1,0 +1,285 @@
+"""Top-level time loop driver.
+
+TPU-native re-design of /root/reference/source/time_loop.template.h:219-435:
+construct the full object graph from a Config, interpolate or resume the
+initial state, then advance in device-resident chunks between "timer
+ticks" at which output, checkpointing, quantities accumulation, and
+statistics happen.  The reference synchronizes MPI ranks at every cycle;
+here the device advances `chunk` steps per host round trip and the host
+only syncs at tick boundaries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .equations.dispatch import make_equation, make_initial_state
+from .io.checkpoint import read_checkpoint, write_checkpoint
+from .io.vtu import VTUOutput
+from .offline import assembly, ell, geometry, structured
+from .offline.mesh import Boundary
+from .postprocess.error import compute_error, interpolate_nodal
+from .postprocess.postprocessor import Postprocessor
+from .postprocess.quantities import Quantities
+from .solver.hyperbolic import HyperbolicModule, HyperbolicModuleParams
+from .solver.integrator import TimeIntegrator
+
+_BOUNDARY_NAMES = {
+    "do nothing": Boundary.do_nothing,
+    "periodic": Boundary.periodic,
+    "slip": Boundary.slip,
+    "no slip": Boundary.no_slip,
+    "dirichlet": Boundary.dirichlet,
+    "dynamic": Boundary.dynamic,
+    "dirichlet momentum": Boundary.dirichlet_momentum,
+}
+
+
+def make_mesh(cfg: Config):
+    """Geometry dispatch (the analog of Geometries::populate_geometry_list,
+    /root/reference/source/geometry_library.h:35)."""
+    d = cfg.discretization
+    p = dict(d.parameters)
+    dim = cfg.equation.dimension
+    if d.geometry == "rectangular domain":
+        bcs = [
+            _BOUNDARY_NAMES[b] if isinstance(b, str) else b
+            for b in p.pop(
+                "boundary_conditions", ["dirichlet"] * (2 * dim)
+            )
+        ]
+        mesh = geometry.rectangular_domain(
+            p.pop("position_bottom_left", [0.0] * dim),
+            p.pop("position_top_right", [1.0] * dim),
+            p.pop("subdivisions", [1] * dim),
+            refinement=d.mesh_refinement,
+            boundary_conditions=bcs,
+            dim=dim,
+        )
+    elif d.geometry == "step":
+        mesh = geometry.step(refinement=d.mesh_refinement, **p)
+        p = {}
+    elif d.geometry == "cylinder":
+        mesh = geometry.cylinder(refinement=d.mesh_refinement, **p)
+        p = {}
+    else:
+        raise ValueError(f"unknown geometry '{d.geometry}'")
+    if p:
+        raise ValueError(f"unknown geometry parameters: {sorted(p)}")
+    return mesh
+
+
+class TimeLoop:
+    """Constructs the object graph and runs the main loop."""
+
+    def __init__(self, config: Config):
+        self.config = config
+        self.eq = make_equation(config.equation)
+        self.mesh = make_mesh(config)
+        self.offline_data = assembly.assemble(self.mesh)
+
+        self.dtype = (
+            jnp.float32 if config.precision == "float32" else jnp.float64
+        )
+        if self.mesh.structured_index is not None:
+            self.packed = structured.pack_structured(
+                self.offline_data, self.mesh
+            )
+        else:
+            self.packed = ell.pack(self.offline_data)
+
+        backend = config.backend
+        if backend == "auto":
+            backend = (
+                "pallas"
+                if (
+                    jax.default_backend() == "tpu"
+                    and isinstance(self.packed, structured.StructuredData)
+                    and self.packed.dim == 2
+                    and self.dtype == jnp.float32
+                )
+                else "xla"
+            )
+        self.backend = backend
+
+        self.initial_state_fn = make_initial_state(
+            self.eq, config.initial_values
+        )
+        hm_cfg = config.hyperbolic_module
+        params = HyperbolicModuleParams(
+            evc_factor=hm_cfg.evc_factor,
+            limiter_iterations=hm_cfg.limiter_iterations,
+            limiter_newton_max_iterations=hm_cfg.limiter_newton_max_iterations,
+            limiter_newton_tolerance=hm_cfg.limiter_newton_tolerance,
+            limiter_relaxation_factor=hm_cfg.limiter_relaxation_factor,
+            riemann_newton_max_iterations=hm_cfg.riemann_newton_max_iterations,
+            riemann_newton_tolerance=hm_cfg.riemann_newton_tolerance,
+        )
+        self.hyperbolic_module = HyperbolicModule(
+            self.eq, self.packed, self.initial_state_fn,
+            params=params, dtype=self.dtype, backend=backend,
+        )
+        ti_cfg = config.time_integrator
+        self.time_integrator = TimeIntegrator(
+            self.hyperbolic_module,
+            scheme=ti_cfg.time_stepping_scheme,
+            cfl_min=ti_cfg.cfl_min,
+            cfl_max=ti_cfg.cfl_max,
+            cfl_recovery_strategy=ti_cfg.cfl_recovery_strategy,
+        )
+
+        v_cfg = config.vtu_output
+        # the postprocessor needs an XLA-capable stencil for gradients:
+        from .solver.hyperbolic import StructuredStencil, _stencil_from_ell
+
+        if isinstance(self.packed, structured.StructuredData):
+            pp_stencil = StructuredStencil.from_data(self.packed, self.dtype)
+        else:
+            pp_stencil = _stencil_from_ell(self.packed, self.dtype)
+        self.postprocessor = Postprocessor(
+            eq=self.eq,
+            stencil=pp_stencil,
+            schlieren_beta=v_cfg.schlieren_beta,
+            schlieren_quantities=tuple(v_cfg.schlieren_quantities),
+            vorticity_quantities=tuple(v_cfg.vorticity_quantities),
+        )
+        self.vtu_output = VTUOutput(
+            self.eq, self.mesh, self.packed,
+            postprocessor=self.postprocessor,
+            use_primitive=v_cfg.use_primitive,
+        )
+        self.quantities = Quantities(
+            self.eq, self.packed, config.quantities,
+            basename=config.time_loop.basename,
+        )
+
+        # statistics
+        self.n_steps_total = 0
+        self.wall_compute = 0.0
+
+    # ------------------------------------------------------------------
+    def run(self, chunk: int = 32, quiet: bool = False) -> Dict:
+        cfg = self.config.time_loop
+        eq = self.eq
+        ti = self.time_integrator
+
+        if cfg.resume:
+            U_np, t, cycle = read_checkpoint(cfg.basename, self.mesh)
+            U = jnp.asarray(U_np, self.dtype)
+        else:
+            U = interpolate_nodal(
+                self.initial_state_fn, self.packed, eq, 0.0, self.dtype
+            )
+            t, cycle = 0.0, 0
+            self._tick_output(U, t, cycle)
+
+        t_final = cfg.final_time
+        granularity = cfg.timer_granularity
+        last_report = time.perf_counter()
+
+        while t < t_final - 1e-12:
+            next_tick = min(t_final, (int(t / granularity) + 1) * granularity)
+            wall0 = time.perf_counter()
+            steps_this_tick = 0
+            while t < next_tick - 1e-12:
+                U, _, t_dev, tau, restarts, warns = ti.advance(
+                    U, t, chunk, t_final=next_tick
+                )
+                t = float(t_dev)
+                ti.n_restarts += int(restarts)
+                ti.n_warnings += int(warns)
+                steps_this_tick += chunk
+                if float(tau) <= 0.0:
+                    break
+                now = time.perf_counter()
+                if (
+                    not quiet
+                    and now - last_report > cfg.terminal_update_interval
+                ):
+                    self._print_cycle(t, steps_this_tick, now - wall0)
+                    last_report = now
+            self.wall_compute += time.perf_counter() - wall0
+            self.n_steps_total += steps_this_tick
+            cycle += 1
+            self._tick_output(U, t, cycle)
+            if not quiet:
+                self._print_cycle(t, steps_this_tick,
+                                  time.perf_counter() - wall0)
+
+        result = {"t": t, "cycles": cycle, "U": U}
+        if cfg.enable_compute_error:
+            comps = list(cfg.error_quantities) or eq.component_names
+            linf, l1, l2 = compute_error(
+                eq, self.mesh, self.packed, np.asarray(U), t,
+                self.initial_state_fn, components=comps,
+                normalize=cfg.error_normalize,
+            )
+            result.update({"Linf": linf, "L1": l1, "L2": l2})
+            if not quiet:
+                n_dofs = self.packed.n_nodes
+                print(
+                    "Normalized consolidated Linf, L1, and L2 errors at "
+                    "final time"
+                )
+                print(f"#dofs = {n_dofs}")
+                print(f"t     = {t:.14g}")
+                print(f"Linf  = {linf:.14g}")
+                print(f"L1    = {l1:.14g}")
+                print(f"L2    = {l2:.14g}")
+        if not quiet:
+            self._print_summary()
+        return result
+
+    # ------------------------------------------------------------------
+    def _tick_output(self, U, t, cycle):
+        cfg = self.config.time_loop
+        Up, _ = self.hyperbolic_module.prepare_state_vector(
+            U, jnp.asarray(t, self.dtype)
+        )
+        if cfg.enable_output_full:
+            self.vtu_output.schedule_output(
+                f"{cfg.basename}-{cycle:05d}.vtu", Up
+            )
+        self.quantities.accumulate(Up, t)
+        if (
+            cfg.enable_checkpointing
+            and cycle % max(1, cfg.timer_checkpoint_multiplier) == 0
+        ):
+            write_checkpoint(cfg.basename, self.mesh, np.asarray(U), t, cycle)
+
+    def _print_cycle(self, t, steps, wall):
+        eff = self.time_integrator.efficiency
+        n = self.packed.n_nodes
+        substeps = steps * _substeps_per_step(self.time_integrator)
+        mqs = n * substeps / max(wall, 1e-9) / 1e6
+        print(
+            f"  t = {t:10.6f}  |  {steps} steps  |  "
+            f"{mqs:9.2f} MQ/s  |  restarts {self.time_integrator.n_restarts}"
+        )
+
+    def _print_summary(self):
+        n = self.packed.n_nodes
+        substeps = self.n_steps_total * _substeps_per_step(self.time_integrator)
+        wall = max(self.wall_compute, 1e-9)
+        print("Timer and throughput summary:")
+        print(f"  dofs:              {n}")
+        print(f"  steps:             {self.n_steps_total}")
+        print(f"  wall (compute):    {wall:.2f} s")
+        print(f"  MQ/s:              {n * substeps / wall / 1e6:.2f}")
+        print(f"  s/Qdof/substep:    {wall / max(n * substeps, 1):.3e}")
+        print(f"  restarts:          {self.time_integrator.n_restarts}")
+        print(f"  warnings:          {self.time_integrator.n_warnings}")
+
+
+def _substeps_per_step(ti: TimeIntegrator) -> int:
+    from .solver.integrator import TABLEAUX
+
+    tb = TABLEAUX.get(ti.scheme)
+    return tb.n_sub if tb is not None else 1

@@ -114,7 +114,7 @@ class ScalarConservation:
     flux: FluxFunction
     riemann: RiemannParams = RiemannParams()
 
-    name = "scalar conservation equation"
+    name = "scalar conservation"
     n_initial_precomputed = 0
     n_precomputation_cycles = 1
     n_bounds = 2  # [u_min, u_max]

@@ -1,0 +1,123 @@
+"""Minimal VTU (VTK XML unstructured grid) writer.
+
+TPU-native analog of /root/reference/source/vtu_output.template.h: writes
+the conserved components, primitive components, selected precomputed
+fields, the indicator alpha, and postprocessor fields as point data over
+the Q1 mesh.  Pure-python ascii/base64 writer — no VTK dependency.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+_VTK_CELL = {1: 3, 2: 9, 3: 12}  # line, quad, hexahedron
+# deal.II vertex ordering -> VTK ordering per cell type:
+_VTK_PERM = {
+    1: [0, 1],
+    2: [0, 1, 3, 2],
+    3: [0, 1, 3, 2, 4, 5, 7, 6],
+}
+
+
+def _b64(arr: np.ndarray) -> str:
+    raw = arr.tobytes()
+    header = struct.pack("<I", len(raw))
+    return base64.b64encode(header + raw).decode("ascii")
+
+
+def write_vtu(
+    filename: str,
+    mesh,
+    point_data: Dict[str, np.ndarray],
+) -> None:
+    """Write mesh + nodal fields (values per raw mesh vertex) to `filename`."""
+    dim = mesh.dim
+    pts = np.zeros((mesh.n_vertices, 3), dtype=np.float32)
+    pts[:, :dim] = mesh.vertices
+    cells = mesh.cells[:, _VTK_PERM[dim]].astype(np.int64)
+    n_cells, nv = cells.shape
+
+    connectivity = cells.ravel()
+    offsets = np.arange(1, n_cells + 1, dtype=np.int64) * nv
+    types = np.full(n_cells, _VTK_CELL[dim], dtype=np.uint8)
+
+    with open(filename, "w") as f:
+        f.write('<?xml version="1.0"?>\n')
+        f.write(
+            '<VTKFile type="UnstructuredGrid" version="0.1" '
+            'byte_order="LittleEndian">\n'
+        )
+        f.write("  <UnstructuredGrid>\n")
+        f.write(
+            f'    <Piece NumberOfPoints="{len(pts)}" '
+            f'NumberOfCells="{n_cells}">\n'
+        )
+        f.write("      <Points>\n")
+        f.write(
+            '        <DataArray type="Float32" NumberOfComponents="3" '
+            'format="binary">\n'
+        )
+        f.write(_b64(pts) + "\n")
+        f.write("        </DataArray>\n      </Points>\n")
+        f.write("      <Cells>\n")
+        f.write(
+            '        <DataArray type="Int64" Name="connectivity" '
+            'format="binary">\n' + _b64(connectivity) + "\n        "
+            "</DataArray>\n"
+        )
+        f.write(
+            '        <DataArray type="Int64" Name="offsets" '
+            'format="binary">\n' + _b64(offsets) + "\n        </DataArray>\n"
+        )
+        f.write(
+            '        <DataArray type="UInt8" Name="types" '
+            'format="binary">\n' + _b64(types) + "\n        </DataArray>\n"
+        )
+        f.write("      </Cells>\n")
+        f.write("      <PointData>\n")
+        for name, values in point_data.items():
+            v = np.asarray(values, dtype=np.float32).ravel()
+            assert v.shape[0] == len(pts), (name, v.shape, len(pts))
+            f.write(
+                f'        <DataArray type="Float32" Name="{name}" '
+                'format="binary">\n' + _b64(v) + "\n        </DataArray>\n"
+            )
+        f.write("      </PointData>\n")
+        f.write("    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
+
+
+class VTUOutput:
+    """Schedules VTU output of solution fields (vtu_output.h:29-120)."""
+
+    def __init__(self, eq, mesh, packed, postprocessor=None,
+                 use_primitive: bool = True):
+        self.eq = eq
+        self.mesh = mesh
+        self.packed = packed
+        self.postprocessor = postprocessor
+        self.use_primitive = use_primitive
+
+    def schedule_output(self, filename: str, U, alpha=None) -> None:
+        import jax.numpy as jnp
+
+        v2n = self.packed.vertex_to_node
+        U_np = np.asarray(U)
+        data: Dict[str, np.ndarray] = {}
+        for k, name in enumerate(self.eq.component_names):
+            data[name] = U_np[k][v2n]
+        if self.use_primitive:
+            prim = np.asarray(self.eq.to_primitive_state(jnp.asarray(U_np)))
+            for k, name in enumerate(self.eq.primitive_component_names):
+                if name not in data:
+                    data[name] = prim[k][v2n]
+        if alpha is not None:
+            data["alpha"] = np.asarray(alpha)[v2n]
+        if self.postprocessor is not None:
+            fields = self.postprocessor.compute(jnp.asarray(U_np))
+            for name, f in zip(self.postprocessor.component_names, fields):
+                data[name] = f[v2n]
+        write_vtu(filename, self.mesh, data)

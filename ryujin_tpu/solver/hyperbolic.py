@@ -554,6 +554,7 @@ class HyperbolicModule:
         tau,
         cfl,
         tau_cap,
+        compute_tau=True,
         stencil=None,
     ):
         """One forward-Euler IDP substep.
@@ -567,9 +568,12 @@ class HyperbolicModule:
             (the reference instead instantiates step<stages> per stage
             count, hyperbolic_module.h:208-223).
           stage_weights: traced [S] stage weights.
-          tau: step size; pass 0.0 to use the computed tau_max.
+          tau: step size (ignored when compute_tau).
           cfl: relative CFL number (traced scalar ok).
           tau_cap: upper bound for the computed tau (t_final - t etc.).
+          compute_tau: traced bool; when set, use the computed tau_max
+            instead of `tau` (a capped tau_max may legitimately be zero,
+            so a tau==0 sentinel cannot express this).
           stencil: the (traced) stencil pytree; defaults to self.stencil.
             Passing it as an argument avoids embedding the mesh arrays as
             jit constants (XLA would constant-fold over the whole mesh at
@@ -580,7 +584,7 @@ class HyperbolicModule:
         if self._pallas is not None:
             return self._pallas.step(
                 U_old, prec_old, stage_U, stage_prec, stage_weights,
-                tau, cfl, tau_cap, stencil,
+                tau, cfl, tau_cap, compute_tau, stencil,
             )
 
         eq = self.eq
@@ -607,7 +611,7 @@ class HyperbolicModule:
         # ---- steps 2/3: d_ij (both directions, local), alpha, tau_max ---
         d, alpha = phase_d_alpha(eq, p, st, U_old, prec_old, U_j, prec_j)
         tau_max = tau_max_from_d(st, d, cfl, tau_cap)
-        tau = jnp.where(tau == 0.0, tau_max, tau)
+        tau = jnp.where(compute_tau, tau_max, tau)
 
         # ---- step 4: low-order update, bounds, F_i ----------------------
         alpha_j = st.nbr(alpha)

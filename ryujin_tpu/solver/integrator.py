@@ -235,7 +235,7 @@ class TimeIntegrator:
             )
             T, tau, ok_i = hm.step(
                 Uc, pc, buf_U[:S], buf_P[:S], w_row, tau, cfl, cap_i,
-                stencil=stencil,
+                compute_tau=(idx == 0), stencil=stencil,
             )
             T = ab[0] * T + ab[1] * buf_U[0]
             Tp, pn = hm.prepare_state_vector(T, t + c_i * tau)

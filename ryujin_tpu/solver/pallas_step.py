@@ -408,7 +408,7 @@ class PallasStepper:
 
     # -- the five kernels ---------------------------------------------------
     def step(self, U, prec, stage_U, stage_prec, stage_weights, tau, cfl,
-             tau_cap, stencil):
+             tau_cap, compute_tau, stencil):
         """Same contract as HyperbolicModule.step (node-last flat arrays)."""
         eq, p = self.eq, self.params
         ga = stencil if isinstance(stencil, PallasArrays) else self.arrays
@@ -473,7 +473,7 @@ class PallasStepper:
         tau_max = hyp.tau_max_from_d(
             sa_flat, d.reshape(K, H * W), cfl, tau_cap
         )
-        tau = jnp.where(tau == 0.0, tau_max, tau).astype(dtype)
+        tau = jnp.where(compute_tau, tau_max, tau).astype(dtype)
 
         # ---- PK2: low-order + F + bounds --------------------------------
         n_b = eq.n_bounds
