@@ -109,9 +109,14 @@ class TimeLoop:
             )
         self.backend = backend
 
-        self.initial_state_fn = make_initial_state(
-            self.eq, config.initial_values
-        )
+        init = make_initial_state(self.eq, config.initial_values)
+        initial_precomputed = None
+        if hasattr(init, "bathymetry"):
+            pos = jnp.asarray(self.packed.positions.T, self.dtype)
+            initial_precomputed = init.bathymetry(pos)[None]
+            init = init.state
+        self.initial_state_fn = init
+        self._initial_precomputed = initial_precomputed
         hm_cfg = config.hyperbolic_module
         params = HyperbolicModuleParams(
             evc_factor=hm_cfg.evc_factor,
@@ -125,6 +130,7 @@ class TimeLoop:
         self.hyperbolic_module = HyperbolicModule(
             self.eq, self.packed, self.initial_state_fn,
             params=params, dtype=self.dtype, backend=backend,
+            initial_precomputed=self._initial_precomputed,
         )
         ti_cfg = config.time_integrator
         self.time_integrator = TimeIntegrator(

@@ -120,10 +120,39 @@ def _scalar_initial(eq, cfg: InitialValuesConfig):
     raise ValueError(f"unknown configuration '{cfg.configuration}'")
 
 
+def _build_shallow_water(cfg: EquationConfig):
+    from .shallow_water import (
+        ShallowWater, ShallowWaterParams, SWLimiterOptions,
+    )
+
+    p = dict(cfg.parameters)
+    opts = SWLimiterOptions(
+        limit_on_kinetic_energy=p.pop("limit_on_kinetic_energy", False),
+        limit_on_square_velocity=p.pop("limit_on_square_velocity", True),
+    )
+    return ShallowWater(
+        dim=cfg.dimension, params=ShallowWaterParams(**p),
+        limiter_options=opts,
+    )
+
+
+def _shallow_water_initial(eq, cfg: InitialValuesConfig):
+    from . import shallow_water_initial_states as lib
+
+    return lib.make_initial_state(
+        eq, cfg.configuration, direction=cfg.direction,
+        position=cfg.position, **cfg.parameters,
+    )
+
+
 REGISTRY: Dict[str, Dict[str, Callable]] = {
     "euler": {"equation": _build_euler, "initial_state": _euler_initial},
     "scalar conservation": {
         "equation": _build_scalar, "initial_state": _scalar_initial,
+    },
+    "shallow water": {
+        "equation": _build_shallow_water,
+        "initial_state": _shallow_water_initial,
     },
 }
 

@@ -267,19 +267,55 @@ def tau_max_from_d(sa, d, cfl, tau_cap):
     return jnp.minimum(tau_max, tau_cap)
 
 
-def _high_order_fluxes(eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j):
+def _expand_edges(flux, node_ndim=1):
+    """Insert a broadcast edge axis before the node axes.
+
+    node_ndim is 1 for flat [.., n] arrays and 2 inside the Pallas tiles
+    where the node axis is a [.., TH, TW] canvas block.
+    """
+    return jax.tree.map(
+        lambda x: jnp.expand_dims(x, x.ndim - node_ndim), flux
+    )
+
+
+def _fluxes(eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j):
+    """Edge and diagonal flux divergences (+ the raw flux contributions).
+
+    flux contributions are opaque pytrees (a flux tensor for Euler, a
+    (U, Z) tuple for shallow water); evaluating them on the gathered
+    neighbor states equals gathering the nodal contributions since they
+    are pointwise in (precomputed, initial_precomputed, U).
+    """
     flux_i = eq.flux_contribution(prec, init_prec, U)
-    # flux is pointwise in (prec, U), so evaluating it on the gathered
-    # neighbor states equals gathering the nodal flux:
     flux_j = eq.flux_contribution(prec_j, init_prec_j, U_j)
-    flux_ij = eq.flux_divergence(flux_i[:, :, None], flux_j, sa.cij)
+    flux_i_e = _expand_edges(flux_i, sa.mask.ndim - 1)
+    flux_ij = eq.flux_divergence(flux_i_e, flux_j, sa.cij)
     flux_ii = eq.flux_divergence(flux_i, flux_i, sa.cii)
-    return flux_ij, flux_ii
+    return flux_i, flux_i_e, flux_j, flux_ij, flux_ii
 
 
-def _stage_flux_sum(eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
-                    stage_weights, init_prec, init_prec_j, want_P):
-    """Accumulated stage contributions (sum_s w_s flux^s) via lax.cond slots."""
+def _graph_dU(eq, U, U_j, flux_i_e, flux_j):
+    """The d_ij (U_j - U_i) difference; shallow water replaces the states
+    with the hydrostatically reconstructed (equilibrated) states
+    (hyperbolic_module.template.h:781-795)."""
+    if getattr(eq, "have_equilibrated_states", False):
+        U_star_ij, U_star_ji = eq.equilibrated_states(flux_i_e, flux_j)
+        return U_star_ji - U_star_ij
+    return U_j - U[:, None]
+
+
+def _hof_divergence(eq, flux_a, flux_b, c):
+    if getattr(eq, "have_high_order_flux", False):
+        return eq.high_order_flux_divergence(flux_a, flux_b, c)
+    return eq.flux_divergence(flux_a, flux_b, c)
+
+
+def _stage_terms(eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
+                 stage_weights, init_prec, init_prec_j, tau, want_P):
+    """Accumulated stage contributions via lax.cond slots.
+
+    Returns (F_increment [C, n], P_increment [C, K, n] or scalar 0).
+    """
     S = stage_U.shape[0] if stage_U is not None else 0
     F_acc = None
     P_acc = None
@@ -287,20 +323,42 @@ def _stage_flux_sum(eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
         w_s = stage_weights[s]
 
         def _compute(_, s=s, w_s=w_s):
-            flux_s_ij, flux_s_ii = _high_order_fluxes(
-                eq, sa, stage_prec[s], init_prec, stage_U[s],
-                stage_U_j[s], stage_prec_j[s], init_prec_j,
+            flux_s_i = eq.flux_contribution(
+                stage_prec[s], init_prec, stage_U[s]
             )
-            F_inc = w_s * (jnp.sum(flux_s_ij * m, axis=1) + flux_s_ii)
-            P_inc = w_s * flux_s_ij if want_P else jnp.zeros((), F_inc.dtype)
-            return F_inc, P_inc
+            flux_s_j = eq.flux_contribution(
+                stage_prec_j[s], init_prec_j, stage_U_j[s]
+            )
+            hof_s = _hof_divergence(
+                eq, _expand_edges(flux_s_i, sa.mask.ndim - 1),
+                flux_s_j, sa.cij,
+            )
+            hof_s_ii = _hof_divergence(eq, flux_s_i, flux_s_i, sa.cii)
+            F_inc = jnp.sum(hof_s * m, axis=1) + hof_s_ii
+            P_inc = hof_s
+            if getattr(eq, "have_source_terms", False):
+                S_js = eq.nodal_source(stage_prec_j[s], stage_U_j[s], tau)
+                S_is = eq.nodal_source(stage_prec[s], stage_U[s], tau)
+                m_ii = sa.m_lumped - jnp.sum(sa.mij * sa.mask, axis=0)
+                F_inc = (
+                    F_inc
+                    + jnp.sum(sa.mij[None] * S_js * m, axis=1)
+                    + m_ii[None] * S_is
+                )
+                P_inc = P_inc + sa.mij[None] * S_js
+            if not want_P:
+                P_inc = jnp.zeros((), F_inc.dtype)
+            return w_s * F_inc, w_s * P_inc
 
         def _zero(_, s=s):
+            shape_P = (
+                stage_U[s].shape[:1] + sa.mask.shape
+                if want_P
+                else ()
+            )
             return (
                 jnp.zeros_like(stage_U[s]),
-                jnp.zeros(
-                    stage_U[s].shape[:1] + sa.mask.shape, stage_U.dtype
-                ) if want_P else jnp.zeros((), stage_U.dtype),
+                jnp.zeros(shape_P, stage_U.dtype),
             )
 
         F_inc, P_inc = jax.lax.cond(w_s != 0.0, _compute, _zero, None)
@@ -308,6 +366,40 @@ def _stage_flux_sum(eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
         if want_P:
             P_acc = P_inc if P_acc is None else P_acc + P_inc
     return F_acc, P_acc
+
+
+def _stage_source_sum(eq, stage_prec, stage_U, stage_weights, tau):
+    """sum_s w_s S(U_s) for the nodal source accumulation S_iH."""
+    S = stage_U.shape[0] if stage_U is not None else 0
+    acc = None
+    for s in range(S):
+        w_s = stage_weights[s]
+        inc = jax.lax.cond(
+            w_s != 0.0,
+            lambda _, s=s, w_s=w_s: w_s * eq.nodal_source(
+                stage_prec[s], stage_U[s], tau
+            ),
+            lambda _, s=s: jnp.zeros_like(stage_U[s]),
+            None,
+        )
+        acc = inc if acc is None else acc + inc
+    return acc
+
+
+def _affine_shift(eq, sa, flux_i, flux_i_e, flux_j, d, tau, S_i):
+    """Shallow-water affine shift accumulated over the stencil incl. the
+    diagonal (hyperbolic_module.template.h:692-721)."""
+    shift = 0.0
+    if getattr(eq, "have_equilibrated_states", False):
+        B = eq.affine_shift(flux_i_e, flux_j, sa.cij, d)
+        d_ii = -jnp.sum(d, axis=0)
+        B_ii = eq.affine_shift(flux_i, flux_i, sa.cii, d_ii)
+        shift = (
+            jnp.sum(B * sa.mask[None], axis=1) + B_ii
+        ) * (tau * sa.m_lumped_inv)[None]
+    if getattr(eq, "have_source_terms", False):
+        shift = shift + tau * S_i
+    return shift
 
 
 def phase_low_order(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
@@ -327,31 +419,61 @@ def phase_low_order(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
     )
     scaled_c_ij = sa.cij / jnp.maximum(d, regularization)[None]
 
-    flux_ij, flux_ii = _high_order_fluxes(
+    flux_i, flux_i_e, flux_j, flux_ij, flux_ii = _fluxes(
         eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j
     )
-    dU = U_j - U[:, None]
+    dU = _graph_dU(eq, U, U_j, flux_i_e, flux_j)
     m = sa.mask[None]
+
+    have_src = getattr(eq, "have_source_terms", False)
+    S_i = eq.nodal_source(prec, U, tau) if have_src else None
+    S_j = eq.nodal_source(prec_j, U_j, tau) if have_src else None
 
     U_low = U + (tau * sa.m_lumped_inv)[None] * (
         jnp.sum((flux_ij + d[None] * dU) * m, axis=1) + flux_ii
     )
+    if have_src:
+        U_low = U_low + tau * S_i
+
+    if getattr(eq, "have_high_order_flux", False):
+        hof_ij = eq.high_order_flux_divergence(flux_i_e, flux_j, sa.cij)
+        hof_ii = eq.high_order_flux_divergence(flux_i, flux_i, sa.cii)
+    else:
+        hof_ij, hof_ii = flux_ij, flux_ii
+
     F = (
-        jnp.sum((d_H[None] * dU + weight * flux_ij) * m, axis=1)
-        + weight * flux_ii
+        jnp.sum((d_H[None] * dU + weight * hof_ij) * m, axis=1)
+        + weight * hof_ii
     )
+    if have_src:
+        # The reference accumulates F += m_i S_iH then F -= m_ij S_iH over
+        # the whole row (hyperbolic_module.template.h:686, :816-820); with
+        # m_i = sum_j m_ij (incl. diagonal) these cancel exactly, leaving
+        # only the neighbor-source part weight sum_j m_ij S_j + stages:
+        m_ii = sa.m_lumped - jnp.sum(sa.mij * sa.mask, axis=0)
+        F = F + weight * (
+            jnp.sum(sa.mij[None] * S_j * m, axis=1) + m_ii[None] * S_i
+        )
     if S:
-        F_inc, _ = _stage_flux_sum(
+        F_inc, _ = _stage_terms(
             eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
-            stage_weights, init_prec, init_prec_j, want_P=False,
+            stage_weights, init_prec, init_prec_j, tau, want_P=False,
         )
         F = F + F_inc
 
     hd_i = sa.m_lumped * sa.measure_inv
-    bounds = eq.limiter_bounds(
-        U, prec, U_j, prec_j, scaled_c_ij, sa.mask, hd_i,
-        relaxation_factor=p.limiter_relaxation_factor,
-    )
+    if getattr(eq, "limiter_needs_fluxes", False):
+        shift = _affine_shift(eq, sa, flux_i, flux_i_e, flux_j, d, tau, S_i)
+        bounds = eq.limiter_bounds(
+            U, prec, U_j, prec_j, scaled_c_ij, sa.mask, hd_i,
+            relaxation_factor=p.limiter_relaxation_factor,
+            flux_i=flux_i_e, flux_j=flux_j, affine_shift=shift,
+        )
+    else:
+        bounds = eq.limiter_bounds(
+            U, prec, U_j, prec_j, scaled_c_ij, sa.mask, hd_i,
+            relaxation_factor=p.limiter_relaxation_factor,
+        )
     return U_low, F, bounds
 
 
@@ -367,20 +489,33 @@ def phase_p_l1(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
     weight = 1.0 - (jnp.sum(stage_weights) if S else 0.0)
 
     d_H = d * (0.5 * (alpha[None] + alpha_j))
-    flux_ij, _ = _high_order_fluxes(
+    flux_i, flux_i_e, flux_j, flux_ij, _ = _fluxes(
         eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j
     )
-    dU = U_j - U[:, None]
+    dU = _graph_dU(eq, U, U_j, flux_i_e, flux_j)
 
-    P = (weight - 1.0) * flux_ij + (d_H - d)[None] * dU
+    if getattr(eq, "have_high_order_flux", False):
+        hof_ij = eq.high_order_flux_divergence(flux_i_e, flux_j, sa.cij)
+    else:
+        hof_ij = flux_ij
+
+    P = -flux_ij + weight * hof_ij + (d_H - d)[None] * dU
+    have_src = getattr(eq, "have_source_terms", False)
+    if have_src:
+        S_i = eq.nodal_source(prec, U, tau)
+        S_j = eq.nodal_source(prec_j, U_j, tau)
+        P = P - sa.mij[None] * S_i[:, None] + weight * sa.mij[None] * S_j
     if S:
         m = sa.mask[None]
-        _, P_inc = _stage_flux_sum(
+        _, P_inc = _stage_terms(
             eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
-            stage_weights, init_prec, init_prec_j, want_P=True,
+            stage_weights, init_prec, init_prec_j, tau, want_P=True,
         )
         P = P + P_inc
 
+    # The diagonal P_ii entry is never applied: the reference's steps 5
+    # and 6 skip the diagonal column (hyperbolic_module.template.h:963,
+    # :1090 "Skip diagonal").
     b_ij = -sa.mij / m_j  # kronecker term vanishes off-diagonal
     b_ji = -sa.mij * sa.m_lumped_inv[None]
     P = P + b_ij[None] * F_j - b_ji[None] * F[:, None]
@@ -399,9 +534,11 @@ def phase_p_l1(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
 def phase_update(eq, p, sa, U_cur, bounds, P, l, l_T, last: bool):
     """Steps 6/7: symmetrized limited high-order update.
 
-    l_T is the transposed-edge gather of l (caller-provided).  When not
-    `last`, also returns the next-pass l' = (1 - l_sym) l2 implementing the
-    reference shortcut (hyperbolic_module.template.h:1163-1170).
+    The diagonal column is skipped, matching the reference
+    (hyperbolic_module.template.h:1090).  l_T is the transposed-edge
+    gather of l (caller-provided).  When not `last`, also returns the
+    next-pass l' = (1 - l_sym) l2 implementing the reference shortcut
+    (hyperbolic_module.template.h:1163-1170).
     """
     l_sym = jnp.minimum(l, l_T)
     lam_i = (1.0 / sa.n_nbrs)[None]

@@ -38,7 +38,8 @@ def test_pallas_interpret_matches_xla():
         U = interpolate_nodal(init, packed, eq, 0.0, jnp.float32)
         out = ti.advance(U, 0.0, 3)
         res[be] = (np.asarray(out[0]), float(out[2]), int(out[5]))
-    assert res["xla"][1] == res["pallas_interpret"][1]  # same trajectory
+    # same trajectory up to f32 reassociation differences in tau:
+    assert abs(res["xla"][1] / res["pallas_interpret"][1] - 1.0) < 1e-4
     d = np.abs(res["xla"][0] - res["pallas_interpret"][0]).max()
     assert np.isfinite(res["pallas_interpret"][0]).all()
     assert d < 2e-4, d
