@@ -145,8 +145,48 @@ def _shallow_water_initial(eq, cfg: InitialValuesConfig):
     )
 
 
+def _build_euler_aeos(cfg: EquationConfig):
+    from . import euler_aeos as ae
+
+    p = dict(cfg.parameters)
+    eos_name = p.pop("equation_of_state", "polytropic gas")
+    eos_params = p.pop("eos_parameters", {})
+    eos = ae.EOS_LIBRARY[eos_name](**eos_params)
+    return ae.EulerAEOS(
+        dim=cfg.dimension, eos=eos, params=ae.EulerAEOSParams(**p)
+    )
+
+
+def _euler_aeos_initial(eq, cfg: InitialValuesConfig):
+    # the gamma-law initial states (vortex etc.) apply whenever the EOS
+    # carries a polytropic gamma; fall back to expression states:
+    import types
+
+    from . import euler_initial_states as lib
+
+    if cfg.configuration == "function":
+        from .euler_initial_states import galilei_wrap
+
+        fn = _expression_fn(cfg.parameters["expression"], eq.n_comp, eq.dim)
+        direction = cfg.direction or [1.0] + [0.0] * (eq.dim - 1)
+        position = cfg.position or [0.0] * eq.dim
+        return galilei_wrap(fn, direction, position, eq.dim)
+    params = dict(cfg.parameters)
+    gamma = params.pop("gamma", 1.4)
+    facade = types.SimpleNamespace(
+        params=types.SimpleNamespace(gamma=gamma), dim=eq.dim
+    )
+    return lib.make_initial_state(
+        facade, cfg.configuration, direction=cfg.direction,
+        position=cfg.position, **params,
+    )
+
+
 REGISTRY: Dict[str, Dict[str, Callable]] = {
     "euler": {"equation": _build_euler, "initial_state": _euler_initial},
+    "euler aeos": {
+        "equation": _build_euler_aeos, "initial_state": _euler_aeos_initial,
+    },
     "scalar conservation": {
         "equation": _build_scalar, "initial_state": _scalar_initial,
     },

@@ -612,6 +612,9 @@ class HyperbolicModule:
             self.stencil = StructuredStencil.from_data(ell, dtype)
         else:
             self.stencil = _stencil_from_ell(ell, dtype)
+        # prepare_state_vector needs a gather/shift-capable stencil even
+        # when the pallas backend replaces self.stencil with raw canvases:
+        self._xla_stencil = self.stencil
         self._pallas = None
         if backend.startswith("pallas"):
             if not isinstance(ell, StructuredData):
@@ -651,8 +654,11 @@ class HyperbolicModule:
     # Step 1: boundary conditions + precomputation
     # (hyperbolic_module.template.h:96-193)
     # ------------------------------------------------------------------
-    def prepare_state_vector(self, U: jax.Array, t) -> Tuple[jax.Array, jax.Array]:
+    def prepare_state_vector(self, U: jax.Array, t,
+                             stencil=None) -> Tuple[jax.Array, jax.Array]:
         eq = self.eq
+        if stencil is None or not hasattr(stencil, "nbr"):
+            stencil = self._xla_stencil
         for bc in self.boundary:
             if bc.bc_id == Boundary.do_nothing:
                 continue
@@ -670,12 +676,19 @@ class HyperbolicModule:
             U_b = eq.apply_boundary_conditions(bc.bc_id, U_b, normal, dirichlet)
             U = U.at[:, idx].set(U_b)
 
+        import inspect
+
+        sig = inspect.signature(eq.precompute).parameters
         prec = None
         for cycle in range(eq.n_precomputation_cycles):
-            prec = eq.precompute(U, self.initial_precomputed, cycle=cycle, prev=prec) \
-                if _precompute_takes_prev(eq) else eq.precompute(
-                    U, self.initial_precomputed, cycle=cycle
-                )
+            kwargs = {}
+            if "prev" in sig:
+                kwargs["prev"] = prec
+            if "stencil" in sig:
+                kwargs["stencil"] = stencil
+            prec = eq.precompute(
+                U, self.initial_precomputed, cycle=cycle, **kwargs
+            )
         return U, prec
 
     # ------------------------------------------------------------------
