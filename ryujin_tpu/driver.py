@@ -132,6 +132,21 @@ class TimeLoop:
             params=params, dtype=self.dtype, backend=backend,
             initial_precomputed=self._initial_precomputed,
         )
+        # parabolic subsystem (navier stokes):
+        from .equations.dispatch import REGISTRY
+
+        self.parabolic_solver = None
+        entry = REGISTRY.get(config.equation.equation, {})
+        if "parabolic" in entry:
+            from .solver.parabolic import ParabolicSolver
+
+            system = entry["parabolic"](config.equation)
+            self.parabolic_solver = ParabolicSolver(
+                self.eq, system, self.packed, self.offline_data, self.mesh,
+                self.initial_state_fn,
+                self.hyperbolic_module._xla_stencil, dtype=self.dtype,
+            )
+
         ti_cfg = config.time_integrator
         self.time_integrator = TimeIntegrator(
             self.hyperbolic_module,
@@ -139,6 +154,7 @@ class TimeLoop:
             cfl_min=ti_cfg.cfl_min,
             cfl_max=ti_cfg.cfl_max,
             cfl_recovery_strategy=ti_cfg.cfl_recovery_strategy,
+            parabolic_module=self.parabolic_solver,
         )
 
         v_cfg = config.vtu_output

@@ -182,8 +182,35 @@ def _euler_aeos_initial(eq, cfg: InitialValuesConfig):
     )
 
 
+def _build_navier_stokes(cfg: EquationConfig):
+    # the hyperbolic part IS the Euler system
+    # (navier_stokes/description.h:31-49):
+    keys = {"gamma", "reference_density", "vacuum_state_relaxation_small",
+            "vacuum_state_relaxation_large"}
+    from .euler import Euler, EulerParams
+
+    params = {k: v for k, v in cfg.parameters.items() if k in keys}
+    return Euler(dim=cfg.dimension, params=EulerParams(**params))
+
+
+def _navier_stokes_parabolic(cfg: EquationConfig):
+    from ..solver.parabolic import ParabolicSystem
+
+    p = cfg.parameters
+    return ParabolicSystem(
+        mu=p.get("mu", 1.0e-3),
+        lambda_=p.get("lambda_", 0.0),
+        cv_inverse_kappa=p.get("kappa", 1.866666666666666e-2),
+    )
+
+
 REGISTRY: Dict[str, Dict[str, Callable]] = {
     "euler": {"equation": _build_euler, "initial_state": _euler_initial},
+    "navier stokes": {
+        "equation": _build_navier_stokes,
+        "initial_state": _euler_initial,
+        "parabolic": _navier_stokes_parabolic,
+    },
     "euler aeos": {
         "equation": _build_euler_aeos, "initial_state": _euler_aeos_initial,
     },

@@ -280,8 +280,68 @@ def ramp_up(eq, primitive_initial=(1.4, 0.0, 1.0), primitive_final=(1.4, 3.0, 1.
     return fn
 
 
+def becker_solution(
+    eq,
+    velocity_galilean_frame: float = 0.2,
+    velocity_left: float = 1.0,
+    velocity_right: float = 7.0 / 27.0,
+    density_left: float = 1.0,
+    mu: float = 0.01,
+):
+    """Becker's stationary viscous shock profile
+    (euler/initial_state_becker_solution.h:30-260), the analytic solution
+    used by the Navier-Stokes verification suite.  The implicit velocity
+    profile psi(x, v) = 0 is inverted by a fixed-iteration bisection
+    (jit-friendly; the reference uses a Newton iteration)."""
+    gamma = eq.params.gamma
+    v_l, v_r = velocity_left, velocity_right
+    v0 = math.sqrt(v_l * v_r)
+    Pr = 0.75
+    factor = 2.0 * gamma / (gamma + 1.0) * mu / (density_left * v_l * Pr)
+    c_l = v_l / (v_l - v_r)
+    c_r = v_r / (v_l - v_r)
+    R_infty = (gamma + 1.0) / (gamma - 1.0)
+
+    def stuff(v):
+        log_l = jnp.log(v_l - v) - math.log(v_l - v0)
+        log_r = jnp.log(v - v_r) - math.log(v0 - v_r)
+        return factor * (c_l * log_l - c_r * log_r)
+
+    tol = 1.0e-12
+    v_lo = tol * v_l + (1.0 - tol) * v_r
+    v_hi = (1.0 - tol) * v_l + tol * v_r
+    x_left = float(stuff(jnp.asarray(v_hi)))
+    x_right = float(stuff(jnp.asarray(v_lo)))
+
+    def find_velocity(x):
+        lo = jnp.full_like(x, v_lo)
+        hi = jnp.full_like(x, v_hi)
+        for _ in range(80):
+            mid = 0.5 * (lo + hi)
+            too_large = stuff(mid) < x  # stuff is decreasing in v
+            hi = jnp.where(too_large, mid, hi)
+            lo = jnp.where(too_large, lo, mid)
+        v = 0.5 * (lo + hi)
+        v = jnp.where(x <= x_left, v_l, v)
+        v = jnp.where(x >= x_right, v_r, v)
+        return v
+
+    def fn(points, t):
+        x = points[0] - velocity_galilean_frame * t
+        v = find_velocity(x)
+        rho = density_left * v_l / v
+        e = 1.0 / (2.0 * gamma) * (R_infty * v_l * v_r - v * v)
+        vel = velocity_galilean_frame + v
+        E = rho * (e + 0.5 * vel * vel)
+        zeros = [jnp.zeros_like(rho) for _ in range(eq.dim - 1)]
+        return jnp.stack([rho, rho * vel] + zeros + [E], axis=0)
+
+    return fn
+
+
 LIBRARY = {
     "isentropic vortex": isentropic_vortex,
+    "becker solution": becker_solution,
     "uniform": uniform,
     "contrast": contrast,
     "shock front": shock_front,

@@ -457,5 +457,55 @@ def _face_cell_centers(mesh: Mesh, faces: np.ndarray) -> np.ndarray:
     return mesh.vertices[mesh.cells[cell_ids]].mean(axis=1)
 
 
+def assemble_stiffness(mesh: Mesh, data: SparseOfflineData):
+    """Assemble the gradient-product family K^{ab}_ij = int d_a phi_i d_b phi_j.
+
+    Needed by the Navier-Stokes parabolic solver (the reference evaluates
+    the stress/diffusion bilinear forms matrix-free with FEEvaluation,
+    navier_stokes/parabolic_solver.template.h:485-560; here the operators
+    become stencil matvecs with these statically assembled coefficients).
+
+    Returns (kab_offdiag [nnz, dim, dim], kab_diag [n, dim, dim]) aligned
+    with data.indptr/indices.
+    """
+    dim = mesh.dim
+    nsh = 2**dim
+    cells = mesh.cells
+    acells = data.master[cells]
+    n_raw = data.n_nodes
+
+    qp, qw = _cell_quadrature(dim, 2)
+    N, dN = _shape_q1(dim, qp)
+    X = mesh.vertices[cells]
+    J = np.einsum("qsd,nse->nqed", dN, X)
+    detJ = np.linalg.det(J)
+    Jinv = np.linalg.inv(J)
+    gradN = np.einsum("qsd,nqde->nqse", dN, Jinv)
+    JxW = detJ * qw[None, :]
+
+    cell_k = np.einsum("nqia,nqjb,nq->nijab", gradN, gradN, JxW)
+
+    rows = np.repeat(acells[:, :, None], nsh, axis=2).ravel()
+    cols = np.repeat(acells[:, None, :], nsh, axis=1).ravel()
+    kvals = cell_k.reshape(-1, dim, dim)
+
+    key = rows.astype(np.int64) * n_raw + cols
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq_key, start = np.unique(key_s, return_index=True)
+    k_sum = np.add.reduceat(kvals[order], start, axis=0)
+    ui = (uniq_key // n_raw).astype(np.int64)
+    uj = (uniq_key % n_raw).astype(np.int64)
+
+    diag_mask = ui == uj
+    kab_diag = np.zeros((n_raw, dim, dim))
+    kab_diag[ui[diag_mask]] = k_sum[diag_mask]
+    kab_off = k_sum[~diag_mask]
+    # entries sorted by (i, j) exactly like assemble(); verify alignment:
+    oi, oj = ui[~diag_mask], uj[~diag_mask]
+    assert np.array_equal(oj, data.indices), "stiffness sparsity mismatch"
+    return kab_off, kab_diag
+
+
 # Backwards-compatible alias
 Q1Assembly = SparseOfflineData

@@ -88,6 +88,31 @@ def _locality_order(data: SparseOfflineData, real: np.ndarray) -> np.ndarray:
         return real
 
 
+def pack_edge_values(packed: "EllData", data: SparseOfflineData,
+                     values: np.ndarray) -> np.ndarray:
+    """Pack CSR-aligned per-edge values [nnz, ...] into [n_pad, K, ...]."""
+    K = packed.max_degree
+    out = np.zeros((packed.n_pad, K) + values.shape[1:], values.dtype)
+    order = packed.node_to_vertex[: packed.n_nodes]
+    deg = (data.indptr[1:] - data.indptr[:-1])[order]
+    total = int(deg.sum())
+    cum = np.cumsum(deg) - deg
+    slot = np.arange(total) - np.repeat(cum, deg)
+    src = slot + np.repeat(data.indptr[order], deg)
+    rows_rep = np.repeat(np.arange(len(order)), deg)
+    out[rows_rep, slot] = values[src]
+    return out
+
+
+def pack_node_values(packed: "EllData", values: np.ndarray,
+                     fill=0.0) -> np.ndarray:
+    """Pack per-node values [n_raw, ...] into [n_pad, ...]."""
+    out = np.full((packed.n_pad,) + values.shape[1:], fill, values.dtype)
+    order = packed.node_to_vertex[: packed.n_nodes]
+    out[: packed.n_nodes] = values[order]
+    return out
+
+
 def pack(
     data: SparseOfflineData,
     pad_to: int = 8,

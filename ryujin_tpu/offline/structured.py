@@ -79,6 +79,61 @@ class StructuredData:
     boundary_rounds: List[Dict[int, BoundaryGroup]]
 
 
+def pack_edge_values(sd: StructuredData, data: SparseOfflineData,
+                     mesh: Mesh, values: np.ndarray) -> np.ndarray:
+    """Pack CSR-aligned per-edge values [nnz, ...] into [n_pad, K, ...]."""
+    out = np.zeros((sd.n_pad, sd.max_degree) + values.shape[1:], values.dtype)
+    real = np.flatnonzero(sd.node_to_vertex >= 0)
+    # reconstruct the edge scatter exactly as pack_structured does:
+    rows = sd.node_to_vertex[real]
+    deg = data.indptr[rows + 1] - data.indptr[rows]
+    total = int(deg.sum())
+    cum = np.cumsum(deg) - deg
+    src = (
+        np.arange(total) - np.repeat(cum, deg)
+        + np.repeat(data.indptr[rows], deg)
+    )
+    i_e = np.repeat(rows, deg)
+    j_e = data.indices[src]
+    ci = np.repeat(real, deg)
+    # slot via lattice delta, mirroring pack_structured (incl. the
+    # shortened logical period of periodic dims):
+    si = np.asarray(mesh.structured_index)
+    dim = sd.dim
+    lat_shape = tuple(mesh.structured_shape)
+    realmask = ~data.is_constrained
+    delta = np.empty((len(i_e), dim), dtype=np.int64)
+    for axis in range(dim):
+        d = dim - 1 - axis
+        hi = si[:, d] == lat_shape[d] - 1
+        periodic = bool(hi.any()) and not bool(realmask[hi].any())
+        P = int(lat_shape[d] - 1 if periodic else lat_shape[d])
+        dd = (si[j_e, d] - si[i_e, d]) % P
+        dd = np.where(dd > P // 2, dd - P, dd)
+        delta[:, axis] = dd
+    lut = np.full(3**dim, -1, dtype=np.int64)
+    for k, o in enumerate(sd.offsets):
+        b3 = 0
+        for v in o:
+            b3 = 3 * b3 + (v + 1)
+        lut[b3] = k
+    b3_e = np.zeros(len(i_e), dtype=np.int64)
+    for axis in range(dim):
+        b3_e = 3 * b3_e + (delta[:, axis] + 1)
+    slot = lut[b3_e]
+    out[ci, slot] = values[src]
+    return out
+
+
+def pack_node_values(sd: StructuredData, values: np.ndarray,
+                     fill=0.0) -> np.ndarray:
+    """Pack per-node values [n_raw, ...] into [n_pad, ...]."""
+    out = np.full((sd.n_pad,) + values.shape[1:], fill, values.dtype)
+    real = np.flatnonzero(sd.node_to_vertex >= 0)
+    out[real] = values[sd.node_to_vertex[real]]
+    return out
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

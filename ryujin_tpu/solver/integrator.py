@@ -128,16 +128,19 @@ def _erk54_tableau() -> Tableau:
 TABLEAUX["erk 54"] = _erk54_tableau()
 
 EFFICIENCY = {name: tb.eff for name, tb in TABLEAUX.items()}
+# Strang split schemes (reference time_integrator.template.h:515-681):
+# explicit part A over n_sub substeps, Crank-Nicolson (backward Euler +
+# extrapolation, :539-543) over the full advance, explicit part C with
+# the fixed tau of part A.
+STRANG = {
+    "strang ssprk 33 cn": "ssprk 33",
+    "strang erk 33 cn": "erk 33",
+    "strang erk 43 cn": "erk 43",
+}
 EFFICIENCY.update(
-    {
-        "strang ssprk 33 cn": 2.0,
-        "strang erk 33 cn": 6.0,
-        "strang erk 43 cn": 8.0,
-        "imex 11": 1.0,
-        "imex 22": 2.0,
-        "imex 33": 3.0,
-    }
+    {name: 2.0 * TABLEAUX[base].eff for name, base in STRANG.items()}
 )
+EFFICIENCY.update({"imex 11": 1.0, "imex 22": 2.0, "imex 33": 3.0})
 
 
 @dataclasses.dataclass
@@ -158,8 +161,12 @@ class TimeIntegrator:
         if self.scheme not in EFFICIENCY:
             raise ValueError(f"unknown time stepping scheme '{self.scheme}'")
         if self.scheme not in TABLEAUX:
-            if self.parabolic_module is None:
+            if self.scheme not in STRANG:
                 raise NotImplementedError(
+                    f"scheme '{self.scheme}' is not implemented yet"
+                )
+            if self.parabolic_module is None:
+                raise ValueError(
                     f"scheme '{self.scheme}' requires a parabolic module"
                 )
         self._advance = jax.jit(self._advance_impl)
@@ -169,6 +176,10 @@ class TimeIntegrator:
     @property
     def efficiency(self) -> float:
         return EFFICIENCY[self.scheme]
+
+    def _parrays(self):
+        pm = self.parabolic_module
+        return pm.arrays if pm is not None else None
 
     # -- public host-level entries ----------------------------------------
     def step(self, U, t, t_final=jnp.inf):
@@ -182,6 +193,7 @@ class TimeIntegrator:
         dtype = self.hyperbolic_module.dtype
         U2, prec, t2, tau, restarts, warns = self._advance(
             self.hyperbolic_module.stencil,
+            self._parrays(),
             U,
             jnp.asarray(t, dtype),
             jnp.asarray(t_final, dtype),
@@ -202,6 +214,7 @@ class TimeIntegrator:
         dtype = self.hyperbolic_module.dtype
         return self._advance(
             self.hyperbolic_module.stencil,
+            self._parrays(),
             U,
             jnp.asarray(t, dtype),
             jnp.asarray(t_final, dtype),
@@ -209,14 +222,52 @@ class TimeIntegrator:
         )
 
     # -- device-side implementation ---------------------------------------
-    def _scheme_scan(self, stencil, Up, prec, t, cfl, tau_cap):
+    def _scheme_device(self, stencil, parrays, Up, prec, t, cfl, tau_cap):
+        """One full scheme step on device: explicit tableau or Strang split.
+
+        Returns (U_prepared, prec, tau_unit, ok) with the step advancing
+        EFFICIENCY[scheme] * tau_unit.
+        """
+        hm = self.hyperbolic_module
+        if self.scheme in STRANG:
+            base = STRANG[self.scheme]
+            tb = TABLEAUX[base]
+            dtype = hm.dtype
+            # part A: explicit half step (computes tau):
+            U1, p1, tau, okA = self._scheme_scan(
+                stencil, Up, prec, t, cfl, tau_cap / 2.0, base,
+                jnp.zeros((), dtype), True,
+            )
+            # Crank-Nicolson over the full advance 2 * eff * tau
+            # (backward Euler + extrapolation, reference :539-543):
+            pm = self.parabolic_module
+            U_be, okP = pm.backward_euler_step(
+                U1, t, tb.eff * tau, parrays=parrays
+            )
+            U2 = 2.0 * U_be - U1
+            U2p, p2 = hm.prepare_state_vector(
+                U2, t + tb.eff * tau, stencil=stencil
+            )
+            # part C: explicit half step at the fixed tau:
+            U3, p3, _, okC = self._scheme_scan(
+                stencil, U2p, p2, t + tb.eff * tau, cfl, tau_cap, base,
+                tau, False,
+            )
+            return U3, p3, tau, okA & okP & okC
+        return self._scheme_scan(
+            stencil, Up, prec, t, cfl, tau_cap, self.scheme,
+            jnp.zeros((), hm.dtype), True,
+        )
+
+    def _scheme_scan(self, stencil, Up, prec, t, cfl, tau_cap, scheme,
+                     tau_in, compute_tau: bool):
         """Run all substeps of the tableau via lax.scan.
 
         Up/prec must be prepared.  Returns (U_prepared@t+eff*tau, prec,
         tau, ok).
         """
         hm = self.hyperbolic_module
-        tb = TABLEAUX[self.scheme]
+        tb = TABLEAUX[scheme]
         dtype = hm.dtype
         S, B = tb.S, max(tb.S, 1)
 
@@ -235,10 +286,12 @@ class TimeIntegrator:
             )
             T, tau, ok_i = hm.step(
                 Uc, pc, buf_U[:S], buf_P[:S], w_row, tau, cfl, cap_i,
-                compute_tau=(idx == 0), stencil=stencil,
+                compute_tau=compute_tau & (idx == 0), stencil=stencil,
             )
             T = ab[0] * T + ab[1] * buf_U[0]
-            Tp, pn = hm.prepare_state_vector(T, t + c_i * tau)
+            Tp, pn = hm.prepare_state_vector(
+                T, t + c_i * tau, stencil=stencil
+            )
 
             if S > 0:
                 j = jnp.minimum(idx + 1, B - 1)
@@ -260,7 +313,7 @@ class TimeIntegrator:
             prec,
             buf_U,
             buf_P,
-            jnp.zeros((), dtype),
+            jnp.asarray(tau_in, dtype),
             jnp.asarray(True),
             jnp.zeros((), jnp.int32),
         )
@@ -269,7 +322,7 @@ class TimeIntegrator:
         )
         return Uf, pf, tau, ok
 
-    def _step_recover(self, stencil, Up, prec, t, tau_cap):
+    def _step_recover(self, stencil, parrays, Up, prec, t, tau_cap):
         """Bang-bang CFL recovery (reference :250-275) as a while_loop.
 
         Returns (U, prec, tau, ok, attempts); the scheme graph appears
@@ -289,7 +342,9 @@ class TimeIntegrator:
                 jnp.asarray(self.cfl_max, dtype),
                 jnp.asarray(self.cfl_min, dtype),
             )
-            U2, p2, tau, ok = self._scheme_scan(stencil, Up, prec, t, cfl, tau_cap)
+            U2, p2, tau, ok = self._scheme_device(
+                stencil, parrays, Up, prec, t, cfl, tau_cap
+            )
             return (U2, p2, tau, ok, att + 1)
 
         init = (
@@ -301,17 +356,19 @@ class TimeIntegrator:
         )
         return jax.lax.while_loop(cond_fn, body_fn, init)
 
-    def _advance_impl(self, stencil, U0, t0, t_final, n_steps):
+    def _advance_impl(self, stencil, parrays, U0, t0, t_final, n_steps):
         hm = self.hyperbolic_module
-        tb = TABLEAUX[self.scheme]
+        eff = EFFICIENCY[self.scheme]
         dtype = hm.dtype
-        Up, prec = hm.prepare_state_vector(U0, t0)
+        Up, prec = hm.prepare_state_vector(U0, t0, stencil=stencil)
 
         def body(_, carry):
             Up, prec, t, tau_last, restarts, warns = carry
             cap = jnp.maximum(t_final - t, 0.0)
-            U2, p2, tau, ok, att = self._step_recover(stencil, Up, prec, t, cap)
-            tau_total = tb.eff * tau
+            U2, p2, tau, ok, att = self._step_recover(
+                stencil, parrays, Up, prec, t, cap
+            )
+            tau_total = eff * tau
             restarts = restarts + (att - 1)
             warns = warns + jnp.where(ok, 0, 1)
             return (U2, p2, t + tau_total, tau_total, restarts, warns)
