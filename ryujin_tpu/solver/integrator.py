@@ -161,7 +161,15 @@ class TimeIntegrator:
         if self.scheme not in EFFICIENCY:
             raise ValueError(f"unknown time stepping scheme '{self.scheme}'")
         if self.scheme not in TABLEAUX:
-            if self.scheme not in STRANG:
+            if self.scheme in ("imex 22", "imex 33"):
+                # matching the reference: parabolic_module.template.h:73
+                # asserts stages == 0 ("Although IMEX schemes are
+                # implemented, the high order fluxes are not.")
+                raise NotImplementedError(
+                    f"scheme '{self.scheme}' requires high-order parabolic "
+                    "fluxes which the reference asserts out as well"
+                )
+            if self.scheme not in STRANG and self.scheme != "imex 11":
                 raise NotImplementedError(
                     f"scheme '{self.scheme}' is not implemented yet"
                 )
@@ -229,6 +237,16 @@ class TimeIntegrator:
         EFFICIENCY[scheme] * tau_unit.
         """
         hm = self.hyperbolic_module
+        if self.scheme == "imex 11":
+            U1, p1, tau, okA = self._scheme_scan(
+                stencil, Up, prec, t, cfl, tau_cap, "erk 11",
+                jnp.zeros((), hm.dtype), True,
+            )
+            U2, okP = self.parabolic_module.backward_euler_step(
+                U1, t, tau, parrays=parrays
+            )
+            U2p, p2 = hm.prepare_state_vector(U2, t + tau, stencil=stencil)
+            return U2p, p2, tau, okA & okP
         if self.scheme in STRANG:
             base = STRANG[self.scheme]
             tb = TABLEAUX[base]

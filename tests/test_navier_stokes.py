@@ -63,3 +63,51 @@ def test_becker_l7():
     """257 dofs; reference L1 = 8.7963e-5."""
     linf, l1, l2 = _run_becker(8)
     assert abs(l1 / 8.7963e-5 - 1.0) < 0.05, l1
+
+
+def test_imex_11_runs():
+    """imex 11: forward-Euler IDP + backward-Euler parabolic step."""
+    eq = Euler(dim=1)
+    init = make_initial_state(
+        eq, "becker solution", position=[-0.125],
+        velocity_galilean_frame=0.125, mu=0.01,
+    )
+    mesh = geometry.rectangular_domain(
+        [-0.25], [0.25], [1], refinement=6,
+        boundary_conditions=[Boundary.dirichlet] * 2, dim=1,
+    )
+    data = assembly.assemble(mesh)
+    packed = ell.pack(data)
+    hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64)
+    ps = ParabolicSolver(
+        eq, ParabolicSystem(mu=0.01), packed, data, mesh, init,
+        hm.stencil, dtype=jnp.float64,
+    )
+    ti = TimeIntegrator(hm, "imex 11", cfl_min=0.2, cfl_max=0.2,
+                        cfl_recovery_strategy="none", parabolic_module=ps)
+    U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+    U, _, t, tau, _, _ = ti.advance(U, 0.0, 10)
+    assert float(tau) > 0
+    assert np.isfinite(np.asarray(U)).all()
+
+
+def test_skeleton_module_runs():
+    """The skeleton template equation advances without changing the state."""
+    from ryujin_tpu.equations.skeleton import Skeleton
+
+    eq = Skeleton(dim=1)
+
+    def init(points, t):
+        return jnp.sin(points[0])[None]
+
+    mesh = geometry.rectangular_domain(
+        [0.0], [1.0], [1], refinement=4,
+        boundary_conditions=[Boundary.do_nothing] * 2, dim=1,
+    )
+    packed = ell.pack(assembly.assemble(mesh))
+    hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64)
+    ti = TimeIntegrator(hm, "erk 33", cfl_min=0.5, cfl_max=0.5,
+                        cfl_recovery_strategy="none")
+    U0 = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+    U, _, t, tau, _, _ = ti.advance(U0, 0.0, 5)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(U0), atol=1e-14)
