@@ -69,6 +69,30 @@ def make_mesh(cfg: Config):
     elif d.geometry == "cylinder":
         mesh = geometry.cylinder(refinement=d.mesh_refinement, **p)
         p = {}
+    elif d.geometry == "disk":
+        if "boundary_condition" in p:
+            b = p.pop("boundary_condition")
+            p["boundary"] = _BOUNDARY_NAMES[b] if isinstance(b, str) else b
+        mesh = geometry.disk(refinement=d.mesh_refinement, **p)
+        p = {}
+    elif d.geometry == "annulus":
+        mesh = geometry.annulus(refinement=d.mesh_refinement, **p)
+        p = {}
+    elif d.geometry == "wall":
+        mesh = geometry.wall(refinement=d.mesh_refinement, **p)
+        p = {}
+    elif d.geometry == "wave tank":
+        mesh = geometry.wave_tank(refinement=d.mesh_refinement, **p)
+        p = {}
+    elif d.geometry == "airfoil":
+        mesh = geometry.airfoil(refinement=d.mesh_refinement, **p)
+        p = {}
+    elif d.geometry == "reader":
+        from .offline.reader import read_msh
+
+        mesh = read_msh(p.pop("filename", "ryujin.msh"))
+        if d.mesh_refinement:
+            mesh = mesh.refine_global(d.mesh_refinement)
     else:
         raise ValueError(f"unknown geometry '{d.geometry}'")
     if p:

@@ -10,6 +10,9 @@ TPU-friendly host-side NumPy mesh construction:
   * ``annulus``             (geometry_annulus.h)
   * ``disk``                (geometry_disk.h)
   * ``wall``                (geometry_wall.h)
+  * ``wave tank``           (geometry_tank.h)
+  * ``airfoil``             (geometry_airfoil.h)
+  * ``reader``              (geometry_reader.h, via offline/reader.py)
 
 Each generator returns a :class:`ryujin_tpu.offline.mesh.Mesh`.
 """
@@ -433,3 +436,362 @@ def cylinder(
     fm[on_circle] = 1
     mesh.face_manifold_ids = fm
     return mesh
+
+
+# ---------------------------------------------------------------------------
+# Unstructured construction helpers
+# ---------------------------------------------------------------------------
+
+
+def _finalize_quads(
+    verts: np.ndarray, cells: np.ndarray, scale: float = 1.0
+) -> Mesh:
+    """Dedupe coincident vertices, fix cell orientation, extract boundary.
+
+    The analog of dealii::GridGenerator::merge_triangulations +
+    flatten_triangulation for a quad soup in [v0 v1; v2 v3] (deal.II)
+    vertex ordering.
+    """
+    key = np.round(verts / (1e-9 * max(scale, 1e-30))).astype(np.int64)
+    _, uniq_idx, inv = np.unique(
+        key, axis=0, return_index=True, return_inverse=True
+    )
+    new_verts = verts[uniq_idx]
+    new_cells = inv[cells]
+
+    p = new_verts[new_cells]
+    det = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
+        p[:, 1, 1] - p[:, 0, 1]
+    ) * (p[:, 2, 0] - p[:, 0, 0])
+    flip = det < 0
+    new_cells[flip] = new_cells[flip][:, [1, 0, 3, 2]]
+
+    face_local = [
+        np.array([0, 2]), np.array([1, 3]), np.array([0, 1]), np.array([2, 3]),
+    ]
+    faces = np.concatenate([new_cells[:, fl] for fl in face_local], axis=0)
+    fsrt = np.sort(faces, axis=1)
+    fkey = fsrt[:, 0].astype(np.int64) * (len(new_verts) + 1) + fsrt[:, 1]
+    _, first, counts = np.unique(fkey, return_index=True, return_counts=True)
+    bfaces = faces[first[counts == 1]]
+
+    return Mesh(
+        dim=2, vertices=new_verts, cells=new_cells,
+        boundary_faces=bfaces,
+        boundary_ids=np.zeros(len(bfaces), dtype=np.int32),
+    )
+
+
+def _ball_coarse(radius: float) -> Tuple[np.ndarray, np.ndarray]:
+    """O-grid disk coarse mesh: 2x2 core square + 8 ring cells.
+
+    Same topology as dealii::GridGenerator::hyper_ball_balanced (the
+    generator used by geometry_disk.h:49).  Returns (verts, cells).
+    """
+    s = 0.5 * radius
+    xs = np.array([-s, 0.0, s])
+    core = np.array([[x, y] for y in xs for x in xs])  # 9 pts, idx ix+3*iy
+    cells = [[0, 1, 3, 4], [1, 2, 4, 5], [3, 4, 6, 7], [4, 5, 7, 8]]
+    # core-square boundary vertices in angular order starting at angle 0:
+    sq = [5, 8, 7, 6, 3, 0, 1, 2]
+    ang = np.arange(8) * (np.pi / 4)
+    circ = radius * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    verts = np.concatenate([core, circ], axis=0)
+    for k in range(8):
+        cells.append([sq[k], sq[(k + 1) % 8], 9 + k, 9 + (k + 1) % 8])
+    return verts, np.array(cells, dtype=np.int64)
+
+
+def disk(
+    radius: float = 1.2,
+    boundary: int = Boundary.dirichlet,
+    refinement: int = 0,
+) -> Mesh:
+    """2D disk (geometry_disk.h:22-75, hyper_ball_balanced construction).
+
+    All boundary faces carry the `boundary` id (default dirichlet,
+    geometry_disk.h:38) and a spherical manifold so refinement converges to
+    the circle.
+    """
+    verts, cells = _ball_coarse(radius)
+    mesh = _finalize_quads(verts, cells, radius)
+    mesh.boundary_ids[:] = boundary
+    mesh.manifolds = {1: spherical_manifold([0.0, 0.0])}
+    mesh.face_manifold_ids = np.ones(len(mesh.boundary_faces), np.int32)
+    return mesh.refine_global(refinement)
+
+
+def wall(
+    length: float = 3.2,
+    height: float = 1.0,
+    wall_position: float = 1.0 / 6.0,
+    refinement: int = 0,
+) -> Mesh:
+    """Double Mach reflection wall domain (geometry_wall.h:39-92).
+
+    An 18x6 lattice on [wall_position, length] x [0, height] merged with a
+    1x6 column on [0, wall_position]: slip on the bottom right of the wall
+    position, do_nothing outflow on the right, dirichlet elsewhere.
+    """
+    x = np.concatenate([[0.0], np.linspace(wall_position, length, 19)])
+    y = np.linspace(0.0, height, 7)
+    mesh = _lattice_mesh_2d(x, y)
+    centers = mesh.vertices[mesh.boundary_faces].mean(axis=1)
+    ids = mesh.boundary_ids
+    ids[:] = Boundary.dirichlet
+    ids[(centers[:, 0] > wall_position) & (centers[:, 1] < 1e-6)] = (
+        Boundary.slip
+    )
+    ids[centers[:, 0] > length - 1e-6] = Boundary.do_nothing
+    return mesh.refine_global(refinement)
+
+
+def wave_tank(
+    reservoir_length: float = 1.57,
+    reservoir_width: float = 0.81,
+    flume_length: float = 6.0078,
+    flume_width: float = 0.24,
+    refinement: int = 0,
+) -> Mesh:
+    """Wave flume with a wider reservoir (geometry_tank.h:40-119).
+
+    Union of a reservoir [-Lr, 0] x [-Wr/2, Wr/2] and a flume
+    [0, Lf] x [-Wf/2, Wf/2], built as a masked lattice with ~1 cm cells
+    (the reference subdivides by round(length*100)).  Slip everywhere except
+    dynamic outflow at the end of the flume.
+    """
+    half_f = flume_width / 2.0
+    y_bands = [np.linspace(-half_f, half_f,
+                           max(1, round(flume_width * 100.0)) + 1)]
+    if reservoir_width > flume_width + 1e-8:
+        diff = (reservoir_width - flume_width) / 2.0
+        n = max(1, round(diff * 100.0))
+        y_bands.insert(0, np.linspace(-reservoir_width / 2.0, -half_f, n + 1))
+        y_bands.append(np.linspace(half_f, reservoir_width / 2.0, n + 1))
+    y = np.unique(np.concatenate(y_bands))
+    x = np.unique(np.concatenate([
+        np.linspace(-reservoir_length, 0.0,
+                    max(1, round(reservoir_length * 100.0)) + 1),
+        np.linspace(0.0, flume_length,
+                    max(1, round(flume_length * 100.0)) + 1),
+    ]))
+    xc = 0.5 * (x[:-1] + x[1:])
+    yc = 0.5 * (y[:-1] + y[1:])
+    XC, YC = np.meshgrid(xc, yc, indexing="xy")
+    cmask = ~((XC > 0.0) & (np.abs(YC) > half_f + 1e-12))
+    mesh = _lattice_mesh_2d(x, y, cmask)
+    centers = mesh.vertices[mesh.boundary_faces].mean(axis=1)
+    mesh.boundary_ids[:] = Boundary.slip
+    mesh.boundary_ids[centers[:, 0] > flume_length - 1e-8] = Boundary.dynamic
+    return mesh.refine_global(refinement)
+
+
+def annulus(
+    length: float = 2.0,
+    inner_radius: float = 0.6,
+    outer_radius: float = 0.7,
+    angle: float = 45.0,
+    refinement: int = 0,
+) -> Mesh:
+    """Partial annulus obstacle in a square box (geometry_annulus.h:36-214).
+
+    Construction mirrors the reference: an inner ball (radius r_i), a thin
+    32-cell shell [r_i, r_o], and an 8-cell outer shell whose outermost
+    vertices are snapped onto the square [-L/2, L/2]^2; everything is merged,
+    refined twice with a spherical manifold active on the [r_i, r_o] band,
+    and then the shell cells with |y| < |x| tan(angle) are removed
+    (geometry_annulus.h:154-183).  Slip boundary conditions everywhere.
+    """
+    eps = 1e-10
+    r_i, r_o = inner_radius, outer_radius
+
+    # inner ball, refined twice so the r_i circle has 32 segments:
+    bverts, bcells = _ball_coarse(r_i)
+    ball = _finalize_quads(bverts, bcells, r_i)
+    ball.manifolds = {1: spherical_manifold([0.0, 0.0])}
+    ball.face_manifold_ids = np.ones(len(ball.boundary_faces), np.int32)
+    ball = ball.refine_global(2)
+
+    # 32-cell shell [r_i, r_o]:
+    th = np.arange(32) * (2 * np.pi / 32)
+    ring_pts = np.concatenate([
+        r_i * np.stack([np.cos(th), np.sin(th)], axis=1),
+        r_o * np.stack([np.cos(th), np.sin(th)], axis=1),
+    ])
+    ring_cells = np.array(
+        [[k, (k + 1) % 32, 32 + k, 32 + (k + 1) % 32] for k in range(32)]
+    )
+
+    # 8-cell outer shell r_o -> square boundary, pre-refined twice:
+    ang8 = np.arange(8) * (np.pi / 4)
+    inner8 = r_o * np.stack([np.cos(ang8), np.sin(ang8)], axis=1)
+    outer8 = (length / 2.0 * np.sqrt(2.0)) * np.stack(
+        [np.cos(ang8), np.sin(ang8)], axis=1
+    )
+    # snap onto the square (geometry_annulus.h:122-131):
+    for v in outer8:
+        if abs(v[0]) < eps and abs(v[1]) > length / 2.0:
+            v[1] = np.copysign(length / 2.0, v[1])
+        if abs(v[1]) < eps and abs(v[0]) > length / 2.0:
+            v[0] = np.copysign(length / 2.0, v[0])
+    out_pts = np.concatenate([inner8, outer8])
+    out_cells = np.array(
+        [[k, (k + 1) % 8, 8 + k, 8 + (k + 1) % 8] for k in range(8)]
+    )
+    outer = _finalize_quads(out_pts, out_cells, length)
+    outer.manifolds = {1: spherical_manifold([0.0, 0.0])}
+    fc = outer.vertices[outer.boundary_faces].mean(axis=1)
+    outer.face_manifold_ids = (
+        np.linalg.norm(fc, axis=1) < r_o + 0.1 * (length - r_o)
+    ).astype(np.int32)
+    outer = outer.refine_global(2)
+
+    # merge all three:
+    verts = np.concatenate(
+        [ball.vertices, ring_pts, outer.vertices], axis=0
+    )
+    cells = np.concatenate([
+        ball.cells,
+        ring_cells + ball.n_vertices,
+        outer.cells + ball.n_vertices + len(ring_pts),
+    ])
+    mesh = _finalize_quads(verts, cells, length)
+
+    def in_band(edge_pts: np.ndarray) -> np.ndarray:
+        r = np.linalg.norm(edge_pts, axis=2)
+        return np.all((r >= r_i - 1e-8) & (r <= r_o + 1e-8), axis=1)
+
+    def attach(m: Mesh) -> None:
+        m.manifolds = {1: spherical_manifold([0.0, 0.0])}
+        m.edge_manifold_selectors = {1: in_band}
+        fpts = m.vertices[m.boundary_faces]
+        m.face_manifold_ids = in_band(fpts).astype(np.int32)
+
+    attach(mesh)
+    mesh = mesh.refine_global(2)
+
+    # remove shell cells within the coverage angle of the x-axis
+    # (geometry_annulus.h:159-180: a cell goes if any face center is inside
+    # the annulus band and below the sector line):
+    tan_a = np.tan(np.pi / 180.0 * angle)
+    edge_local = np.array([[0, 1], [2, 3], [0, 2], [1, 3]])
+    fctr = mesh.vertices[mesh.cells[:, edge_local]].mean(axis=2)  # [nc,4,2]
+    rad = np.linalg.norm(fctr, axis=2)
+    in_annulus = (rad - r_i > 1e-8) & (r_o - rad > 1e-3)
+    partial = (
+        np.abs(fctr[:, :, 1]) - np.abs(fctr[:, :, 0]) * tan_a < 1e-8
+    )
+    remove = np.any(in_annulus & partial, axis=1)
+
+    mesh = _finalize_quads(mesh.vertices, mesh.cells[~remove], length)
+    mesh.boundary_ids[:] = Boundary.slip
+    attach(mesh)
+    return mesh.refine_global(refinement)
+
+
+def _naca_4digit(serial: str, n: int) -> np.ndarray:
+    """Closed-loop NACA 4-digit airfoil points [2n, 2] on unit chord.
+
+    Standard public formula (camber + thickness, closed trailing edge with
+    the -0.1036 x^4 coefficient); the analog of the reference's
+    naca_4digit_points parameterization (geometry_airfoil.h:302).  Points run
+    trailing edge -> upper surface -> leading edge -> lower surface.
+    """
+    if len(serial) != 4 or not serial.isdigit():
+        raise ValueError(f"invalid NACA 4 digit serial number '{serial}'")
+    m = int(serial[0]) / 100.0
+    p = int(serial[1]) / 10.0
+    t = int(serial[2:]) / 100.0
+
+    beta = np.linspace(0.0, np.pi, n)
+    xs = 0.5 * (1.0 - np.cos(beta))  # cosine clustering at LE/TE
+    yt = 5.0 * t * (
+        0.2969 * np.sqrt(xs) - 0.1260 * xs - 0.3516 * xs**2
+        + 0.2843 * xs**3 - 0.1036 * xs**4
+    )
+    if m > 0.0 and p > 0.0:
+        yc = np.where(
+            xs < p,
+            m / p**2 * (2 * p * xs - xs**2),
+            m / (1 - p) ** 2 * ((1 - 2 * p) + 2 * p * xs - xs**2),
+        )
+        dyc = np.where(
+            xs < p,
+            2 * m / p**2 * (p - xs),
+            2 * m / (1 - p) ** 2 * (p - xs),
+        )
+    else:
+        yc = np.zeros_like(xs)
+        dyc = np.zeros_like(xs)
+    theta = np.arctan(dyc)
+    up = np.stack([xs - yt * np.sin(theta), yc + yt * np.cos(theta)], axis=1)
+    lo = np.stack([xs + yt * np.sin(theta), yc - yt * np.cos(theta)], axis=1)
+    # TE -> upper -> LE -> lower -> (TE), dropping duplicated endpoints:
+    return np.concatenate([up[::-1], lo[1:-1]], axis=0)
+
+
+def airfoil(
+    airfoil_type: str = "NACA 0012",
+    airfoil_length: float = 2.0,
+    airfoil_center: Sequence[float] = (-0.5, 0.0),
+    height: float = 6.0,
+    grading_exponent: float = 5.5,
+    grading_epsilon: float = 0.02,
+    psi_samples: int = 64,
+    radial_layers: int = 12,
+    refinement: int = 0,
+) -> Mesh:
+    """Airfoil in a circular farfield (geometry_airfoil.h:823-1416).
+
+    A graded O-mesh: `psi_samples` points around the airfoil surface,
+    `radial_layers` layers blended to a farfield circle of radius height/2
+    with the reference's epsilon-regularized power grading
+    ((t+eps)^g - eps^g normalized; geometry_airfoil.h grading parameters).
+    no_slip on the airfoil, dynamic farfield (geometry_airfoil.h:1371-1375).
+
+    Airfoil types: 'NACA dddd' is generated from the standard 4-digit
+    formula; the reference's tabulated NASA SC(2)/ONERA/BELL profiles are
+    not included.
+    """
+    if airfoil_type.startswith("NACA "):
+        surf = _naca_4digit(airfoil_type[5:], psi_samples // 2 + 1)
+    else:
+        raise NotImplementedError(
+            f"airfoil type '{airfoil_type}' not available; use 'NACA dddd'"
+        )
+    center = np.asarray(airfoil_center, dtype=np.float64)
+    surf = surf * airfoil_length + center  # LE at airfoil_center
+
+    mid = center + np.array([airfoil_length / 2.0, 0.0])
+    R = height / 2.0
+    n_s = len(surf)
+    # farfield ring: uniform angles aligned with the TE direction, winding
+    # counterclockwise like the surface loop (TE -> upper -> LE -> lower)
+    phi = np.arange(n_s) * (2 * np.pi / n_s)
+    far = mid + R * np.stack([np.cos(phi), np.sin(phi)], axis=1)
+
+    g, eps = grading_exponent, grading_epsilon
+    tt = np.arange(1, radial_layers + 1) / radial_layers
+    blend = ((tt + eps) ** g - eps**g) / ((1.0 + eps) ** g - eps**g)
+
+    layers = [surf]
+    for b in blend:
+        layers.append((1.0 - b) * surf + b * far)
+    pts = np.concatenate(layers, axis=0)
+    cells = []
+    for k in range(radial_layers):
+        base = k * n_s
+        for j in range(n_s):
+            cells.append([
+                base + j, base + (j + 1) % n_s,
+                base + n_s + j, base + n_s + (j + 1) % n_s,
+            ])
+    mesh = _finalize_quads(pts, np.array(cells, np.int64), height)
+
+    fc = mesh.vertices[mesh.boundary_faces].mean(axis=1)
+    on_far = np.linalg.norm(fc - mid, axis=1) > 0.5 * R
+    mesh.boundary_ids[:] = Boundary.no_slip
+    mesh.boundary_ids[on_far] = Boundary.dynamic
+    mesh.manifolds = {1: spherical_manifold(mid)}
+    mesh.face_manifold_ids = on_far.astype(np.int32)
+    return mesh.refine_global(refinement)

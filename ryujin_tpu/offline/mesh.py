@@ -95,6 +95,14 @@ class Mesh:
     boundary_ids: np.ndarray
     face_manifold_ids: Optional[np.ndarray] = None
     manifolds: Optional[Dict[int, Callable[[np.ndarray], np.ndarray]]] = None
+    # Interior manifold regions (the analog of dealii set_all_manifold_ids on
+    # cells, cf. /root/reference/source/geometry_annulus.h:52-95): manifold id
+    # -> predicate taking edge endpoint coordinates [k, nv, dim] and returning
+    # a [k] bool mask; matching edges get their refinement midpoint projected
+    # through manifolds[id] even when they are not boundary faces.
+    edge_manifold_selectors: Optional[
+        Dict[int, Callable[[np.ndarray], np.ndarray]]
+    ] = None
     periodic_pairs: Optional[np.ndarray] = None
     structured_shape: Optional[Tuple[int, ...]] = None
     structured_index: Optional[np.ndarray] = None
@@ -164,6 +172,16 @@ def _refine_once(mesh: Mesh) -> Mesh:
         uniq_edges, edge_inverse = _unique_rows(flat_edges)
         n_edges = uniq_edges.shape[0]
         edge_mid = 0.5 * (verts[uniq_edges[:, 0]] + verts[uniq_edges[:, 1]])
+
+        # Interior manifold regions first (boundary projection below is more
+        # specific and may overwrite):
+        if mesh.edge_manifold_selectors and mesh.manifolds:
+            for mid_id, selector in mesh.edge_manifold_selectors.items():
+                sel = np.asarray(selector(verts[uniq_edges]), bool)
+                if np.any(sel):
+                    edge_mid[sel] = mesh.manifolds[mid_id](
+                        verts[uniq_edges[sel]]
+                    )
 
         # Manifold projection for boundary-face midpoints:
         if mesh.face_manifold_ids is not None and mesh.manifolds:

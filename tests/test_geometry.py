@@ -1,0 +1,180 @@
+"""Geometry generator library coverage.
+
+The analog of exercising the reference's Geometries::populate_geometry_list
+entries (geometry_disk.h, geometry_annulus.h, geometry_wall.h,
+geometry_tank.h, geometry_airfoil.h, geometry_reader.h): each generator must
+produce a conforming, positively-oriented quad mesh that assembles.
+"""
+
+import numpy as np
+import pytest
+
+from ryujin_tpu.offline import assembly, ell, geometry
+from ryujin_tpu.offline.mesh import Boundary
+from ryujin_tpu.offline.reader import read_msh
+
+
+def _check(mesh, expected_area=None, tol=2e-2):
+    p = mesh.vertices[mesh.cells]
+    det = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
+        p[:, 1, 1] - p[:, 0, 1]
+    ) * (p[:, 2, 0] - p[:, 0, 0])
+    assert np.all(det > 0), "inverted cells"
+    data = assembly.assemble(mesh)
+    packed = ell.pack(data)
+    assert packed.n_nodes > 0
+    np.testing.assert_allclose(
+        packed.lumped_mass[: packed.n_nodes].sum(),
+        data.measure_of_omega,
+        rtol=1e-10,
+    )
+    if expected_area is not None:
+        np.testing.assert_allclose(
+            data.measure_of_omega, expected_area, rtol=tol
+        )
+    return data
+
+
+def test_disk():
+    mesh = geometry.disk(radius=1.2, refinement=3)
+    _check(mesh, np.pi * 1.2**2, tol=1e-2)
+    assert np.all(mesh.boundary_ids == Boundary.dirichlet)
+    r = np.linalg.norm(mesh.vertices[mesh.boundary_faces].reshape(-1, 2),
+                       axis=1)
+    np.testing.assert_allclose(r, 1.2, rtol=1e-12)
+
+
+def test_wall():
+    mesh = geometry.wall(refinement=2)
+    data = _check(mesh, 3.2 * 1.0, tol=1e-12)
+    assert data is not None
+    ids = mesh.boundary_ids
+    assert set(np.unique(ids)) == {
+        Boundary.slip, Boundary.do_nothing, Boundary.dirichlet
+    }
+
+
+def test_wave_tank():
+    mesh = geometry.wave_tank(
+        reservoir_length=1.57, reservoir_width=0.81,
+        flume_length=2.0, flume_width=0.24,
+    )
+    _check(mesh, 1.57 * 0.81 + 2.0 * 0.24, tol=1e-12)
+    assert set(np.unique(mesh.boundary_ids)) == {
+        Boundary.slip, Boundary.dynamic
+    }
+
+
+def test_annulus():
+    mesh = geometry.annulus(refinement=0)
+    L, r_i, r_o = 2.0, 0.6, 0.7
+    band = np.pi * (r_o**2 - r_i**2)
+    data = _check(mesh)
+    assert L**2 - band < data.measure_of_omega < L**2 - 0.2 * band
+    assert np.all(mesh.boundary_ids == Boundary.slip)
+    # obstacle boundary faces lie on the two circles:
+    fc = mesh.vertices[mesh.boundary_faces].mean(axis=1)
+    interior = np.max(np.abs(fc), axis=1) < L / 2 - 1e-8
+    r = np.linalg.norm(fc[interior], axis=1)
+    assert np.all((r > r_i - 0.02) & (r < r_o + 0.02))
+    # refinement keeps the obstacle arcs on the spherical manifold:
+    fine = mesh.refine_global(1)
+    fcf = fine.vertices[fine.boundary_faces].mean(axis=1)
+    interior_f = np.max(np.abs(fcf), axis=1) < L / 2 - 1e-8
+    assert interior_f.sum() == 2 * interior.sum()
+
+
+def test_airfoil():
+    mesh = geometry.airfoil(refinement=0)
+    data = _check(mesh)
+    assert data.measure_of_omega < np.pi * 3.0**2
+    assert set(np.unique(mesh.boundary_ids)) == {
+        Boundary.no_slip, Boundary.dynamic
+    }
+
+
+def test_airfoil_unknown_type():
+    with pytest.raises(NotImplementedError):
+        geometry.airfoil(airfoil_type="ONERA OA209")
+
+
+MSH22 = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+4
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+$EndNodes
+$Elements
+5
+1 3 2 0 1 1 2 3 4
+2 1 2 1 1 1 2
+3 1 2 2 2 2 3
+4 1 2 1 3 3 4
+5 1 2 3 4 4 1
+$EndElements
+"""
+
+
+def test_reader_msh22(tmp_path):
+    f = tmp_path / "square.msh"
+    f.write_text(MSH22)
+    mesh = read_msh(str(f))
+    assert mesh.dim == 2 and mesh.n_cells == 1
+    assert len(mesh.boundary_faces) == 4
+    assert sorted(mesh.boundary_ids.tolist()) == [1, 1, 2, 3]
+    _check(mesh, 1.0, tol=1e-12)
+
+
+MSH41 = """$MeshFormat
+4.1 0 8
+$EndMeshFormat
+$Entities
+0 4 1 0
+1 0 0 0 1 0 0 1 1 0 2 1 -2
+2 1 0 0 1 1 0 1 2 0 2 3 -4
+3 0 1 0 1 1 0 1 1 0 2 1 -3
+4 0 0 0 0 1 0 1 2 0 2 4 -1
+1 0 0 0 1 1 0 0 4 1 2 -3 4
+$EndEntities
+$Nodes
+1 4 1 4
+2 1 0 4
+1
+2
+3
+4
+0 0 0
+1 0 0
+1 1 0
+0 1 0
+$EndNodes
+$Elements
+5 5 1 5
+1 1 1 1
+1 1 2
+1 2 1 1
+2 2 3
+1 3 1 1
+3 3 4
+1 4 1 1
+4 4 1
+2 1 3 1
+5 1 2 3 4
+$EndElements
+$EndFile
+"""
+
+
+def test_reader_msh41(tmp_path):
+    f = tmp_path / "square41.msh"
+    f.write_text(MSH41)
+    mesh = read_msh(str(f))
+    assert mesh.dim == 2 and mesh.n_cells == 1
+    assert len(mesh.boundary_faces) == 4
+    # boundary ids resolve through Entities to physical tags 1 and 2:
+    assert sorted(mesh.boundary_ids.tolist()) == [1, 1, 2, 2]
+    _check(mesh, 1.0, tol=1e-12)
