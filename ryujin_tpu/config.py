@@ -109,6 +109,19 @@ class QuantitiesConfig:
 
 
 @dataclasses.dataclass
+class MeshAdaptorConfig:
+    """Section: AMR driver (mesh_adaptor.h:22-60,88-160)."""
+
+    adaptation_strategy: str = "global refinement"  # | "random adaptation"
+    marking_strategy: str = "fixed number"
+    time_point_selection_strategy: str = "fixed adaptation time points"
+    adaptation_time_points: Sequence[float] = ()
+    refinement_fraction: float = 0.3
+    coarsening_fraction: float = 0.3
+    random_adaptation_seed: int = 42
+
+
+@dataclasses.dataclass
 class Config:
     time_loop: TimeLoopConfig = dataclasses.field(default_factory=TimeLoopConfig)
     equation: EquationConfig = dataclasses.field(default_factory=EquationConfig)
@@ -129,6 +142,9 @@ class Config:
     )
     quantities: QuantitiesConfig = dataclasses.field(
         default_factory=QuantitiesConfig
+    )
+    mesh_adaptor: MeshAdaptorConfig = dataclasses.field(
+        default_factory=MeshAdaptorConfig
     )
     precision: str = "float64"  # or "float32"
     backend: str = "auto"  # "auto" | "xla" | "pallas"

@@ -107,11 +107,41 @@ class TimeLoop:
         self.config = config
         self.eq = make_equation(config.equation)
         self.mesh = make_mesh(config)
-        self.offline_data = assembly.assemble(self.mesh)
-
         self.dtype = (
             jnp.float32 if config.precision == "float32" else jnp.float64
         )
+
+        ma = config.mesh_adaptor
+        self.mesh_adaptor = None
+        if ma.adaptation_time_points:
+            from .offline.mesh_adaptor import MeshAdaptor
+
+            self.mesh_adaptor = MeshAdaptor(
+                adaptation_strategy=ma.adaptation_strategy,
+                marking_strategy=ma.marking_strategy,
+                time_point_selection_strategy=(
+                    ma.time_point_selection_strategy
+                ),
+                adaptation_time_points=ma.adaptation_time_points,
+                refinement_fraction=ma.refinement_fraction,
+                coarsening_fraction=ma.coarsening_fraction,
+                random_seed=ma.random_adaptation_seed,
+            )
+
+        self._prepare_compute_kernels()
+
+        # statistics
+        self.n_steps_total = 0
+        self.wall_compute = 0.0
+
+    def _prepare_compute_kernels(self):
+        """(Re)build everything that depends on the current mesh.
+
+        The analog of the `prepare_compute_kernels` callable the reference
+        TimeLoop re-invokes after mesh adaptation
+        (time_loop.template.h:667)."""
+        config = self.config
+        self.offline_data = assembly.assemble(self.mesh)
         if self.mesh.structured_index is not None:
             self.packed = structured.pack_structured(
                 self.offline_data, self.mesh
@@ -206,15 +236,26 @@ class TimeLoop:
             basename=config.time_loop.basename,
         )
 
-        # statistics
-        self.n_steps_total = 0
-        self.wall_compute = 0.0
+    def _adapt_mesh_and_transfer(self, U):
+        """Refine, re-pack, re-jit, and interpolate the state
+        (time_loop.template.h:616-689)."""
+        from .offline.mesh import refine_local
+        from .offline.mesh_adaptor import transfer_state
+
+        flags = self.mesh_adaptor.mark_cells(self.mesh)
+        old_mesh, old_packed = self.mesh, self.packed
+        self.mesh, transfer = refine_local(old_mesh, flags)
+        self._prepare_compute_kernels()
+        U_np = transfer_state(
+            np.asarray(U), old_packed, old_mesh, transfer,
+            self.mesh, self.packed,
+        )
+        return jnp.asarray(U_np, self.dtype)
 
     # ------------------------------------------------------------------
     def run(self, chunk: int = 32, quiet: bool = False) -> Dict:
         cfg = self.config.time_loop
         eq = self.eq
-        ti = self.time_integrator
 
         if cfg.resume:
             U_np, t, cycle = read_checkpoint(cfg.basename, self.mesh)
@@ -229,12 +270,15 @@ class TimeLoop:
         t_final = cfg.final_time
         granularity = cfg.timer_granularity
         last_report = time.perf_counter()
+        if self.mesh_adaptor is not None:
+            self.mesh_adaptor.prepare(t)
 
         while t < t_final - 1e-12:
             next_tick = min(t_final, (int(t / granularity) + 1) * granularity)
             wall0 = time.perf_counter()
             steps_this_tick = 0
             while t < next_tick - 1e-12:
+                ti = self.time_integrator
                 U, _, t_dev, tau, restarts, warns = ti.advance(
                     U, t, chunk, t_final=next_tick
                 )
@@ -255,6 +299,16 @@ class TimeLoop:
             self.n_steps_total += steps_this_tick
             cycle += 1
             self._tick_output(U, t, cycle)
+            if self.mesh_adaptor is not None and t < t_final - 1e-12:
+                self.mesh_adaptor.analyze(U, t, cycle)
+                if self.mesh_adaptor.need_mesh_adaptation:
+                    U = self._adapt_mesh_and_transfer(U)
+                    self.mesh_adaptor.need_mesh_adaptation = False
+                    if not quiet:
+                        print(
+                            f"        mesh adaptation at t = {t:.6g}: "
+                            f"{self.packed.n_nodes} dofs"
+                        )
             if not quiet:
                 self._print_cycle(t, steps_this_tick,
                                   time.perf_counter() - wall0)

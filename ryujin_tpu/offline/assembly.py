@@ -113,6 +113,9 @@ class SparseOfflineData:
     # slave) nodes; identity elsewhere.
     master: np.ndarray  # [n]
     is_constrained: np.ndarray  # [n] bool
+    # hanging-node rows (h, a, b), u_h = (u_a + u_b)/2, already condensed
+    # into the matrices above; kept for output/error interpolation:
+    hanging: Optional[np.ndarray] = None
 
     def validate(self, tol: float = 1e-10):
         """Reference DEBUG consistency checks (offline_data.template.h:1002-1104)."""
@@ -178,6 +181,35 @@ def assemble(mesh: Mesh, order_nodes: bool = True) -> SparseOfflineData:
                 r = master[r]
             master[i] = r
 
+    # ---- hanging-node constraints (AMR) --------------------------------
+    # Expand every vertex into a weighted combination of free vertices:
+    # identity for free/periodic-master vertices, (1/2, 1/2) over the two
+    # parents for hanging nodes (mesh.refine_local).  Scattering cell
+    # matrices through this expansion is the analog of deal.II's
+    # AffineConstraints::distribute_local_to_global condensation the
+    # reference relies on for adaptively refined meshes.
+    hanging = mesh.hanging
+    if hanging is not None and len(hanging):
+        if mesh.periodic_pairs is not None and len(mesh.periodic_pairs):
+            raise NotImplementedError(
+                "periodic constraints + hanging nodes not supported"
+            )
+        exp_idx = np.stack([master, master], axis=1)  # [n_raw, 2]
+        exp_w = np.stack(
+            [np.ones(n_raw), np.zeros(n_raw)], axis=1
+        )
+        h, a, b = hanging[:, 0], hanging[:, 1], hanging[:, 2]
+        assert not (constrained[a].any() or constrained[b].any())
+        exp_idx[h, 0], exp_idx[h, 1] = master[a], master[b]
+        exp_w[h, 0] = exp_w[h, 1] = 0.5
+        constrained[h] = True
+        master[h] = master[a]  # representative for packing/output
+        n_expand = 2
+    else:
+        exp_idx = master[:, None]
+        exp_w = np.ones((n_raw, 1))
+        n_expand = 1
+
     acells = master[cells]
 
     # ---- quadrature ----------------------------------------------------
@@ -203,10 +235,35 @@ def assemble(mesh: Mesh, order_nodes: bool = True) -> SparseOfflineData:
 
     # ---- scatter into COO, sum duplicates ------------------------------
     # order: for each cell, (i, j) with j fastest must match cell_m[n, i, j]
-    rows = np.repeat(acells[:, :, None], nsh, axis=2).ravel()
-    cols = np.repeat(acells[:, None, :], nsh, axis=1).ravel()
-    mvals = cell_m.ravel()
-    cvals = cell_c.reshape(-1, dim)
+    if n_expand == 1:
+        rows = np.repeat(acells[:, :, None], nsh, axis=2).ravel()
+        cols = np.repeat(acells[:, None, :], nsh, axis=1).ravel()
+        mvals = cell_m.ravel()
+        cvals = cell_c.reshape(-1, dim)
+    else:
+        E_idx = exp_idx[cells]  # [nc, nsh, L]
+        E_w = exp_w[cells]  # [nc, nsh, L]
+        r_list, c_list, m_list, cc_list = [], [], [], []
+        for li in range(n_expand):
+            for lj in range(n_expand):
+                w = E_w[:, :, li][:, :, None] * E_w[:, :, lj][:, None, :]
+                keep = np.flatnonzero(w.ravel())
+                if not len(keep):
+                    continue
+                ri = np.broadcast_to(
+                    E_idx[:, :, li][:, :, None], (nc, nsh, nsh)
+                ).ravel()
+                cj = np.broadcast_to(
+                    E_idx[:, :, lj][:, None, :], (nc, nsh, nsh)
+                ).ravel()
+                r_list.append(ri[keep])
+                c_list.append(cj[keep])
+                m_list.append((cell_m * w).ravel()[keep])
+                cc_list.append((cell_c * w[..., None]).reshape(-1, dim)[keep])
+        rows = np.concatenate(r_list)
+        cols = np.concatenate(c_list)
+        mvals = np.concatenate(m_list)
+        cvals = np.concatenate(cc_list)
 
     key = rows.astype(np.int64) * n_raw + cols
     order = np.argsort(key, kind="stable")
@@ -259,6 +316,7 @@ def assemble(mesh: Mesh, order_nodes: bool = True) -> SparseOfflineData:
         boundary_rounds=boundary_rounds,
         master=master,
         is_constrained=constrained,
+        hanging=hanging,
     )
     return data
 

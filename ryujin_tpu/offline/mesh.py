@@ -106,6 +106,12 @@ class Mesh:
     periodic_pairs: Optional[np.ndarray] = None
     structured_shape: Optional[Tuple[int, ...]] = None
     structured_index: Optional[np.ndarray] = None
+    # Adaptive refinement state (offline/mesh_adaptor.py): hanging-node
+    # constraints [k, 3] int64 rows (hanging, parent_a, parent_b) meaning
+    # u_h = (u_a + u_b)/2, and per-cell refinement levels used for 2:1
+    # balance during local refinement.
+    hanging: Optional[np.ndarray] = None
+    cell_levels: Optional[np.ndarray] = None
 
     @property
     def n_vertices(self) -> int:
@@ -398,3 +404,258 @@ def _refine_once(mesh: Mesh) -> Mesh:
         )
 
     raise ValueError(f"unsupported dim={dim}")
+
+
+# ---------------------------------------------------------------------------
+# Local (adaptive) refinement with hanging-node constraints
+# ---------------------------------------------------------------------------
+
+
+def refine_local(mesh: Mesh, flags: np.ndarray):
+    """Refine the flagged cells; returns (new_mesh, transfer).
+
+    The analog of dealii Triangulation::execute_coarsening_and_refinement +
+    SolutionTransfer used by the reference's AMR driver
+    (/root/reference/source/time_loop.template.h:616-689).  2D only.
+
+    * 2:1 balance is enforced by flag closure (a cell is also refined when a
+      neighbor two levels finer would otherwise result).
+    * Edges split on one side only produce hanging nodes, recorded in
+      ``new_mesh.hanging`` as rows (h, a, b) with u_h = (u_a + u_b)/2; the
+      assembly condenses these constraints into the stencil.
+    * ``transfer`` is a scipy CSR matrix [n_new_vertices, n_old_vertices]
+      interpolating raw nodal values onto the refined mesh (Q1 embedding:
+      edge midpoints average their endpoints, cell midpoints their corners).
+
+    Flagging every cell reproduces uniform refinement and regularizes all
+    hanging nodes.
+    """
+    import scipy.sparse as sp
+
+    assert mesh.dim == 2, "local refinement implemented for 2D"
+    flags = np.asarray(flags, bool).copy()
+    cells, verts = mesh.cells, mesh.vertices
+    nc, nv = len(cells), len(verts)
+    assert flags.shape == (nc,)
+    levels = (
+        mesh.cell_levels.copy()
+        if mesh.cell_levels is not None
+        else np.zeros(nc, np.int64)
+    )
+    hang = (
+        mesh.hanging.copy()
+        if mesh.hanging is not None
+        else np.zeros((0, 3), np.int64)
+    )
+
+    edge_local = np.array([[0, 1], [2, 3], [0, 2], [1, 3]])
+    ce = np.sort(cells[:, edge_local], axis=2)  # [nc, 4, 2]
+    ekey = ce[..., 0].astype(np.int64) * nv + ce[..., 1]  # [nc, 4]
+
+    hab = np.sort(hang[:, 1:3], axis=1)
+    hkey = hab[:, 0].astype(np.int64) * nv + hab[:, 1]  # parent edge keys
+
+    # --- 2:1 closure ------------------------------------------------------
+    # edge -> owning cells (1 or 2 owners; hanging edges have 1)
+    flat, owner = ekey.ravel(), np.repeat(np.arange(nc), 4)
+    order = np.argsort(flat, kind="stable")
+    fk, fo = flat[order], owner[order]
+    grp_start = np.flatnonzero(np.concatenate([[True], fk[1:] != fk[:-1]]))
+    grp_len = np.diff(np.concatenate([grp_start, [len(fk)]]))
+    pair_at = grp_start[grp_len == 2]
+    nbr1, nbr2 = fo[pair_at], fo[pair_at + 1]
+
+    # hanging-mediated adjacency: coarse owner of (a,b) vs fine owners of
+    # (a,h)/(h,b)
+    def owners_of(keys):
+        pos = np.searchsorted(fk, keys)
+        ok = (pos < len(fk)) & (fk[np.minimum(pos, len(fk) - 1)] == keys)
+        return np.where(ok, fo[np.minimum(pos, len(fk) - 1)], -1)
+
+    h_id = hang[:, 0].astype(np.int64)
+    k_ah = (
+        np.minimum(hang[:, 1], h_id) * nv + np.maximum(hang[:, 1], h_id)
+    )
+    k_hb = (
+        np.minimum(hang[:, 2], h_id) * nv + np.maximum(hang[:, 2], h_id)
+    )
+    coarse_own = owners_of(hkey)
+    fine_own_a = owners_of(k_ah)
+    fine_own_b = owners_of(k_hb)
+
+    while True:
+        changed = False
+        # direct neighbors: refining c1 while c2 stays must keep the level
+        # difference at most one
+        for c1, c2 in ((nbr1, nbr2), (nbr2, nbr1)):
+            need = flags[c1] & ~flags[c2] & (levels[c1] >= levels[c2] + 1)
+            if np.any(need):
+                flags[c2[need]] = True
+                changed = True
+        # a refined fine cell forces its hanging-edge coarse neighbor
+        for fine in (fine_own_a, fine_own_b):
+            sel = (fine >= 0) & (coarse_own >= 0)
+            need = sel & flags[np.maximum(fine, 0)] & ~flags[
+                np.maximum(coarse_own, 0)
+            ]
+            if np.any(need):
+                flags[coarse_own[need]] = True
+                changed = True
+        if not changed:
+            break
+
+    # --- construction -------------------------------------------------------
+    R = np.flatnonzero(flags)
+    Un = np.flatnonzero(~flags)
+
+    uniq_k, inv = np.unique(ekey[R].ravel(), return_inverse=True)
+    ua = (uniq_k // nv).astype(np.int64)
+    ub = (uniq_k % nv).astype(np.int64)
+
+    # reuse existing hanging nodes as midpoints of their parent edge:
+    hpos = np.searchsorted(hkey, uniq_k, sorter=np.argsort(hkey))
+    hsort = np.argsort(hkey)
+    hk_sorted = hkey[hsort]
+    hit = (hpos < len(hkey)) & (
+        hk_sorted[np.minimum(hpos, max(len(hkey) - 1, 0))] == uniq_k
+        if len(hkey)
+        else np.zeros(len(uniq_k), bool)
+    )
+    reuse = np.full(len(uniq_k), -1, np.int64)
+    if len(hkey):
+        reuse[hit] = hang[hsort[np.minimum(hpos[hit], len(hkey) - 1)], 0]
+
+    mid_coord = 0.5 * (verts[ua] + verts[ub])
+
+    # manifold projection (boundary faces first, then interior selectors):
+    if mesh.edge_manifold_selectors and mesh.manifolds:
+        pts = verts[np.stack([ua, ub], axis=1)]
+        for mid_id_, selector in mesh.edge_manifold_selectors.items():
+            sel = np.asarray(selector(pts), bool)
+            if np.any(sel):
+                mid_coord[sel] = mesh.manifolds[mid_id_](pts[sel])
+    bf = np.sort(mesh.boundary_faces, axis=1)
+    bfkey = bf[:, 0].astype(np.int64) * nv + bf[:, 1]
+    if mesh.face_manifold_ids is not None and mesh.manifolds:
+        pos = np.searchsorted(uniq_k, bfkey)
+        okb = (pos < len(uniq_k)) & (
+            uniq_k[np.minimum(pos, len(uniq_k) - 1)] == bfkey
+        )
+        for mid_id_, proj in mesh.manifolds.items():
+            sel = (mesh.face_manifold_ids == mid_id_) & okb
+            if np.any(sel):
+                eids = pos[sel]
+                mid_coord[eids] = proj(
+                    verts[np.stack([ua[eids], ub[eids]], axis=1)]
+                )
+
+    new_mid = reuse < 0
+    mid_ids = np.where(
+        new_mid, nv + np.cumsum(new_mid) - 1, reuse
+    ).astype(np.int64)
+    n_new_mid = int(new_mid.sum())
+    cmid_ids = nv + n_new_mid + np.arange(len(R), dtype=np.int64)
+    cell_mid = verts[cells[R]].mean(axis=1)
+
+    new_verts = np.concatenate([verts, mid_coord[new_mid], cell_mid], axis=0)
+
+    e = mid_ids[inv.reshape(len(R), 4)]  # per refined cell edge-mid ids
+    v0, v1, v2, v3 = (cells[R, k] for k in range(4))
+    eb, et, el, er = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    c = cmid_ids
+    children = [
+        np.stack([v0, eb, el, c], axis=1),
+        np.stack([eb, v1, c, er], axis=1),
+        np.stack([el, c, v2, et], axis=1),
+        np.stack([c, er, et, v3], axis=1),
+    ]
+    new_cells = np.concatenate([cells[Un]] + children, axis=0)
+    new_levels = np.concatenate([levels[Un]] + [levels[R] + 1] * 4)
+
+    # --- hanging-node bookkeeping -----------------------------------------
+    keep_old = ~np.isin(hkey, uniq_k) if len(hkey) else np.zeros(0, bool)
+
+    shared_un = np.isin(uniq_k, ekey[Un].ravel())
+    is_bf = np.isin(uniq_k, bfkey)
+    # a half (parent, h) of a refined coarse edge (a, b) stays unsplit in the
+    # coarse cell's child while the refined fine neighbor splits it -> the
+    # new midpoint hangs.  Only exact halves qualify: the other endpoint
+    # must be one of h's parents.
+    if len(hkey):
+        hs = np.argsort(h_id)
+        h_sorted = h_id[hs]
+        par = hang[hs][:, 1:3]
+        h_is_refined = np.isin(hkey, uniq_k)[hs]
+
+        def _half_mask(x, y):
+            pos = np.searchsorted(h_sorted, y)
+            posc = np.minimum(pos, len(h_sorted) - 1)
+            ok = (pos < len(h_sorted)) & (h_sorted[posc] == y)
+            return (
+                ok
+                & h_is_refined[posc]
+                & ((par[posc, 0] == x) | (par[posc, 1] == x))
+            )
+
+        half_unsplit = _half_mask(ua, ub) | _half_mask(ub, ua)
+    else:
+        half_unsplit = np.zeros(len(uniq_k), bool)
+    new_h = (shared_un | half_unsplit) & ~is_bf
+    new_rows = np.stack([mid_ids[new_h], ua[new_h], ub[new_h]], axis=1)
+    new_hanging = np.concatenate([hang[keep_old], new_rows], axis=0)
+
+    # --- boundary faces ------------------------------------------------------
+    pos = np.searchsorted(uniq_k, bfkey)
+    split = (pos < len(uniq_k)) & (
+        uniq_k[np.minimum(pos, len(uniq_k) - 1)] == bfkey
+    )
+    bsplit = mesh.boundary_faces[split]
+    bmid = mid_ids[pos[split]]
+    f0 = np.stack([bsplit[:, 0], bmid], axis=1)
+    f1 = np.stack([bmid, bsplit[:, 1]], axis=1)
+    new_faces = np.concatenate(
+        [mesh.boundary_faces[~split], f0, f1], axis=0
+    )
+    new_ids = np.concatenate(
+        [mesh.boundary_ids[~split]]
+        + [mesh.boundary_ids[split]] * 2
+    )
+    new_fmids = None
+    if mesh.face_manifold_ids is not None:
+        new_fmids = np.concatenate(
+            [mesh.face_manifold_ids[~split]]
+            + [mesh.face_manifold_ids[split]] * 2
+        )
+
+    # --- Q1 embedding transfer ----------------------------------------------
+    n_new = len(new_verts)
+    rows = [np.arange(nv), ]
+    cols = [np.arange(nv)]
+    vals = [np.ones(nv)]
+    nm = np.flatnonzero(new_mid)
+    rows += [mid_ids[nm]] * 2
+    cols += [ua[nm], ub[nm]]
+    vals += [np.full(len(nm), 0.5)] * 2
+    for k in range(4):
+        rows.append(cmid_ids)
+        cols.append(cells[R, k])
+        vals.append(np.full(len(R), 0.25))
+    transfer = sp.csr_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n_new, nv),
+    )
+
+    new_mesh = dataclasses.replace(
+        mesh,
+        vertices=new_verts,
+        cells=new_cells,
+        boundary_faces=new_faces,
+        boundary_ids=new_ids,
+        face_manifold_ids=new_fmids,
+        structured_shape=None,
+        structured_index=None,
+        hanging=new_hanging if len(new_hanging) else None,
+        cell_levels=new_levels,
+    )
+    return new_mesh, transfer

@@ -1,0 +1,109 @@
+"""AMR: mesh adaptor + local refinement + solution transfer.
+
+The analog of the reference's AMR smoke tests
+(tests/euler/amr-global_refinement.prm, amr-random_adaptation.prm): the
+isentropic vortex on an l4 mesh with adaptation cycles at t = 1.0, 1.5.
+The global-refinement variant must land on 4225 dofs with errors matching
+the reference output (amr-global_refinement.output: Linf 0.3879,
+L1 0.02910, L2 0.06815 normalized); random adaptation must stay
+conforming, admissible, and finite.
+"""
+
+import numpy as np
+import pytest
+
+from ryujin_tpu.config import Config
+from ryujin_tpu.driver import TimeLoop
+from ryujin_tpu.offline import assembly, ell, geometry
+from ryujin_tpu.offline.mesh import refine_local
+from ryujin_tpu.offline.mesh_adaptor import MeshAdaptor, transfer_state
+
+
+def _vortex_amr_config(tmp_path, strategy):
+    cfg = Config()
+    cfg.time_loop.basename = str(tmp_path / "amr")
+    cfg.time_loop.final_time = 2.0
+    cfg.time_loop.timer_granularity = 0.5
+    cfg.time_loop.enable_compute_error = True
+    cfg.time_loop.error_normalize = True
+    cfg.equation.equation = "euler"
+    cfg.equation.dimension = 2
+    cfg.discretization.mesh_refinement = 4
+    cfg.discretization.parameters = {
+        "position_bottom_left": [-5, -5],
+        "position_top_right": [5, 5],
+        "boundary_conditions": ["dirichlet"] * 4,
+    }
+    cfg.initial_values.configuration = "isentropic vortex"
+    cfg.initial_values.direction = [1, 1]
+    cfg.initial_values.position = [-1, -1]
+    cfg.initial_values.parameters = {"mach_number": 1.0, "beta": 5.0}
+    cfg.time_integrator.time_stepping_scheme = "erk 33"
+    cfg.time_integrator.cfl_min = 0.2
+    cfg.time_integrator.cfl_max = 0.2
+    cfg.time_integrator.cfl_recovery_strategy = "none"
+    cfg.mesh_adaptor.adaptation_strategy = strategy
+    cfg.mesh_adaptor.adaptation_time_points = [1.0, 1.5]
+    return cfg
+
+
+def test_transfer_preserves_linear_fields():
+    mesh = geometry.rectangular_domain([0, 0], [1, 1], [1, 1], 2, [4] * 4)
+    packed = ell.pack(assembly.assemble(mesh))
+    U = np.stack(
+        [np.ones(packed.n_pad),
+         2.0 * packed.positions[:, 0] + 3.0 * packed.positions[:, 1]]
+    )
+    rng = np.random.default_rng(3)
+    m, p = mesh, packed
+    for _ in range(2):
+        m2, T = refine_local(m, rng.random(m.n_cells) < 0.4)
+        p2 = ell.pack(assembly.assemble(m2))
+        U = transfer_state(U, p, m, T, m2, p2)
+        m, p = m2, p2
+    ref = 2.0 * p.positions[:, 0] + 3.0 * p.positions[:, 1]
+    n = p.n_nodes
+    np.testing.assert_allclose(U[0, :n], 1.0, atol=1e-12)
+    np.testing.assert_allclose(U[1, :n], ref[:n], atol=1e-12)
+
+
+@pytest.mark.slow
+def test_amr_global_refinement(tmp_path):
+    loop = TimeLoop(_vortex_amr_config(tmp_path, "global refinement"))
+    assert loop.packed.n_nodes == 17 * 17
+    result = loop.run(quiet=True)
+    assert loop.packed.n_nodes == 65 * 65
+    # reference amr-global_refinement.output values:
+    assert abs(result["Linf"] - 0.38790) < 0.01
+    assert abs(result["L1"] - 0.029098) < 0.001
+    assert abs(result["L2"] - 0.068148) < 0.002
+
+
+@pytest.mark.slow
+def test_amr_random_adaptation(tmp_path):
+    cfg = _vortex_amr_config(tmp_path, "random adaptation")
+    loop = TimeLoop(cfg)
+    result = loop.run(quiet=True)
+    assert loop.packed.n_nodes > 17 * 17
+    assert loop.mesh.hanging is not None and len(loop.mesh.hanging)
+    U = np.asarray(result["U"])
+    assert np.isfinite(U[:, : loop.packed.n_nodes]).all()
+    assert bool(
+        np.asarray(loop.eq.is_admissible(
+            result["U"][:, : loop.packed.n_nodes])).all()
+    )
+    assert np.isfinite(result["L2"])
+
+
+def test_mesh_adaptor_time_points():
+    ma = MeshAdaptor(adaptation_time_points=[1.0, 1.5])
+    ma.prepare(0.0)
+    ma.analyze(None, 0.9, 1)
+    assert not ma.need_mesh_adaptation
+    ma.analyze(None, 1.0, 2)
+    assert ma.need_mesh_adaptation
+    assert ma.adaptation_time_points == [1.5]
+    ma.need_mesh_adaptation = False
+    ma.analyze(None, 1.7, 3)
+    assert ma.need_mesh_adaptation
+    assert ma.adaptation_time_points == []
