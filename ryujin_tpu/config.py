@@ -49,6 +49,9 @@ class DiscretizationConfig:
 
     geometry: str = "rectangular domain"
     mesh_refinement: int = 5
+    # finite element ansatz (discretization.h:131-173):
+    # "cG Q1" | "cG Q2" | "cG Q3" | "dG Q0" | "dG Q1" | "dG Q2" | "dG Q3"
+    ansatz: str = "cG Q1"
     parameters: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 

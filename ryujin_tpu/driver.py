@@ -141,8 +141,9 @@ class TimeLoop:
         TimeLoop re-invokes after mesh adaptation
         (time_loop.template.h:667)."""
         config = self.config
-        self.offline_data = assembly.assemble(self.mesh)
-        if self.mesh.structured_index is not None:
+        ansatz = config.discretization.ansatz
+        self.offline_data = assembly.assemble(self.mesh, ansatz=ansatz)
+        if self.mesh.structured_index is not None and ansatz == "cG Q1":
             self.packed = structured.pack_structured(
                 self.offline_data, self.mesh
             )

@@ -101,23 +101,54 @@ class VTUOutput:
         self.postprocessor = postprocessor
         self.use_primitive = use_primitive
 
+    def _vertex_values(self, x: np.ndarray) -> np.ndarray:
+        """Packed nodal values [n_pad] -> mesh vertex values [n_vertices].
+
+        cG spaces read the vertex dofs directly; dG spaces average the
+        co-located corner dofs of all adjacent cells (the standard
+        projection deal.II's DataOut applies to discontinuous fields)."""
+        nv = self.mesh.n_vertices
+        v2n = self.packed.vertex_to_node
+        ansatz = getattr(self.packed, "ansatz", "cG Q1")
+        if ansatz.startswith("cG"):
+            return x[v2n[:nv]]
+        if not hasattr(self, "_dg_corners"):
+            from ..offline.ansatz import build_dof_map, parse_ansatz
+
+            _, p = parse_ansatz(ansatz)
+            dm = build_dof_map(self.mesh, ansatz)
+            n1 = p + 1
+            if self.mesh.dim == 1:
+                slots = [0, p]
+            else:
+                slots = [0, p, p * n1, p * n1 + p]
+            self._dg_corners = (
+                self.mesh.cells.ravel(),
+                v2n[dm.cell_dofs[:, slots].ravel()],
+            )
+        verts, nodes = self._dg_corners
+        acc = np.zeros(nv)
+        cnt = np.zeros(nv)
+        np.add.at(acc, verts, x[nodes])
+        np.add.at(cnt, verts, 1.0)
+        return acc / np.maximum(cnt, 1.0)
+
     def schedule_output(self, filename: str, U, alpha=None) -> None:
         import jax.numpy as jnp
 
-        v2n = self.packed.vertex_to_node
         U_np = np.asarray(U)
         data: Dict[str, np.ndarray] = {}
         for k, name in enumerate(self.eq.component_names):
-            data[name] = U_np[k][v2n]
+            data[name] = self._vertex_values(U_np[k])
         if self.use_primitive:
             prim = np.asarray(self.eq.to_primitive_state(jnp.asarray(U_np)))
             for k, name in enumerate(self.eq.primitive_component_names):
                 if name not in data:
-                    data[name] = prim[k][v2n]
+                    data[name] = self._vertex_values(prim[k])
         if alpha is not None:
-            data["alpha"] = np.asarray(alpha)[v2n]
+            data["alpha"] = self._vertex_values(np.asarray(alpha))
         if self.postprocessor is not None:
             fields = self.postprocessor.compute(jnp.asarray(U_np))
             for name, f in zip(self.postprocessor.component_names, fields):
-                data[name] = f[v2n]
+                data[name] = self._vertex_values(np.asarray(f))
         write_vtu(filename, self.mesh, data)

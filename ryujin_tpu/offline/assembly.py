@@ -116,6 +116,10 @@ class SparseOfflineData:
     # hanging-node rows (h, a, b), u_h = (u_a + u_b)/2, already condensed
     # into the matrices above; kept for output/error interpolation:
     hanging: Optional[np.ndarray] = None
+    # dG incidence matrix beta_ij [nnz] aligned with `indices`
+    # (offline_data.template.h:809-940); None for continuous ansatz:
+    incidence: Optional[np.ndarray] = None
+    ansatz: str = "cG Q1"
 
     def validate(self, tol: float = 1e-10):
         """Reference DEBUG consistency checks (offline_data.template.h:1002-1104)."""
@@ -151,14 +155,8 @@ class SparseOfflineData:
                 assert np.abs(self.cij[k] + self.cij[kT]).max() < tol, (i, j)
 
 
-def assemble(mesh: Mesh, order_nodes: bool = True) -> SparseOfflineData:
-    """Assemble all offline data for a Q1 continuous ansatz."""
-    dim = mesh.dim
-    nsh = 2**dim
-    cells = mesh.cells
-    nc = cells.shape[0]
-
-    # ---- periodic identification --------------------------------------
+def _vertex_masters(mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
+    """Union-find over periodic vertex pairs -> (master, is_constrained)."""
     n_raw = mesh.n_vertices
     master = np.arange(n_raw)
     constrained = np.zeros(n_raw, dtype=bool)
@@ -180,6 +178,27 @@ def assemble(mesh: Mesh, order_nodes: bool = True) -> SparseOfflineData:
             while master[r] != r:
                 r = master[r]
             master[i] = r
+    return master, constrained
+
+
+def assemble(
+    mesh: Mesh, order_nodes: bool = True, ansatz: str = "cG Q1"
+) -> SparseOfflineData:
+    """Assemble all offline data for the chosen ansatz.
+
+    cG Q1 takes the fast vertex-dof path below (with periodic and
+    hanging-node constraint condensation); all other ansatz spaces go
+    through the generic DoF-map path (_assemble_ansatz)."""
+    if ansatz != "cG Q1":
+        return _assemble_ansatz(mesh, ansatz)
+    dim = mesh.dim
+    nsh = 2**dim
+    cells = mesh.cells
+    nc = cells.shape[0]
+
+    # ---- periodic identification --------------------------------------
+    n_raw = mesh.n_vertices
+    master, constrained = _vertex_masters(mesh)
 
     # ---- hanging-node constraints (AMR) --------------------------------
     # Expand every vertex into a weighted combination of free vertices:
@@ -433,6 +452,12 @@ def _build_boundary_map(
                     [nvec, bmass, bmass, int(ids[k]), mesh.vertices[v_raw].copy()]
                 )
 
+    return _merge_boundary_entries(entries, dim)
+
+
+def _merge_boundary_entries(
+    entries: Dict[int, List], dim: int
+) -> List[Dict[int, BoundaryGroup]]:
     # ---- filter/merge (offline_data.template.h:1295-1340) -------------
     final: Dict[int, List] = {}
     for v in sorted(entries.keys()):
@@ -567,3 +592,378 @@ def assemble_stiffness(mesh: Mesh, data: SparseOfflineData):
 
 # Backwards-compatible alias
 Q1Assembly = SparseOfflineData
+
+
+# ---------------------------------------------------------------------------
+# Generic ansatz assembly (cG Q2/Q3, dG Q0-Q3)
+# ---------------------------------------------------------------------------
+
+
+def _assemble_ansatz(mesh: Mesh, ansatz: str) -> SparseOfflineData:
+    """Assemble offline data for higher-order / discontinuous elements.
+
+    Mirrors offline_data.template.h:419-940: QGauss(p+1) volume terms for
+    m_ij and c_ij; for the discontinuous ansatz additionally the interface
+    terms  c_ij -= 1/2 int_f n phi_i phi_j  (both dofs in-cell) and
+    c_ij += 1/2 int_f n phi_i phi_j^nbr  (coupling), plus the nodal
+    incidence matrix beta_ij = hd_ij^(relax/dim) between colocated face
+    dofs (offline_data.template.h:581-663, 809-940).
+    """
+    from .ansatz import (
+        build_dof_map, face_slots, gauss_lobatto_points, lagrange_1d,
+        parse_ansatz, shape_qp,
+    )
+
+    continuous, p = parse_ansatz(ansatz)
+    dim = mesh.dim
+    if mesh.hanging is not None and len(mesh.hanging):
+        raise NotImplementedError(f"AMR + '{ansatz}' not supported")
+
+    dm = build_dof_map(mesh, ansatz)
+    nc = mesh.n_cells
+    n = dm.n_dofs
+    n_loc = dm.n_loc
+    cells = mesh.cells
+
+    # periodic identification over dofs (vertex masters + paired edge dofs)
+    master, constrained = _ansatz_dof_masters(mesh, dm, continuous, p)
+
+    n1d = max(p + 1, 1)
+    qp, qw = _cell_quadrature(dim, n1d)
+    N, dN = shape_qp(dim, p, qp)
+    N1, dN1 = _shape_q1(dim, qp)  # geometry (sub-parametric Q1 map)
+
+    X = mesh.vertices[cells]
+    J = np.einsum("qsd,nse->nqed", dN1, X)
+    detJ = np.linalg.det(J)
+    assert (detJ > 0).all(), "negatively oriented or degenerate cells"
+    Jinv = np.linalg.inv(J)
+    gradN = np.einsum("qsd,nqde->nqse", dN, Jinv)
+    JxW = detJ * qw[None, :]
+    measure = float(JxW.sum())
+
+    cell_m = np.einsum("qi,qj,nq->nij", N, N, JxW)
+    cell_c = np.einsum("qi,nqje,nq->nije", N, gradN, JxW)
+
+    acd = master[dm.cell_dofs]
+    rows_l = [np.repeat(acd[:, :, None], n_loc, axis=2).ravel()]
+    cols_l = [np.repeat(acd[:, None, :], n_loc, axis=1).ravel()]
+    m_l = [cell_m.ravel()]
+    c_l = [cell_c.reshape(-1, dim)]
+    inc_l = [np.zeros(rows_l[0].shape[0])]
+
+    inc_rows = []  # (i, j) pairs needing incidence values
+    if not continuous:
+        fr, fc, fcv, finc = _dg_face_terms(mesh, dm, p)
+        rows_l.append(fr)
+        cols_l.append(fc)
+        m_l.append(np.zeros(len(fr)))
+        c_l.append(fcv)
+        inc_l.append(np.zeros(len(fr)))
+        inc_rows = finc  # [(i, j)] colocated pairs, value filled below
+
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    mvals = np.concatenate(m_l)
+    cvals = np.concatenate(c_l)
+
+    key = rows.astype(np.int64) * n + cols
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq_key, start = np.unique(key_s, return_index=True)
+    m_sum = np.add.reduceat(mvals[order], start)
+    c_sum = np.add.reduceat(cvals[order], start, axis=0)
+    ui = (uniq_key // n).astype(np.int64)
+    uj = (uniq_key % n).astype(np.int64)
+
+    diag_mask = ui == uj
+    di = ui[diag_mask]
+    mii = np.zeros(n)
+    cii = np.zeros((n, dim))
+    mii[di] = m_sum[diag_mask]
+    cii[di] = c_sum[diag_mask]
+
+    oi, oj = ui[~diag_mask], uj[~diag_mask]
+    omij = m_sum[~diag_mask]
+    ocij = c_sum[~diag_mask]
+
+    counts = np.bincount(oi, minlength=n)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    indices = oj
+    # lumped mass from the mass matrix only (face terms carry zero mass):
+    lumped = mii.copy()
+    np.add.at(lumped, oi, omij)
+
+    incidence = None
+    if not continuous and inc_rows:
+        # beta_ij = hd_ij^(relax/dim), hd_ij = (m_i + m_j) / (2 |Omega|);
+        # relax = 0.5 for even degree, 0.0 (constant 1) for odd degree
+        # (offline_data.template.h:46-58, 900-930):
+        relax = 0.5 if p % 2 == 0 else 0.0
+        incidence = np.zeros(len(oi))
+        ir = np.array([x[0] for x in inc_rows], np.int64)
+        jr = np.array([x[1] for x in inc_rows], np.int64)
+        hd = 0.5 * (lumped[ir] + lumped[jr]) / measure
+        vals = hd ** (relax / dim)
+        # locate (ir, jr) in the offdiag CSR:
+        okey = oi * n + oj
+        pos = np.searchsorted(okey, ir * n + jr)
+        assert np.array_equal(okey[pos], ir * n + jr)
+        np.maximum.at(incidence, pos, vals)
+
+    boundary_rounds = _boundary_map_ansatz(mesh, dm, p, master, constrained)
+
+    data = SparseOfflineData(
+        dim=dim,
+        n_nodes=n,
+        positions=dm.positions.copy(),
+        indptr=indptr,
+        indices=indices,
+        cij=ocij,
+        mij=omij,
+        cii=cii,
+        mii=mii,
+        lumped_mass=lumped,
+        measure_of_omega=measure,
+        boundary_rounds=boundary_rounds,
+        master=master,
+        is_constrained=constrained,
+        incidence=incidence,
+        ansatz=ansatz,
+    )
+    return data
+
+
+def _interior_face_pairs(mesh: Mesh):
+    """All interior faces as ((cell_a, floc_a), (cell_b, floc_b)) pairs.
+
+    Faces are keyed by periodic vertex masters, so a pair of periodic
+    boundary faces shows up as one interior pair (the analog of the
+    reference's has_periodic_neighbor handling in the dG face assembly,
+    offline_data.template.h:592-640)."""
+    from .mesh import _FACE_VERTICES
+
+    vmaster, _ = _vertex_masters(mesh)
+    fv = _FACE_VERTICES[mesh.dim]
+    table: Dict[tuple, List[Tuple[int, int]]] = {}
+    for f_loc, lv in enumerate(fv):
+        fverts = vmaster[mesh.cells[:, lv]]
+        for c in range(mesh.n_cells):
+            key = tuple(sorted(fverts[c].tolist()))
+            table.setdefault(key, []).append((c, f_loc))
+    return [v for v in table.values() if len(v) == 2]
+
+
+def _dg_face_terms(mesh: Mesh, dm, p: int):
+    """Interface contributions to c_ij for the discontinuous ansatz.
+
+    Returns (rows, cols, cvals, incidence_pairs).  For each interior face
+    with owner A and neighbor B (and vice versa — both orientations are
+    emitted):
+      in-cell:   c[i, j] -= 1/2 int_f n_A phi_i phi_j      (i, j in A)
+      coupling:  c[i, j] += 1/2 int_f n_A phi_i phi_j^B    (i in A, j in B)
+    incidence pairs are the colocated (i in A, j in B) face-dof pairs.
+    """
+    from .ansatz import face_slots, gauss_lobatto_points, lagrange_1d
+
+    dim = mesh.dim
+    slots = face_slots(dim, p)
+    pairs = _interior_face_pairs(mesh)
+    rows, cols, cvals, inc = [], [], [], []
+
+    if dim == 1:
+        for (ca, fa), (cb, fb) in pairs:
+            for (A, fA), (B, fB) in (((ca, fa), (cb, fb)),
+                                     ((cb, fb), (ca, fa))):
+                dofs_A = dm.cell_dofs[A, slots[fA]]
+                dofs_B = dm.cell_dofs[B, slots[fB]]
+                n_out = -1.0 if fA == 0 else 1.0
+                i, j = int(dofs_A[0]), int(dofs_B[0])
+                # phi values at the face point are 1 for the face dof
+                rows += [i, i]
+                cols += [i, j]
+                cvals += [[-0.5 * n_out], [0.5 * n_out]]
+                inc.append((i, j))
+        return (np.array(rows, np.int64), np.array(cols, np.int64),
+                np.array(cvals), inc)
+
+    # dim == 2: 1D Lagrange basis on the face at QGauss(p+1) points
+    nodes = gauss_lobatto_points(p)
+    qp1, qw1 = _gauss_1d(max(p + 1, 2))
+    V, _ = lagrange_1d(nodes, qp1)  # [nq, p+1]
+    phi2 = np.einsum("qi,qj,q->ij", V, V, qw1)  # unscaled int phi_i phi_j
+
+    for (ca, fa), (cb, fb) in pairs:
+        for (A, fA), (B, fB) in (((ca, fa), (cb, fb)), ((cb, fb), (ca, fa))):
+            dofs_A = dm.cell_dofs[A, slots[fA]]
+            dofs_B = dm.cell_dofs[B, slots[fB]]
+            # geometric face endpoints from the mesh (dof positions are off
+            # the face for p = 0, where the single dof is the cell center):
+            from .mesh import _FACE_VERTICES
+
+            fverts_A = mesh.cells[A, _FACE_VERTICES[2][fA]]
+            pa = mesh.vertices[fverts_A]
+            if p > 0:
+                pda = dm.positions[dofs_A]
+                pdb = dm.positions[dofs_B]
+                # match B's tangential order to A's; comparison is
+                # translation-invariant so periodic partner faces work:
+                rel_a = pda - pda.mean(axis=0)
+                rel_b = pdb - pdb.mean(axis=0)
+                if not np.allclose(rel_a, rel_b):
+                    dofs_B = dofs_B[::-1]
+                    rel_b = rel_b[::-1]
+                assert np.allclose(rel_a, rel_b), "face dof mismatch"
+                pa = pda
+            t = pa[-1] - pa[0]
+            length = float(np.linalg.norm(t))
+            nrm = np.array([t[1], -t[0]]) / length
+            center = mesh.vertices[mesh.cells[A]].mean(axis=0)
+            if nrm @ (0.5 * (pa[0] + pa[-1]) - center) < 0:
+                nrm = -nrm
+            block = phi2 * length  # int_f phi_i phi_j ds
+            n1 = p + 1
+            ii = np.repeat(dofs_A, n1)
+            jj_in = np.tile(dofs_A, n1)
+            jj_cp = np.tile(dofs_B, n1)
+            flat = block.ravel()
+            rows.append(np.concatenate([ii, ii]))
+            cols.append(np.concatenate([jj_in, jj_cp]))
+            cvals.append(np.concatenate([
+                -0.5 * flat[:, None] * nrm[None, :],
+                0.5 * flat[:, None] * nrm[None, :],
+            ]))
+            inc += list(zip(dofs_A.tolist(), dofs_B.tolist()))
+    return (np.concatenate(rows), np.concatenate(cols),
+            np.concatenate(cvals), inc)
+
+
+def _boundary_map_ansatz(mesh: Mesh, dm, p: int, master=None,
+                         constrained=None):
+    """Boundary map over face dofs for the generic ansatz path."""
+    if master is None:
+        master = np.arange(dm.n_dofs)
+    if constrained is None:
+        constrained = np.zeros(dm.n_dofs, bool)
+    from .ansatz import gauss_lobatto_points, lagrange_1d
+
+    dim = mesh.dim
+    entries: Dict[int, List] = {}
+    if len(mesh.boundary_faces) == 0:
+        return []
+
+    if dim == 1:
+        interior_mean = mesh.vertices.mean()
+        for fd, f, bid in zip(dm.face_dofs, mesh.boundary_faces,
+                              mesh.boundary_ids):
+            if bid == Boundary.periodic:
+                continue
+            v = int(fd[0])
+            if constrained[v]:
+                continue
+            x = mesh.vertices[f[0]]
+            nrm = np.array([1.0 if x[0] > interior_mean else -1.0])
+            entries.setdefault(v, []).append(
+                [nrm, 1.0, 1.0, int(bid), dm.positions[v].copy()]
+            )
+        return _merge_boundary_entries(entries, dim)
+
+    nodes = gauss_lobatto_points(p)
+    qp1, qw1 = _gauss_1d(max(p + 1, 3))
+    V, _ = lagrange_1d(nodes, qp1)
+    wphi = np.einsum("qi,q->i", V, qw1)  # int phi_i over unit face
+
+    faces = mesh.boundary_faces
+    ids = mesh.boundary_ids
+    fdofs = dm.face_dofs
+    keep = ids != Boundary.periodic
+    faces, ids, fdofs = faces[keep], ids[keep], fdofs[keep]
+    p0 = mesh.vertices[faces[:, 0]]
+    p1 = mesh.vertices[faces[:, 1]]
+    tang = p1 - p0
+    nrm = np.stack([tang[:, 1], -tang[:, 0]], axis=1)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    cellcenter = _face_cell_centers(mesh, faces)
+    mid = 0.5 * (p0 + p1)
+    flip = np.einsum("fd,fd->f", nrm, mid - cellcenter) < 0
+    nrm[flip] *= -1.0
+    length = np.linalg.norm(tang, axis=1)
+
+    for k in range(len(faces)):
+        for loc in range(p + 1):
+            v_raw = int(fdofs[k, loc])
+            if constrained[v_raw]:
+                continue
+            v = int(master[v_raw])
+            bmass = float(wphi[loc]) * length[k]
+            entries.setdefault(v, []).append(
+                [nrm[k] * bmass, bmass, bmass, int(ids[k]),
+                 dm.positions[v_raw].copy()]
+            )
+    return _merge_boundary_entries(entries, dim)
+
+
+def _ansatz_dof_masters(mesh: Mesh, dm, continuous: bool, p: int):
+    """Periodic dof identification for the generic ansatz path.
+
+    Vertex dofs inherit the vertex union-find; for cG Qp the edge dofs of a
+    periodic boundary edge are identified slot-wise with the edge whose
+    vertex pair consists of the masters (orientation matched through the
+    vertex correspondence).  dG spaces share no dofs (periodicity enters
+    through the face terms instead).
+    """
+    n = dm.n_dofs
+    master = np.arange(n)
+    constrained = np.zeros(n, bool)
+    if mesh.periodic_pairs is None or not len(mesh.periodic_pairs):
+        return master, constrained
+    if not continuous:
+        return master, constrained
+
+    vmaster, vconstr = _vertex_masters(mesh)
+    nv = mesh.n_vertices
+    master[:nv] = vmaster
+    constrained[:nv] = vconstr
+    if p == 1 or mesh.dim == 1:
+        return master, constrained
+
+    # edge dofs (2D): unique edges in dof-map order
+    cells = mesh.cells
+    edge_local = np.array([[0, 1], [2, 3], [0, 2], [1, 3]])
+    ce_sorted = np.sort(cells[:, edge_local], axis=2).reshape(-1, 2)
+    uniq, _ = np.unique(ce_sorted, axis=0, return_inverse=True)
+    n_int_e = p - 1
+    edge_dof0 = nv + np.arange(len(uniq), dtype=np.int64) * n_int_e
+
+    mkey = np.sort(vmaster[uniq], axis=1)
+    key = mkey[:, 0].astype(np.int64) * nv + mkey[:, 1]
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(ks)]]))
+    for s, ln in zip(starts, lens):
+        if ln < 2:
+            continue
+        group = order[s : s + ln]
+        # the master edge: the one whose own vertices are the masters
+        own = np.array([
+            np.array_equal(np.sort(vmaster[uniq[g]]), np.sort(uniq[g]))
+            for g in group
+        ])
+        mg = group[np.argmax(own)] if own.any() else group[0]
+        a_m, b_m = uniq[mg]
+        fwd_m = vmaster[a_m] < vmaster[b_m] if a_m != b_m else True
+        for g in group:
+            if g == mg:
+                continue
+            a_s, b_s = uniq[g]
+            fwd_s = vmaster[a_s] < vmaster[b_s]
+            same = fwd_s == fwd_m
+            for k in range(n_int_e):
+                k_m = k if same else n_int_e - 1 - k
+                s_dof = edge_dof0[g] + k
+                m_dof = edge_dof0[mg] + k_m
+                master[s_dof] = m_dof
+                constrained[s_dof] = True
+    return master, constrained

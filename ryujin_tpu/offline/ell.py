@@ -49,6 +49,7 @@ class EllData:
         n, K, dim = self.cij.shape
         return self.cij.reshape(n * K, dim)[self.trans]
     cii: np.ndarray  # [n_pad, dim]
+    incidence: Optional[np.ndarray]  # [n_pad, K] dG incidence or None
     lumped_mass: np.ndarray  # [n_pad]
     n_nbrs: np.ndarray  # [n_pad] float (row_length - 1, >= 1)
     node_mask: np.ndarray  # [n_pad] float
@@ -63,6 +64,9 @@ class EllData:
     # boundary data: list of rounds; each round maps Boundary id ->
     # BoundaryGroup with `index` already in packed node numbering.
     boundary_rounds: List[Dict[int, BoundaryGroup]]
+
+    # finite element ansatz this graph was assembled with:
+    ansatz: str = "cG Q1"
 
 
 def _locality_order(data: SparseOfflineData, real: np.ndarray) -> np.ndarray:
@@ -156,6 +160,10 @@ def pack(
     cij[rows_rep, slot] = data.cij[src]
     mij[rows_rep, slot] = data.mij[src]
     mask[rows_rep, slot] = 1.0
+    incidence = None
+    if getattr(data, "incidence", None) is not None:
+        incidence = np.zeros((n_pad, K))
+        incidence[rows_rep, slot] = data.incidence[src]
 
     cii = np.zeros((n_pad, data.dim))
     cii[:n_real] = data.cii[order]
@@ -211,6 +219,7 @@ def pack(
         mask=mask,
         trans=trans.astype(np.int32),
         cii=cii,
+        incidence=incidence,
         lumped_mass=lumped,
         n_nbrs=n_nbrs,
         node_mask=node_mask,
@@ -219,4 +228,5 @@ def pack(
         vertex_to_node=vertex_to_node,
         node_to_vertex=node_to_vertex,
         boundary_rounds=rounds,
+        ansatz=getattr(data, "ansatz", "cG Q1"),
     )

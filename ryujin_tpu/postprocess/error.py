@@ -20,16 +20,29 @@ from ..offline.ell import EllData
 from ..offline.mesh import Mesh
 
 
-def _cell_norms(mesh: Mesh, nodal: np.ndarray, kind: str) -> float:
-    """Integrate the Q1 interpolant of `nodal` (vertex values) over cells."""
+def _cell_norms(mesh: Mesh, nodal: np.ndarray, kind: str,
+                dof_map=None) -> float:
+    """Integrate the FE interpolant of `nodal` (raw dof values) over cells.
+
+    dof_map: None for the vertex-based cG Q1 path, else an
+    offline.ansatz.DofMap whose basis interpolates the dof values."""
     dim = mesh.dim
-    qp, qw = _cell_quadrature(dim, 3)
-    N, dN = _shape_q1(dim, qp)
+    qp, qw = _cell_quadrature(dim, max(3, (
+        dof_map.degree + 1 if dof_map is not None else 0)))
+    _, dN1 = _shape_q1(dim, qp)
+    if dof_map is None:
+        N, _ = _shape_q1(dim, qp)
+        cell_dofs = mesh.cells
+    else:
+        from ..offline.ansatz import shape_qp
+
+        N, _ = shape_qp(dim, dof_map.degree, qp)
+        cell_dofs = dof_map.cell_dofs
     X = mesh.vertices[mesh.cells]  # [nc, nsh, dim]
-    J = np.einsum("qsd,nse->nqed", dN, X)
+    J = np.einsum("qsd,nse->nqed", dN1, X)
     detJ = np.abs(np.linalg.det(J))
     JxW = detJ * qw[None, :]
-    vals = np.einsum("qs,ns->nq", N, nodal[mesh.cells])
+    vals = np.einsum("qs,ns->nq", N, nodal[cell_dofs])
     if kind == "L1":
         return float(np.sum(np.abs(vals) * JxW))
     if kind == "L2":
@@ -55,12 +68,23 @@ def compute_error(
         components = names
 
     U = np.asarray(U)  # [C, n_pad] (component-first layout)
+
+    # raw dof positions: mesh vertices for cG Q1, the ansatz DoF map else
+    ansatz = getattr(ell, "ansatz", "cG Q1")
+    dm = None
+    if ansatz != "cG Q1":
+        from ..offline.ansatz import build_dof_map
+
+        dm = build_dof_map(mesh, ansatz)
+        pos = dm.positions
+    else:
+        pos = mesh.vertices
     analytic = np.asarray(
-        initial_state_fn(jnp.asarray(mesh.vertices.T, dtype=U.dtype), t)
+        initial_state_fn(jnp.asarray(pos.T, dtype=U.dtype), t)
     )  # [C, n_raw]
 
-    # nodal numerical values at mesh vertices (constrained vertices read
-    # from their master, matching affine_constraints().distribute()):
+    # nodal numerical values at raw dofs (constrained dofs read from
+    # their master, matching affine_constraints().distribute()):
     U_vertices = U[:, ell.vertex_to_node]
 
     linf = l1 = l2 = 0.0
@@ -68,13 +92,13 @@ def compute_error(
         idx = names.index(name)
         err = U_vertices[idx] - analytic[idx]
         linf_e = float(np.max(np.abs(err)))
-        l1_e = _cell_norms(mesh, err, "L1")
-        l2_e = _cell_norms(mesh, err, "L2")
+        l1_e = _cell_norms(mesh, err, "L1", dm)
+        l2_e = _cell_norms(mesh, err, "L2", dm)
         if normalize:
             a = analytic[idx]
             linf_a = float(np.max(np.abs(a)))
-            l1_a = _cell_norms(mesh, a, "L1")
-            l2_a = _cell_norms(mesh, a, "L2")
+            l1_a = _cell_norms(mesh, a, "L1", dm)
+            l2_a = _cell_norms(mesh, a, "L2", dm)
             linf += linf_e / linf_a
             l1 += l1_e / l1_a
             l2 += l2_e / l2_a

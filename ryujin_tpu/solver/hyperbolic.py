@@ -70,6 +70,9 @@ class Stencil:
     n_nbrs: jax.Array  # [n]
     node_mask: jax.Array  # [n]
     measure_inv: jax.Array  # scalar
+    # dG incidence matrix beta_ij [K, n] (offline_data.template.h:809-940);
+    # None for a continuous ansatz:
+    incidence: Optional[jax.Array] = None
 
     @property
     def K(self) -> int:
@@ -114,6 +117,9 @@ def _stencil_from_ell(ell: EllData, dtype=jnp.float64) -> Stencil:
         n_nbrs=_f(ell.n_nbrs, dtype),
         node_mask=_f(ell.node_mask, dtype),
         measure_inv=_f(1.0 / ell.measure_of_omega, dtype),
+        incidence=(
+            None if ell.incidence is None else _f(ell.incidence.T, dtype)
+        ),
     )
 
 
@@ -413,7 +419,12 @@ def phase_low_order(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
     S = stage_U.shape[0] if stage_U is not None else 0
     weight = 1.0 - (jnp.sum(stage_weights) if S else 0.0)
 
-    d_H = d * (0.5 * (alpha[None] + alpha_j))
+    factor = 0.5 * (alpha[None] + alpha_j)
+    if getattr(sa, "incidence", None) is not None:
+        # dG: force low-order dissipation across element interfaces
+        # (hyperbolic_module.template.h:733-737):
+        factor = jnp.maximum(factor, sa.incidence)
+    d_H = d * factor
     regularization = jnp.asarray(
         100.0 * np.finfo(np.dtype(dtype)).tiny, dtype
     )
@@ -488,7 +499,12 @@ def phase_p_l1(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
     S = stage_U.shape[0] if stage_U is not None else 0
     weight = 1.0 - (jnp.sum(stage_weights) if S else 0.0)
 
-    d_H = d * (0.5 * (alpha[None] + alpha_j))
+    factor = 0.5 * (alpha[None] + alpha_j)
+    if getattr(sa, "incidence", None) is not None:
+        # dG: force low-order dissipation across element interfaces
+        # (hyperbolic_module.template.h:733-737):
+        factor = jnp.maximum(factor, sa.incidence)
+    d_H = d * factor
     flux_i, flux_i_e, flux_j, flux_ij, _ = _fluxes(
         eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j
     )
