@@ -62,6 +62,9 @@ class InitialValuesConfig:
     configuration: str = "uniform"
     direction: Optional[Sequence[float]] = None
     position: Optional[Sequence[float]] = None
+    # multiplicative random perturbation of the interpolated initial state
+    # (initial_values.template.h:51-216); 0 disables:
+    perturbation: float = 0.0
     parameters: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 

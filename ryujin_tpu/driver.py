@@ -265,6 +265,12 @@ class TimeLoop:
             U = interpolate_nodal(
                 self.initial_state_fn, self.packed, eq, 0.0, self.dtype
             )
+            pert = self.config.initial_values.perturbation
+            if pert != 0.0:
+                # random multiplicative perturbation of the initial state
+                # (initial_values.template.h:198-216):
+                noise = np.random.default_rng().uniform(-1.0, 1.0, U.shape)
+                U = U * (1.0 + pert * jnp.asarray(noise, self.dtype))
             t, cycle = 0.0, 0
             self._tick_output(U, t, cycle)
 

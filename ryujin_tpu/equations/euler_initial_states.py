@@ -339,6 +339,255 @@ def becker_solution(
     return fn
 
 
+def rarefaction(eq, gamma=None):
+    """Analytic 1-rarefaction solution (initial_state_rarefaction.h:46-153).
+
+    Left state (rho, u, p) = (3, c_L, 1); the right state follows from the
+    isentropic condition and the 1-Riemann invariant with rho_R = 0.5; the
+    fan is centered so it has opened for 0.2/(u_R - u_L) at t = 0.
+    """
+    gamma = eq.params.gamma if gamma is None else gamma
+    dim = eq.dim
+
+    rho_L, p_L = 3.0, 1.0
+    c_L = math.sqrt(gamma * p_L / rho_L)
+    u_L = c_L
+    rho_R = 0.5
+    p_R = (rho_R / rho_L) ** gamma * p_L
+    c_R = math.sqrt(gamma * p_R / rho_R)
+    u_R = u_L + 2.0 * (c_L - c_R) / (gamma - 1.0)
+
+    k1 = 2.0 / (gamma + 1.0)
+    k2 = (gamma - 1.0) / ((gamma + 1.0) * c_L)
+    k3 = c_L + 0.5 * (gamma - 1.0) * u_L
+    de = 2.0 / (gamma - 1.0)
+    pe = 2.0 * gamma / (gamma - 1.0)
+    t0 = 0.2 / (u_R - u_L)
+
+    def fn(points, t):
+        x = points[0]
+        tt = t0 + t
+        chi = x / tt
+        base = jnp.maximum(k1 + k2 * (u_L - chi), 1e-30)
+        rho_f = rho_L * jnp.power(base, de)
+        u_f = k1 * (k3 + chi)
+        p_f = p_L * jnp.power(base, pe)
+        in_left = x <= tt * (u_L - c_L)
+        in_fan = x <= tt * (u_R - c_R)
+        rho = jnp.where(in_left, rho_L, jnp.where(in_fan, rho_f, rho_R))
+        u = jnp.where(in_left, u_L, jnp.where(in_fan, u_f, u_R))
+        p = jnp.where(in_left, p_L, jnp.where(in_fan, p_f, p_R))
+        E = p / (gamma - 1.0) + 0.5 * rho * u * u
+        zeros = [jnp.zeros_like(rho) for _ in range(dim - 1)]
+        return jnp.stack([rho, rho * u] + zeros + [E], axis=0)
+
+    return fn
+
+
+def noh(eq, reference_density=1.0, reference_velocity_magnitude=1.0,
+        reference_pressure=1.0e-12, gamma=None):
+    """Noh implosion with analytic solution (initial_state_noh.h:36-110)."""
+    gamma = eq.params.gamma if gamma is None else gamma
+    dim = eq.dim
+    rho0, u0, p0 = (
+        reference_density, reference_velocity_magnitude, reference_pressure
+    )
+
+    def fn(points, t):
+        r = jnp.sqrt(sum(points[d] ** 2 for d in range(dim)))
+        tiny = 10.0 * np.finfo(np.dtype(points.dtype)).tiny
+        D = u0 * (gamma - 1.0) / 2.0
+        interior = jnp.where(t > 0.0, r / jnp.maximum(t, tiny) < D, False)
+        rho_in = rho0 * ((gamma + 1.0) / (gamma - 1.0)) ** dim
+        p_in = (
+            0.5 * rho0 * u0 * u0
+            * (gamma + 1.0) ** dim / (gamma - 1.0) ** (dim - 1)
+        )
+        rho_out = rho0 * jnp.power(1.0 + t / (r + tiny), dim - 1)
+        rho = jnp.where(interior, rho_in, rho_out)
+        p = jnp.where(interior, p_in, p0)
+        vel = [
+            jnp.where(interior, 0.0, -u0 * points[d] / (r + tiny))
+            for d in range(dim)
+        ]
+        E = p / (gamma - 1.0) + 0.5 * rho * sum(v * v for v in vel)
+        return jnp.stack([rho] + [rho * v for v in vel] + [E], axis=0)
+
+    return fn
+
+
+def radial_contrast(eq, primitive_inner=(1.4, 0.0, 1.0),
+                    primitive_outer=(1.4, 0.0, 1.0), radius=0.5):
+    """Disk of one state inside another (initial_state_radial_contrast.h)."""
+    inner = uniform(eq, primitive_inner)
+    outer = uniform(eq, primitive_outer)
+    dim = eq.dim
+
+    def fn(points, t):
+        r = jnp.sqrt(sum(points[d] ** 2 for d in range(dim)))
+        return jnp.where((r > radius)[None], outer(points, t),
+                         inner(points, t))
+
+    return fn
+
+
+def three_state_contrast(
+    eq,
+    primitive_left=(1.0, 0.0, 1.0e3),
+    left_region_length=0.1,
+    primitive_middle=(1.0, 0.0, 1.0e-2),
+    middle_region_length=0.8,
+    primitive_right=(1.0, 0.0, 1.0e2),
+):
+    """Woodward-Colella style triple state
+    (initial_state_three_state_contrast.h:38-92)."""
+    L = uniform(eq, primitive_left)
+    M = uniform(eq, primitive_middle)
+    R = uniform(eq, primitive_right)
+    x1, x2 = left_region_length, left_region_length + middle_region_length
+
+    def fn(points, t):
+        x = points[0][None]
+        return jnp.where(
+            x >= x2, R(points, t),
+            jnp.where(x >= x1, M(points, t), L(points, t)),
+        )
+
+    return fn
+
+
+def four_state_contrast(
+    eq,
+    primitive_bottom_left=(1.4, 0.0, 0.0, 1.0),
+    primitive_bottom_right=(1.4, 0.0, 0.0, 1.0),
+    primitive_top_left=(1.4, 0.0, 0.0, 1.0),
+    primitive_top_right=(1.4, 0.0, 0.0, 1.0),
+):
+    """2D Riemann quadrant data (initial_state_four_state_contrast.h)."""
+    if eq.dim < 2:
+        raise ValueError("four state contrast requires dim >= 2")
+    BL = uniform(eq, primitive_bottom_left)
+    BR = uniform(eq, primitive_bottom_right)
+    TL = uniform(eq, primitive_top_left)
+    TR = uniform(eq, primitive_top_right)
+
+    def fn(points, t):
+        right = (points[0] >= 0.0)[None]
+        top_sel = (points[1] >= 0.0)[None]
+        top = jnp.where(right, TR(points, t), TL(points, t))
+        bottom = jnp.where(right, BR(points, t), BL(points, t))
+        return jnp.where(top_sel, top, bottom)
+
+    return fn
+
+
+def astro_jet(eq, jet_width=0.05, primitive_jet_state=(5.0, 30.0, 0.4127),
+              primitive_ambient_right=(5.0, 0.0, 0.4127), gamma=None):
+    """Mach-2000 astrophysical jet inflow (initial_state_astro_jet.h)."""
+    del gamma  # only affects the EOS, which lives on eq
+    jet = uniform(eq, primitive_jet_state)
+    ambient = uniform(eq, primitive_ambient_right)
+
+    def fn(points, t):
+        sel = ((points[0] < 1.0e-12)
+               & (jnp.abs(points[1]) <= jet_width))[None]
+        return jnp.where(sel, jet(points, t), ambient(points, t))
+
+    return fn
+
+
+def icf_like(
+    eq,
+    primitive_state_inside=(0.1, 0.0, 1.0),
+    primitive_state_outside=(1.0, 0.0, 1.0),
+    interface_radius=1.0,
+    number_of_modes=8.0,
+    amplitude=0.02,
+    mach_number=3.0,
+    shock_radius=1.2,
+    gamma=None,
+):
+    """ICF-like perturbed interface + incoming radial shock
+    (initial_state_icf_like.h:40-160)."""
+    gamma = eq.params.gamma if gamma is None else gamma
+    dim = eq.dim
+    inside = uniform(eq, primitive_state_inside)
+    outside = uniform(eq, primitive_state_outside)
+
+    rho_R, u_R, p_R = (
+        primitive_state_outside[0], primitive_state_outside[1],
+        primitive_state_outside[-1],
+    )
+    b = getattr(eq.params, "covolume_b", 0.0) if hasattr(eq, "params") else 0.0
+    a_R = math.sqrt(gamma * p_R / rho_R / (1.0 - b * rho_R))
+    mach_R = u_R / a_R
+    S3 = mach_number * a_R
+    dm = mach_R - mach_number
+    rho_sh = rho_R * (gamma + 1.0) * dm * dm / ((gamma - 1.0) * dm * dm + 2.0)
+    u_sh = (1.0 - rho_R / rho_sh) * S3 + rho_R / rho_sh * u_R
+    p_sh = p_R * (2.0 * gamma * dm * dm - (gamma - 1.0)) / (gamma + 1.0)
+
+    def fn(points, t):
+        r = jnp.sqrt(sum(points[d] ** 2 for d in range(dim)))
+        tiny = 10.0 * np.finfo(np.dtype(points.dtype)).tiny
+        r_safe = jnp.maximum(r, tiny)
+        # incoming radial shock state (velocity -u_sh * r_hat):
+        vel = [-u_sh * points[d] / r_safe for d in range(dim)]
+        rho = jnp.full_like(r, rho_sh)
+        E = p_sh / (gamma - 1.0) + 0.5 * rho_sh * sum(v * v for v in vel)
+        shock = jnp.stack([rho] + [rho_sh * v for v in vel] + [E], axis=0)
+
+        angle = jnp.arccos(
+            jnp.clip(jnp.abs(points[dim - 1]) / r_safe, 0.0, 1.0)
+        )
+        perturbation = amplitude * jnp.cos(number_of_modes * angle)
+        full = jnp.where(
+            (r > interface_radius + perturbation)[None],
+            outside(points, t), inside(points, t),
+        )
+        return jnp.where((r > shock_radius)[None], shock, full)
+
+    return fn
+
+
+def function(eq, density_expression="1.4", velocity_x_expression="3.0",
+             velocity_y_expression="0.0", velocity_z_expression="0.0",
+             pressure_expression="1.0"):
+    """Primitive state from expressions over x, y, z, t
+    (euler/initial_state_function.h:36-70)."""
+    dim = eq.dim
+    exprs = [density_expression, velocity_x_expression]
+    if dim >= 2:
+        exprs.append(velocity_y_expression)
+    if dim >= 3:
+        exprs.append(velocity_z_expression)
+    exprs.append(pressure_expression)
+    compiled = [compile(str(e), "<initial state expression>", "eval")
+                for e in exprs]
+
+    def fn(points, t):
+        env = {"x": points[0], "t": t, "jnp": jnp, "np": jnp,
+               "pi": math.pi}
+        env.update({
+            k: getattr(jnp, k)
+            for k in ("sin", "cos", "tan", "exp", "log", "sqrt", "abs",
+                      "tanh", "cosh", "sinh", "arctan", "where", "minimum",
+                      "maximum", "power", "sign")
+        })
+        if dim >= 2:
+            env["y"] = points[1]
+        if dim >= 3:
+            env["z"] = points[2]
+        vals = [
+            jnp.broadcast_to(jnp.asarray(eval(c, env), points.dtype),  # noqa: S307
+                             points.shape[1:])
+            for c in compiled
+        ]
+        return eq.from_primitive_state(jnp.stack(vals, axis=0))
+
+    return fn
+
+
 LIBRARY = {
     "isentropic vortex": isentropic_vortex,
     "becker solution": becker_solution,
@@ -348,6 +597,14 @@ LIBRARY = {
     "leblanc": leblanc,
     "smooth wave": smooth_wave,
     "ramp up": ramp_up,
+    "rarefaction": rarefaction,
+    "noh": noh,
+    "radial contrast": radial_contrast,
+    "three state contrast": three_state_contrast,
+    "four state contrast": four_state_contrast,
+    "astro jet": astro_jet,
+    "icf like": icf_like,
+    "function": function,
 }
 
 
