@@ -99,6 +99,12 @@ class VTUOutputConfig:
     schlieren_beta: float = 10.0
     schlieren_quantities: Sequence[str] = ()
     vorticity_quantities: Sequence[str] = ()
+    # level-set expressions restricting a companion "-levelsets.vtu" to
+    # cut cells (vtu_output.template.h:47-51):
+    manifolds: Sequence[str] = ()
+    # restrict written fields to this list (selected_components_extractor
+    # analog); empty = everything:
+    vtu_output_quantities: Sequence[str] = ()
 
 
 @dataclasses.dataclass
@@ -112,6 +118,12 @@ class QuantitiesConfig:
     """
 
     manifolds: Sequence[Sequence[str]] = ()
+    # boundary manifolds: same format, selecting boundary dofs weighted by
+    # boundary mass (quantities.template.h:73-79):
+    boundary_manifolds: Sequence[Sequence[str]] = ()
+    # reset time-averaged statistics after each write-out
+    # (quantities.template.h:82-86):
+    clear_statistics_on_writeout: bool = True
 
 
 @dataclasses.dataclass

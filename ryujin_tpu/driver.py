@@ -231,6 +231,8 @@ class TimeLoop:
             self.eq, self.mesh, self.packed,
             postprocessor=self.postprocessor,
             use_primitive=v_cfg.use_primitive,
+            manifolds=v_cfg.manifolds,
+            vtu_output_quantities=v_cfg.vtu_output_quantities,
         )
         self.quantities = Quantities(
             self.eq, self.packed, config.quantities,
@@ -355,6 +357,7 @@ class TimeLoop:
                 f"{cfg.basename}-{cycle:05d}.vtu", Up
             )
         self.quantities.accumulate(Up, t)
+        self.quantities.write_out(Up, t, cycle)
         if (
             cfg.enable_checkpointing
             and cycle % max(1, cfg.timer_checkpoint_multiplier) == 0

@@ -33,12 +33,23 @@ def write_vtu(
     filename: str,
     mesh,
     point_data: Dict[str, np.ndarray],
+    cell_mask: Optional[np.ndarray] = None,
 ) -> None:
-    """Write mesh + nodal fields (values per raw mesh vertex) to `filename`."""
+    """Write mesh + nodal fields (values per raw mesh vertex) to `filename`.
+
+    cell_mask: optional bool [n_cells]; only selected cells (and the
+    vertices they reference) are written — the analog of deal.II's
+    DataOut::set_cell_selection used for the reference's level-set
+    restricted output (vtu_output.template.h:156-199)."""
     dim = mesh.dim
-    pts = np.zeros((mesh.n_vertices, 3), dtype=np.float32)
-    pts[:, :dim] = mesh.vertices
-    cells = mesh.cells[:, _VTK_PERM[dim]].astype(np.int64)
+    sel_cells = mesh.cells if cell_mask is None else mesh.cells[cell_mask]
+    used = np.unique(sel_cells.ravel())
+    remap = -np.ones(mesh.n_vertices, np.int64)
+    remap[used] = np.arange(len(used))
+    pts = np.zeros((len(used), 3), dtype=np.float32)
+    pts[:, :dim] = mesh.vertices[used]
+    point_data = {k: np.asarray(v)[used] for k, v in point_data.items()}
+    cells = remap[sel_cells][:, _VTK_PERM[dim]].astype(np.int64)
     n_cells, nv = cells.shape
 
     connectivity = cells.ravel()
@@ -94,12 +105,41 @@ class VTUOutput:
     """Schedules VTU output of solution fields (vtu_output.h:29-120)."""
 
     def __init__(self, eq, mesh, packed, postprocessor=None,
-                 use_primitive: bool = True):
+                 use_primitive: bool = True,
+                 manifolds: Sequence[str] = (),
+                 vtu_output_quantities: Sequence[str] = ()):
         self.eq = eq
         self.mesh = mesh
         self.packed = packed
         self.postprocessor = postprocessor
         self.use_primitive = use_primitive
+        self.vtu_output_quantities = tuple(vtu_output_quantities)
+        # level-set expressions restricting the companion "-levelsets" file
+        # to cut cells (vtu_output.template.h:47-51, 156-199):
+        self.manifolds = tuple(manifolds)
+        self._levelset_mask = None
+        if self.manifolds:
+            v = mesh.vertices
+            env = {"__builtins__": {}, "np": np, "x": v[:, 0],
+                   "pi": np.pi}
+            if mesh.dim >= 2:
+                env["y"] = v[:, 1]
+            if mesh.dim >= 3:
+                env["z"] = v[:, 2]
+            env.update({k: getattr(np, k) for k in
+                        ("sin", "cos", "exp", "sqrt", "abs")})
+            mask = np.zeros(mesh.n_cells, bool)
+            eps = 100.0 * np.finfo(np.float64).eps
+            for expr in self.manifolds:
+                lvl = np.broadcast_to(
+                    np.asarray(eval(expr, dict(env))),  # noqa: S307 (config)
+                    (mesh.n_vertices,),
+                )
+                cl = lvl[mesh.cells]  # [nc, nv]
+                above = (cl >= -eps).any(axis=1)
+                below = (cl <= eps).any(axis=1)
+                mask |= above & below
+            self._levelset_mask = mask
 
     def _vertex_values(self, x: np.ndarray) -> np.ndarray:
         """Packed nodal values [n_pad] -> mesh vertex values [n_vertices].
@@ -151,4 +191,16 @@ class VTUOutput:
             fields = self.postprocessor.compute(jnp.asarray(U_np))
             for name, f in zip(self.postprocessor.component_names, fields):
                 data[name] = self._vertex_values(np.asarray(f))
+        if self.vtu_output_quantities:
+            # selected_components_extractor analog: validate + filter
+            unknown = set(self.vtu_output_quantities) - set(data)
+            if unknown:
+                raise ValueError(
+                    f"unknown vtu output quantities: {sorted(unknown)}"
+                )
+            data = {k: data[k] for k in self.vtu_output_quantities}
         write_vtu(filename, self.mesh, data)
+        if self._levelset_mask is not None and self._levelset_mask.any():
+            stem = filename[:-4] if filename.endswith(".vtu") else filename
+            write_vtu(stem + "-levelsets.vtu", self.mesh, data,
+                      cell_mask=self._levelset_mask)

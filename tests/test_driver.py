@@ -121,3 +121,39 @@ def test_scalar_conservation_via_driver(tmp_path):
     loop = TimeLoop(cfg)
     result = loop.run(quiet=True)
     assert result["L1"] < 3e-5
+
+
+def test_quantities_boundary_and_time_averaged(tmp_path):
+    """Boundary manifolds, time-averaged/instantaneous output, level-set
+    restricted VTU (quantities.template.h, vtu_output.template.h:156-199)."""
+    cfg = _vortex_config(tmp_path)
+    cfg.time_loop.basename = str(tmp_path / "q")
+    cfg.time_loop.enable_checkpointing = False
+    cfg.quantities.manifolds = [
+        ["all", "1.0", "space_averaged time_averaged instantaneous"],
+    ]
+    cfg.quantities.boundary_manifolds = [
+        ["left_bnd", "-x - 4.9", "space_averaged"],
+    ]
+    cfg.vtu_output.manifolds = ["x"]  # cells cut by the y-axis
+    cfg.vtu_output.vtu_output_quantities = ["rho", "p", "schlieren_rho"]
+    loop = TimeLoop(cfg)
+    loop.run(quiet=True)
+
+    # space-averaged series on both manifolds:
+    for name in ("all", "left_bnd"):
+        lines = open(tmp_path / f"q-{name}.dat").read().splitlines()
+        assert len(lines) == 4  # header + 3 ticks
+    # time-averaged + instantaneous per-cycle fields:
+    import os
+
+    files = os.listdir(tmp_path)
+    assert any("-R0002-time_averaged.dat" in f for f in files)
+    assert any("-R0001-instantaneous.dat" in f for f in files)
+    assert any("-points.dat" in f for f in files)
+    # levelset-restricted companion VTU with the selected quantities only:
+    lv = [f for f in files if f.endswith("-levelsets.vtu")]
+    assert lv
+    txt = open(tmp_path / lv[0]).read()
+    assert 'Name="rho"' in txt and 'Name="schlieren_rho"' in txt
+    assert 'Name="E"' not in txt
