@@ -169,7 +169,9 @@ def tabulated(
     TPU analog of the reference's sesame/EOSPAC + cubic-spline path
     (equation_of_state_sesame.h, cubic_spline.h): the table lives in HBM
     and evaluation is a vectorized interpolation — EOSPAC itself is a
-    proprietary host library and is not bundled.
+    proprietary host library and is not bundled.  For smooth 1D tabulated
+    data, ryujin_tpu.utils.cubic_spline.CubicSpline provides the GSL
+    natural-spline analog used to build higher-order function_eos tables.
     """
     rho_g = jnp.asarray(rho_grid)
     e_g = jnp.asarray(e_grid)

@@ -48,29 +48,14 @@ def test_sharded_step_matches_single_device():
     ref = np.asarray(ti.advance(U0, 0.0, 3)[0])
 
     # shard the node axis:
-    device_mesh = Mesh(np.array(jax.devices()[:n_dev]), axis_names=("nodes",))
-    sharding = NamedSharding(device_mesh, P("nodes"))
-    n_pad = packed.n_pad
-
-    def shard(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[-1] == n_pad:
-            spec = P(*([None] * (x.ndim - 1) + ["nodes"]))
-            return jax.device_put(x, NamedSharding(device_mesh, spec))
-        return x
-
-    st = hm.stencil
-    hm.stencil = dataclasses.replace(
-        st,
-        **{
-            f.name: shard(getattr(st, f.name))
-            for f in dataclasses.fields(st)
-            if f.name not in ("shape", "offsets")
-        },
+    from ryujin_tpu.parallel.sharding import (
+        make_device_mesh, shard_state, shard_stencil,
     )
+
+    device_mesh = make_device_mesh(n_dev)
+    hm.stencil = shard_stencil(hm.stencil, device_mesh, packed.n_pad)
     hm._xla_stencil = hm.stencil
-    U0s = jax.device_put(
-        U0, NamedSharding(device_mesh, P(None, "nodes"))
-    )
+    U0s = shard_state(U0, device_mesh)
     ti2 = TimeIntegrator(hm, "erk 33", cfl_min=0.3, cfl_max=0.3,
                          cfl_recovery_strategy="none")
     out = np.asarray(ti2.advance(U0s, 0.0, 3)[0])
