@@ -60,7 +60,6 @@ class Stencil:
 
     cols: jax.Array  # [K, n] int32
     cij: jax.Array  # [dim, K, n]
-    cij_t: jax.Array  # [dim, K, n] transposed-edge coefficients (static)
     mij: jax.Array  # [K, n]
     mask: jax.Array  # [K, n]
     trans: jax.Array  # [K, n] int32 (flattened over [K, n])
@@ -107,7 +106,6 @@ def _stencil_from_ell(ell: EllData, dtype=jnp.float64) -> Stencil:
     return Stencil(
         cols=jnp.asarray(ell.cols.T.astype(np.int32)),
         cij=_f(_edge_vec(ell.cij), dtype),
-        cij_t=_f(_edge_vec(ell.cij_t), dtype),
         mij=_f(ell.mij.T, dtype),
         mask=_f(ell.mask.T, dtype),
         trans=jnp.asarray(trans.astype(np.int32)),
@@ -127,7 +125,7 @@ def _stencil_from_ell(ell: EllData, dtype=jnp.float64) -> Stencil:
     jax.tree_util.register_dataclass,
     meta_fields=("shape", "offsets"),
     data_fields=(
-        "cij", "cij_t", "mij", "mask", "cii", "m_lumped", "m_lumped_inv",
+        "cij", "mij", "mask", "cii", "m_lumped", "m_lumped_inv",
         "n_nbrs", "node_mask", "measure_inv",
     ),
 )
@@ -147,7 +145,6 @@ class StructuredStencil:
     offsets: Tuple[Tuple[int, ...], ...]
 
     cij: jax.Array  # [dim, K, n]
-    cij_t: jax.Array  # [dim, K, n] transposed-edge coefficients (static)
     mij: jax.Array  # [K, n]
     mask: jax.Array  # [K, n]
     cii: jax.Array  # [dim, n]
@@ -197,7 +194,6 @@ class StructuredStencil:
             shape=tuple(sd.shape),
             offsets=tuple(map(tuple, sd.offsets)),
             cij=_f(_edge_vec(sd.cij), dtype),
-            cij_t=_f(_edge_vec(sd.cij_t), dtype),
             mij=_f(sd.mij.T, dtype),
             mask=_f(sd.mask.T, dtype),
             cii=_f(sd.cii.T, dtype),
@@ -220,24 +216,26 @@ class StructuredStencil:
 # ---------------------------------------------------------------------------
 
 
-def phase_d_alpha(eq, p, sa, U, prec, U_j, prec_j):
-    """Step 2: graph viscosity d_ij and EVC indicator alpha_i.
+def phase_e_alpha(eq, p, sa, U, prec, U_j, prec_j):
+    """Step 2 (forward half): directed wavespeed products e_ij and alpha_i.
 
-    The reference computes the upper triangle and symmetrizes via a
-    transposed exchange (hyperbolic_module.template.h:432-490); here both
-    edge directions are evaluated locally using the statically precomputed
-    transposed coefficients c_ji (sa.cij_t), which is numerically identical
-    and removes the communication/synchronisation point.
+    e[k, i] = ||c_ij|| * lambda_max(U_i, U_j, n_ij).  The backward product
+    ||c_ji|| * lambda_max(U_j, U_i, n_ji) equals the transposed-edge gather
+    of e exactly: cij_t is constructed as the transpose-roll of cij
+    (offline/structured.py StructuredData.cij_t), so the forward evaluation
+    at node j for the opposite offset sees bit-identical inputs.  Callers
+    therefore form d = max(e, transpose_edge(e)) * mask — one Riemann
+    evaluation per directed edge, half of evaluating both directions, and
+    the local analog of the reference's upper-triangle + transposed
+    exchange symmetrization (hyperbolic_module.template.h:432-490).
 
-    Returns (d [K, n], alpha [n]).
+    Returns (e [K, n] unmasked, alpha [n]).
     """
     dtype = U.dtype
     tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
 
     norm = jnp.sqrt(jnp.sum(sa.cij * sa.cij, axis=0))  # [K, n]
-    norm_t = jnp.sqrt(jnp.sum(sa.cij_t * sa.cij_t, axis=0))
     n_ij = sa.cij / jnp.maximum(norm, tiny)[None]
-    n_ji = sa.cij_t / jnp.maximum(norm_t, tiny)[None]
 
     U_i = U[:, None]
     prec_i = prec[:, None]
@@ -246,19 +244,23 @@ def phase_d_alpha(eq, p, sa, U, prec, U_j, prec_j):
         newton_iterations=p.riemann_newton_max_iterations,
         newton_tol=p.riemann_newton_tolerance,
     )
-    lam_b = eq.riemann_lambda_max(
-        U_j, U_i, n_ji, prec_i=prec_j, prec_j=prec_i,
-        newton_iterations=p.riemann_newton_max_iterations,
-        newton_tol=p.riemann_newton_tolerance,
-    )
-    d = jnp.maximum(norm * lam_f, norm_t * lam_b) * sa.mask
+    e = norm * lam_f
 
     hd_i = sa.m_lumped * sa.measure_inv
     alpha = eq.indicator_alpha(
         U, prec, U_j, prec_j, sa.cij, sa.mask, hd_i,
         evc_factor=p.evc_factor,
     )
-    return d, alpha
+    return e, alpha
+
+
+def d_from_e(mask, e, e_T):
+    """Step 2 (symmetrization): d = max(e_ij, e_ji) on unmasked edges.
+
+    jnp.where (not multiplication by the mask) so that garbage at masked
+    slots — e is an uninitialized-margin Pallas output — cannot poison d
+    (NaN * 0 == NaN)."""
+    return jnp.where(mask > 0, jnp.maximum(e, e_T), jnp.zeros_like(e))
 
 
 def tau_max_from_d(sa, d, cfl, tau_cap):
@@ -774,8 +776,9 @@ class HyperbolicModule:
             if S else stage_prec
         )
 
-        # ---- steps 2/3: d_ij (both directions, local), alpha, tau_max ---
-        d, alpha = phase_d_alpha(eq, p, st, U_old, prec_old, U_j, prec_j)
+        # ---- steps 2/3: d_ij (forward + transposed max), alpha, tau_max --
+        e, alpha = phase_e_alpha(eq, p, st, U_old, prec_old, U_j, prec_j)
+        d = d_from_e(st.mask, e, st.transpose_edge(e))
         tau_max = tau_max_from_d(st, d, cfl, tau_cap)
         tau = jnp.where(compute_tau, tau_max, tau)
 

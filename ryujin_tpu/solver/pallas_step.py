@@ -127,9 +127,12 @@ def _tiled_call(
     windows into VMEM scratch (window starts 8-aligned and in-bounds by
     construction: `tile_rows` excludes the masked canvas margins).
 
-    out_init: one canvas array per output, aliased as the output buffer —
-    tiles outside `tile_rows` keep the init values (margins must hold
-    valid data for downstream halo reads).
+    out_init: one entry per output: a canvas array (aliased as the output
+    buffer — tiles outside `tile_rows` keep the init values, for outputs
+    whose margins must hold valid data downstream) or an int plane count
+    (uninitialized output — margin tiles contain garbage, so consumers
+    must mask any halo read of such outputs with jnp.where; this avoids
+    materializing a fresh zero canvas in HBM every substep).
 
     scalars: () arrays delivered via SMEM.
     compute(windows, scalars, tv) -> list of [pl_o, TH, TW] tiles.
@@ -153,13 +156,14 @@ def _tiled_call(
     ins_c = [norm[i][0] for i in cent]
     ins_h = [norm[i][0] for i in halo]
     n_c, n_h, n_sc, n_out = len(ins_c), len(ins_h), len(scalars), len(out_init)
+    n_ali = sum(1 for a in out_init if not isinstance(a, int))
 
     def kernel(*refs):
         k = 0
         sc_refs = refs[k : k + n_sc]; k += n_sc
         c_refs = refs[k : k + n_c]; k += n_c
         h_refs = refs[k : k + n_h]; k += n_h
-        k += n_out  # aliased init refs (unused)
+        k += n_ali  # aliased init refs (unused)
         out_refs = refs[k : k + n_out]; k += n_out
         wins_h = refs[k : k + n_h]; k += n_h
         sems = refs[-1]
@@ -196,7 +200,13 @@ def _tiled_call(
         for oref, val in zip(out_refs, outs):
             oref[...] = val
 
-    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in out_init]
+    init_arrays = [a for a in out_init if not isinstance(a, int)]
+    out_shape = [
+        jax.ShapeDtypeStruct((a, H, W), dtype)
+        if isinstance(a, int)
+        else jax.ShapeDtypeStruct(a.shape, a.dtype)
+        for a in out_init
+    ]
     in_specs = (
         [pl.BlockSpec((1, 1), lambda ty, tx: (0, 0),
                       memory_space=pltpu.SMEM)] * n_sc
@@ -209,11 +219,11 @@ def _tiled_call(
             for a in ins_c
         ]
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_h
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_out  # aliased inits
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_ali  # aliased inits
     )
     out_specs = [
         pl.BlockSpec(
-            (a.shape[0], TH, TW),
+            (a if isinstance(a, int) else a.shape[0], TH, TW),
             lambda ty, tx, _t0=t0: (0, ty + _t0, tx),
             memory_space=pltpu.VMEM,
         )
@@ -222,7 +232,12 @@ def _tiled_call(
     scratch = [
         pltpu.VMEM((a.shape[0], wy, wx), dtype) for a in ins_h
     ] + [pltpu.SemaphoreType.DMA((max(n_h, 1),))]
-    aliases = {n_sc + n_c + n_h + k: k for k in range(n_out)}
+    aliases = {}
+    a_idx = 0
+    for o, a in enumerate(out_init):
+        if not isinstance(a, int):
+            aliases[n_sc + n_c + n_h + a_idx] = o
+            a_idx += 1
     return pl.pallas_call(
         kernel,
         grid=(t1 - t0, gw),
@@ -239,7 +254,7 @@ def _tiled_call(
         *[jnp.reshape(x, (1, 1)) for x in scalars],
         *ins_c,
         *ins_h,
-        *out_init,
+        *init_arrays,
     )
 
 
@@ -252,7 +267,6 @@ class PallasArrays:
     constant-folding over the whole mesh)."""
 
     g_cij: jax.Array
-    g_cij_t: jax.Array
     g_mask: jax.Array
     g_mij: jax.Array
     g_cii: jax.Array
@@ -327,11 +341,9 @@ class PallasStepper:
 
         # static canvases (device-resident, built once):
         cij = np.transpose(sd.cij.reshape(H, W, K, dim), (3, 2, 0, 1))
-        cij_t = np.transpose(sd.cij_t.reshape(H, W, K, dim), (3, 2, 0, 1))
         lumped = sd.lumped_mass.reshape(1, H, W)
         self.arrays = PallasArrays(
             g_cij=canv(cij, dim * K),
-            g_cij_t=canv(cij_t, dim * K),
             g_mask=canv(sd.mask.T.reshape(K, H, W), K),
             g_mij=canv(sd.mij.T.reshape(K, H, W), K),
             g_cii=canv(sd.cii.T.reshape(dim, H, W), dim),
@@ -365,7 +377,7 @@ class PallasStepper:
             )
 
     # -- helpers ----------------------------------------------------------
-    def _sa(self, tv, w_cij, w_cij_t, w_mask, w_mij, w_cii, w_node):
+    def _sa(self, tv, w_cij, w_mask, w_mij, w_cii, w_node):
         c = tv.center
         dim, K = self.dim, self.K
         TH, TW = self.TH, self.TW
@@ -374,9 +386,7 @@ class PallasStepper:
             cij=c(w_cij).reshape(dim, K, TH, TW)
             if w_cij is not None
             else None,
-            cij_t=c(w_cij_t).reshape(dim, K, TH, TW)
-            if w_cij_t is not None
-            else None,
+            cij_t=None,
             mij=c(w_mij) if w_mij is not None else None,
             mask=c(w_mask),
             cii=c(w_cii) if w_cii is not None else None,
@@ -444,27 +454,34 @@ class PallasStepper:
         def zeros(planes):
             return jnp.zeros((planes, H, W), dtype)
 
-        # ---- PK1: d + alpha -------------------------------------------
+        # ---- PK1: e (forward wavespeed products) + alpha ----------------
         def pk1(wins, scal, tv):
-            w_cij, w_cij_t, w_mask, w_node, w_U, w_prec = wins
-            sa = self._sa(tv, w_cij, w_cij_t, w_mask, None, None, w_node)
+            w_cij, w_mask, w_node, w_U, w_prec = wins
+            sa = self._sa(tv, w_cij, w_mask, None, None, w_node)
             Ut = tv.center(w_U)
             prect = tv.center(w_prec)
             U_j = tv.nbr(w_U)
             prec_j = tv.nbr(w_prec)
-            d, alpha = hyp.phase_d_alpha(eq, p, sa, Ut, prect, U_j, prec_j)
-            return [d, alpha[None]]
+            e, alpha = hyp.phase_e_alpha(eq, p, sa, Ut, prect, U_j, prec_j)
+            return [e, alpha[None]]
 
-        d, alpha = _tiled_call(
+        e, alpha = _tiled_call(
             pk1,
-            [(ga.g_cij, False), (ga.g_cij_t, False),
-             (ga.g_mask, False), (ga.g_node, False), Uc, precc],
+            [(ga.g_cij, False), (ga.g_mask, False), (ga.g_node, False),
+             Uc, precc],
             [],
-            [zeros(K), zeros(1)],
+            [K, zeros(1)],  # e uninit: d_from_e masks the halo read
             **common,
         )
 
-        # ---- tau reduction (XLA; one pass over d) -----------------------
+        # ---- d = max(e, e_T) * mask + tau reduction (XLA, one fusion) ---
+        e_T = jnp.stack(
+            [
+                jnp.roll(e[K - 1 - k], (-dy, -dx), axis=(0, 1))
+                for k, (dy, dx) in enumerate(self.offsets)
+            ]
+        )
+        d = hyp.d_from_e(ga.g_mask, e, e_T)
         sa_flat = _SA(
             cij=None, cij_t=None, mij=None, mask=None, cii=None,
             m_lumped=ga.m_lumped_flat, m_lumped_inv=None, n_nbrs=None,
@@ -483,7 +500,7 @@ class PallasStepper:
              w_sU, w_sP) = wins
             tau_s = scal[0]
             w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
-            sa = self._sa(tv, w_cij, None, w_mask, None, w_cii, w_node)
+            sa = self._sa(tv, w_cij, w_mask, None, w_cii, w_node)
             Ut, prect = tv.center(w_U), tv.center(w_prec)
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
             dt_ = tv.center(w_d)
@@ -501,7 +518,9 @@ class PallasStepper:
             [(ga.g_cij, False), (ga.g_mask, False), (ga.g_cii, False),
              (ga.g_node, False), Uc, precc, (d, False), alpha, sUc, sPc],
             [tau] + [w_vec[s] for s in range(S)],
-            [Uc, zeros(C), zeros(n_b)],
+            # F is halo-read in PK3 -> needs valid (zero) margins; bounds
+            # are only ever read at the center tile -> uninitialized:
+            [Uc, zeros(C), n_b],
             **common,
         )
 
@@ -515,7 +534,7 @@ class PallasStepper:
              w_F, w_Ulow, w_bounds, w_sU, w_sP) = wins
             tau_s = scal[0]
             w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
-            sa = self._sa(tv, w_cij, None, w_mask, w_mij, w_cii, w_node)
+            sa = self._sa(tv, w_cij, w_mask, w_mij, w_cii, w_node)
             Ut, prect = tv.center(w_U), tv.center(w_prec)
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
             dt_ = tv.center(w_d)
@@ -548,7 +567,10 @@ class PallasStepper:
              (ga.g_cii, False), ga.g_node, Uc, precc, (d, False),
              alpha, F, (U_low, False), (bounds, False), sUc, sPc],
             [tau] + [w_vec[s] for s in range(S)],
-            [zeros(C * K), zeros(K), jnp.ones((1, H, W), dtype)],
+            # P is center-read only -> uninitialized; l is halo-read in
+            # PK4 (transposed) -> zero margins; okp margins enter the
+            # global min -> ones:
+            [C * K, zeros(K), jnp.ones((1, H, W), dtype)],
             **common,
         )
         ok = jnp.min(okp) > 0.5
@@ -561,7 +583,7 @@ class PallasStepper:
 
             def pk_up(wins, scal, tv, last=last):
                 w_mask, w_node, w_Ucur, w_bounds, w_P, w_l = wins
-                sa = self._sa(tv, None, None, w_mask, None, None, w_node)
+                sa = self._sa(tv, None, w_mask, None, None, w_node)
                 U_t = tv.center(w_Ucur)
                 bounds_t = tv.center(w_bounds)
                 P_t = tv.center(w_P).reshape(C, K, self.TH, self.TW)
