@@ -517,8 +517,6 @@ class Euler:
         t_r = jnp.clip(t_r, t_min, t_max)
 
         # -- specific entropy limiting via quadratic Newton (:143-291)
-        t_l = jnp.full_like(t_r, t_min)
-
         def psi_of(t):
             U_t = U + t[None] * P
             rho = self.density(U_t)
@@ -528,35 +526,67 @@ class Euler:
                 relax_small * rho * rho_e - s_min * rho * rho_gamma
             )
 
-        for n in range(newton_iterations):
-            rho_r, rho_r_gamma, rho_e_r, psi_r = psi_of(t_r)
-            # accept right state where psi_r > 0:
-            t_l = jnp.where(psi_r > 0.0, t_r, t_l)
+        rho_r0, rho_r_gamma0, rho_e_r0, psi_r0 = psi_of(t_r)
+        lower_bound_r = (1.0 - relax) * s_min * rho_r0 * rho_r_gamma0
 
-            rho_l, rho_l_gamma, rho_e_l, psi_l = psi_of(t_l)
+        def skip_newton(_):
+            # All lanes satisfy psi(t_r) > 0: the Newton loop degenerates
+            # to t_l = t_r exactly (accept sets t_l = t_r, the bracket
+            # collapses, `active` is false), so return t_r directly.  The
+            # vectorized analog of the reference's all-lanes early exit
+            # (euler/limiter.template.h:215-219).
+            ok = success & (psi_r0 - lower_bound_r >= 0.0)
+            return t_r, ok.astype(t_r.dtype)
 
-            if n == 0:
-                lower_bound = (1.0 - relax) * s_min * rho_l * rho_l_gamma
-                success = success & (psi_l - lower_bound >= 0.0)
+        def full_newton(_):
+            t_l = jnp.full_like(t_r, t_min)
+            t_r_ = t_r
+            psi_r = psi_r0
+            rho_r, rho_r_gamma, rho_e_r = rho_r0, rho_r_gamma0, rho_e_r0
+            succ = success
+            for n in range(newton_iterations):
+                if n > 0:
+                    rho_r, rho_r_gamma, rho_e_r, psi_r = psi_of(t_r_)
+                # accept right state where psi_r > 0:
+                t_l = jnp.where(psi_r > 0.0, t_r_, t_l)
 
-            drho = rho_P
-            drho_e_l = jnp.sum(
-                self.internal_energy_derivative(U + t_l[None] * P) * P, 0
-            )
-            drho_e_r = jnp.sum(
-                self.internal_energy_derivative(U + t_r[None] * P) * P, 0
-            )
-            dpsi_l = rho_l * drho_e_l + (rho_e_l - gp1 * s_min * rho_l_gamma) * drho
-            dpsi_r = rho_r * drho_e_r + (rho_e_r - gp1 * s_min * rho_r_gamma) * drho
+                rho_l, rho_l_gamma, rho_e_l, psi_l = psi_of(t_l)
 
-            nl, nr = quadratic_newton_step(
-                t_l, t_r, psi_l, psi_r, dpsi_l, dpsi_r, sign=-1.0
-            )
-            active = (t_r - t_l) > newton_tol
-            t_l = jnp.where(active, nl, t_l)
-            t_r = jnp.where(active, nr, t_r)
+                if n == 0:
+                    lower_bound = (1.0 - relax) * s_min * rho_l * rho_l_gamma
+                    succ = succ & (psi_l - lower_bound >= 0.0)
 
-        return t_l, success
+                drho = rho_P
+                drho_e_l = jnp.sum(
+                    self.internal_energy_derivative(U + t_l[None] * P) * P, 0
+                )
+                drho_e_r = jnp.sum(
+                    self.internal_energy_derivative(U + t_r_[None] * P) * P, 0
+                )
+                dpsi_l = (
+                    rho_l * drho_e_l + (rho_e_l - gp1 * s_min * rho_l_gamma) * drho
+                )
+                dpsi_r = (
+                    rho_r * drho_e_r + (rho_e_r - gp1 * s_min * rho_r_gamma) * drho
+                )
+
+                nl, nr = quadratic_newton_step(
+                    t_l, t_r_, psi_l, psi_r, dpsi_l, dpsi_r, sign=-1.0
+                )
+                active = (t_r_ - t_l) > newton_tol
+                t_l = jnp.where(active, nl, t_l)
+                t_r_ = jnp.where(active, nr, t_r_)
+            return t_l, succ.astype(t_l.dtype)
+
+        if newton_iterations == 0:
+            # loop body never runs: t_l stays at t_min (limiter.template.h:143)
+            return jnp.full_like(t_r, t_min), success
+        # boolean vector results fail Mosaic's scf.if legalization ->
+        # carry success through the cond as 0/1 floats:
+        t_l, succ_f = jax.lax.cond(
+            jnp.all(psi_r0 > 0.0), skip_newton, full_newton, None
+        )
+        return t_l, succ_f > 0.5
 
     def combine_bounds(self, a, b):
         return jnp.stack(

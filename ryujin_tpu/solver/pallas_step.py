@@ -158,6 +158,8 @@ def _tiled_call(
     n_c, n_h, n_sc, n_out = len(ins_c), len(ins_h), len(scalars), len(out_init)
     n_ali = sum(1 for a in out_init if not isinstance(a, int))
 
+    gh = t1 - t0  # grid height (row tiles)
+
     def kernel(*refs):
         k = 0
         sc_refs = refs[k : k + n_sc]; k += n_sc
@@ -168,32 +170,60 @@ def _tiled_call(
         wins_h = refs[k : k + n_h]; k += n_h
         sems = refs[-1]
 
-        ty = pl.program_id(0) + t0
-        tx = pl.program_id(1)
-        sy = (ty - 1) * TH
-        if halo_x:
-            sx = jnp.clip(tx * TW - TW, 0, W - wx)
-            lx = tx * TW - sx
-        else:
-            sx, lx = tx * TW, 0
+        # Halo windows are double-buffered across grid steps: tile p waits
+        # on the copy started at tile p-1 and prefetches tile p+1, so the
+        # window DMA overlaps the previous tile's compute (BlockSpec'd
+        # center inputs are pipelined by Pallas itself; these manual
+        # window copies are not).
+        p = pl.program_id(0) * gw + pl.program_id(1)
+        n_p = gh * gw
 
-        cps = []
+        def window_start(q):
+            """(sy, sx, lx) of flattened tile q."""
+            ty = q // gw + t0
+            tx = q - (q // gw) * gw
+            sy = (ty - 1) * TH
+            if halo_x:
+                sx = jnp.clip(tx * TW - TW, 0, W - wx)
+                lx = tx * TW - sx
+            else:
+                sx, lx = tx * TW, 0
+            return sy, sx, lx
+
+        def start_copies(q, slot):
+            sy_q, sx_q, _ = window_start(q)
+            for i in range(n_h):
+                pltpu.make_async_copy(
+                    h_refs[i].at[:, pl.ds(sy_q, wy), pl.ds(sx_q, wx)],
+                    wins_h[i].at[slot],
+                    sems.at[slot, i],
+                ).start()
+
+        two = jnp.asarray(2, p.dtype)
+        slot = jax.lax.rem(p, two)
+        nslot = jax.lax.rem(p + jnp.asarray(1, p.dtype), two)
+
+        @pl.when(p == 0)
+        def _():
+            start_copies(p, slot)
+
+        @pl.when(p + 1 < n_p)
+        def _():
+            start_copies(p + 1, nslot)
+
+        sy, sx, lx = window_start(p)
         for i in range(n_h):
-            cp = pltpu.make_async_copy(
+            pltpu.make_async_copy(
                 h_refs[i].at[:, pl.ds(sy, wy), pl.ds(sx, wx)],
-                wins_h[i],
-                sems.at[i],
-            )
-            cp.start()
-            cps.append(cp)
-        for cp in cps:
-            cp.wait()
+                wins_h[i].at[slot],
+                sems.at[slot, i],
+            ).wait()
 
         wins = [None] * len(ins)
         for j, i in enumerate(cent):
             wins[i] = c_refs[j]
         for j, i in enumerate(halo):
-            wins[i] = wins_h[j]
+            wins[i] = wins_h[j][slot]
         scal = [r[0, 0] for r in sc_refs]
         tv = _TileView(offsets, TH, lx, TH, TW, halo_x, True, wy, wx)
         outs = compute(wins, scal, tv)
@@ -230,8 +260,8 @@ def _tiled_call(
         for a in out_init
     ]
     scratch = [
-        pltpu.VMEM((a.shape[0], wy, wx), dtype) for a in ins_h
-    ] + [pltpu.SemaphoreType.DMA((max(n_h, 1),))]
+        pltpu.VMEM((2, a.shape[0], wy, wx), dtype) for a in ins_h
+    ] + [pltpu.SemaphoreType.DMA((2, max(n_h, 1)))]
     aliases = {}
     a_idx = 0
     for o, a in enumerate(out_init):
