@@ -231,6 +231,34 @@ def assemble(
 
     acells = master[cells]
 
+    # ---- native fast path (C++, ryujin_tpu/native/assembly.cc) ---------
+    # Covers the hot case (cG Q1, no hanging nodes); identical math, with
+    # the heavy cell-quadrature + CSR scatter loops compiled.
+    if n_expand == 1:
+        from .. import native
+
+        out = native.q1_assemble(mesh.vertices, cells, acells)
+        if out is not None:
+            indptr, indices, omij, ocij, mii, cii, lumped, measure = out
+            boundary_rounds = _build_boundary_map(mesh, master, constrained)
+            return SparseOfflineData(
+                dim=dim,
+                n_nodes=n_raw,
+                positions=mesh.vertices.copy(),
+                indptr=indptr,
+                indices=indices,
+                cij=ocij,
+                mij=omij,
+                cii=cii,
+                mii=mii,
+                lumped_mass=lumped,
+                measure_of_omega=measure,
+                boundary_rounds=boundary_rounds,
+                master=master,
+                is_constrained=constrained,
+                hanging=hanging,
+            )
+
     # ---- quadrature ----------------------------------------------------
     qp, qw = _cell_quadrature(dim, 2)  # QGauss(2): exact for Q1 mass on affine cells
     N, dN = _shape_q1(dim, qp)  # [nq, nsh], [nq, nsh, dim]
@@ -513,6 +541,13 @@ def _face_cell_centers(mesh: Mesh, faces: np.ndarray) -> np.ndarray:
     """For each (boundary) face return the center of the owning cell."""
     dim = mesh.dim
     nv = mesh.n_vertices
+
+    from .. import native
+
+    owners = native.face_owners(dim, mesh.cells, nv, faces)
+    if owners is not None:
+        return mesh.vertices[mesh.cells[owners]].mean(axis=1)
+
     fsort = np.sort(faces, axis=1)
     if dim == 2:
         fkey = fsort[:, 0].astype(np.int64) * nv + fsort[:, 1]

@@ -222,6 +222,20 @@ def pack_structured(
     n_nbrs[rid] = np.maximum(deg, 1)
     node_to_vertex[rid] = rows
 
+    # edges: native one-pass packing (ryujin_tpu/native/assembly.cc), with
+    # the vectorized numpy pipeline as fallback
+    from .. import native
+
+    if native.pack_edges(
+        dim, rows, data.indptr, data.indices, si, logical, flat,
+        data.cij, data.mij, K, cij, mij, mask,
+    ):
+        return _finalize_structured(
+            data, mesh, dim, K, offsets, canvas, margins, n_pad, logical,
+            periodic, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
+            positions, node_to_vertex, vertex_to_node, flat, real,
+        )
+
     # edges, vectorized: source row i repeated deg times
     i_e = np.repeat(rows, deg)
     total = int(deg.sum())
@@ -257,6 +271,19 @@ def pack_structured(
     mij[ci, slot] = data.mij[src]
     mask[ci, slot] = 1.0
 
+    return _finalize_structured(
+        data, mesh, dim, K, offsets, canvas, margins, n_pad, logical,
+        periodic, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
+        positions, node_to_vertex, vertex_to_node, flat, real,
+    )
+
+
+def _finalize_structured(
+    data, mesh, dim, K, offsets, canvas, margins, n_pad, logical, periodic,
+    cij, mij, mask, cii, lumped, n_nbrs, node_mask, positions,
+    node_to_vertex, vertex_to_node, flat, real,
+):
+    del mesh, logical, periodic, flat
     # boundary rounds in canvas numbering
     rounds: List[Dict[int, BoundaryGroup]] = []
     for rnd in data.boundary_rounds:
