@@ -146,10 +146,6 @@ def _local_lattice(dim: int, p: int) -> np.ndarray:
 def build_dof_map(mesh: Mesh, ansatz: str) -> DofMap:
     continuous, p = parse_ansatz(ansatz)
     dim = mesh.dim
-    if dim == 3 and (not continuous or p > 1):
-        raise NotImplementedError(
-            "higher-order / discontinuous ansatz implemented for 1D and 2D"
-        )
     nc = mesh.n_cells
     n1 = p + 1
     n_loc = n1**dim
@@ -190,6 +186,9 @@ def build_dof_map(mesh: Mesh, ansatz: str) -> DofMap:
         positions = np.concatenate([mesh.vertices, pos_int], axis=0)
         return DofMap(True, p, len(positions), n_loc, cell_dofs, positions,
                       mesh.boundary_faces.copy())
+
+    if dim == 3:
+        return _build_dof_map_cg_3d(mesh, p)
 
     # dim == 2
     cells = mesh.cells
@@ -269,43 +268,190 @@ def build_dof_map(mesh: Mesh, ansatz: str) -> DofMap:
                   face_dofs)
 
 
+# 3D cell edges in the mesh's (deal.II bit-toggle) local vertex order; the
+# slot lattice coordinate that varies along each edge and the two fixed ones:
+_EDGE_LOCAL_3D = np.array(
+    [[0, 1], [2, 3], [4, 5], [6, 7],
+     [0, 2], [1, 3], [4, 6], [5, 7],
+     [0, 4], [1, 5], [2, 6], [3, 7]]
+)
+
+
+def _edge_slot_info(p: int):
+    """Per 3D cell edge: (varying axis, fixed lattice coords of the other two
+    axes) so slot = sum over axes of coord * (p+1)**axis."""
+    info = []
+    for (a, b) in _EDGE_LOCAL_3D:
+        ca = np.array([(a >> d) & 1 for d in range(3)]) * p
+        cb = np.array([(b >> d) & 1 for d in range(3)]) * p
+        axis = int(np.flatnonzero(ca != cb)[0])
+        info.append((axis, ca))
+    return info
+
+
+def _build_dof_map_cg_3d(mesh: Mesh, p: int) -> "DofMap":
+    """cG Qp (p >= 2) DoF enumeration in 3D.
+
+    DoF order: mesh vertices, then (p-1) per unique edge (parameterized low
+    to high vertex id), then (p-1)^2 per unique face in a canonical frame
+    both neighbor cells agree on, then (p-1)^3 interior dofs per cell."""
+    from .mesh import _FACE_VERTICES
+
+    dim, n1 = 3, p + 1
+    nc, nv = mesh.n_cells, mesh.n_vertices
+    cells = mesh.cells
+    n_loc = n1**3
+    gl = gauss_lobatto_points(p)
+    t_int = gl[1:-1]
+    n_e = p - 1          # dofs per edge
+    n_f = (p - 1) ** 2   # dofs per face
+    n_c = (p - 1) ** 3   # dofs per cell interior
+
+    # ---- unique edges ---------------------------------------------------
+    ce = cells[:, _EDGE_LOCAL_3D]                     # [nc, 12, 2]
+    ce_sorted = np.sort(ce, axis=2).reshape(-1, 2)
+    uniq_e, inv_e = np.unique(ce_sorted, axis=0, return_inverse=True)
+    n_edges = len(uniq_e)
+    edge_ids = inv_e.reshape(nc, 12)
+    edge_dof0 = nv + np.arange(n_edges, dtype=np.int64) * n_e
+
+    # ---- unique faces ---------------------------------------------------
+    face_local = np.stack(_FACE_VERTICES[3])          # [6, 4] (s,t) order
+    cf = cells[:, face_local]                         # [nc, 6, 4]
+    cf_sorted = np.sort(cf, axis=2).reshape(-1, 4)
+    uniq_f, inv_f = np.unique(cf_sorted, axis=0, return_inverse=True)
+    n_faces = len(uniq_f)
+    face_ids = inv_f.reshape(nc, 6)
+    face_dof0 = nv + n_edges * n_e + np.arange(n_faces, dtype=np.int64) * n_f
+    cell_dof0 = (nv + n_edges * n_e + n_faces * n_f
+                 + np.arange(nc, dtype=np.int64) * n_c)
+
+    cell_dofs = np.zeros((nc, n_loc), np.int64)
+
+    # corners: local vertex v (bits (bx,by,bz)) -> slot bx*p + by*p*n1 + ...
+    for v in range(8):
+        slot = sum(((v >> d) & 1) * p * n1**d for d in range(3))
+        cell_dofs[:, slot] = cells[:, v]
+
+    # edges: dofs run from the lower to the higher global vertex id
+    for e_loc, (axis, fixed) in enumerate(_edge_slot_info(p)):
+        va, vb = ce[:, e_loc, 0], ce[:, e_loc, 1]
+        forward = va < vb
+        base = edge_dof0[edge_ids[:, e_loc]]
+        fixed_slot = int(sum(fixed[d] * n1**d for d in range(3))
+                         - fixed[axis] * n1**axis)
+        for k in range(n_e):
+            k_eff = np.where(forward, k, n_e - 1 - k)
+            slot = fixed_slot + (k + 1) * n1**axis
+            cell_dofs[:, slot] = base + k_eff
+
+    # faces: canonical frame = origin at the min global id corner; u axis
+    # toward the smaller-id of its two face neighbors.  Both adjacent cells
+    # derive the same frame, so the shared dofs coincide.
+    # corners in the cell's (s,t) frame: k = s_bit + 2*t_bit.
+    g = cf  # [nc, 6, 4] global ids in (s,t) corner order
+    for f_loc in range(6):
+        gf = g[:, f_loc, :]                              # [nc, 4]
+        k0 = np.argmin(gf, axis=1)                       # origin corner
+        s0, t0 = k0 & 1, k0 >> 1
+        k_s = (1 - s0) + 2 * t0                          # s-neighbor of k0
+        k_t = s0 + 2 * (1 - t0)                          # t-neighbor of k0
+        u_is_s = (np.take_along_axis(gf, k_s[:, None], 1)[:, 0]
+                  < np.take_along_axis(gf, k_t[:, None], 1)[:, 0])
+        base = face_dof0[face_ids[:, f_loc]]
+        # face_slots returns the flat (s fastest) lattice; sl[s, t]:
+        sl = face_slots(3, p)[f_loc].reshape(n1, n1).T
+        for i_s in range(1, p):
+            for i_t in range(1, p):
+                cs = np.where(s0 == 0, i_s, p - i_s)
+                ct = np.where(t0 == 0, i_t, p - i_t)
+                a = np.where(u_is_s, cs, ct)
+                b = np.where(u_is_s, ct, cs)
+                dof = base + (a - 1) + (p - 1) * (b - 1)
+                cell_dofs[:, sl[i_s, i_t]] = dof
+
+    # interiors (x fastest)
+    for kz in range(1, p):
+        for ky in range(1, p):
+            for kx in range(1, p):
+                slot = kx + ky * n1 + kz * n1 * n1
+                local = (kx - 1) + (p - 1) * (ky - 1) + (p - 1) ** 2 * (kz - 1)
+                cell_dofs[:, slot] = cell_dof0 + local
+
+    # ---- positions ------------------------------------------------------
+    positions = np.zeros((int(cell_dofs.max()) + 1, 3))
+    positions[:nv] = mesh.vertices
+    ea, eb = mesh.vertices[uniq_e[:, 0]], mesh.vertices[uniq_e[:, 1]]
+    pos_e = (ea[:, None, :] * (1 - t_int)[None, :, None]
+             + eb[:, None, :] * t_int[None, :, None]).reshape(-1, 3)
+    positions[nv: nv + n_edges * n_e] = pos_e
+    # face dof positions: scatter through cell_dofs using the Q1 cell map
+    # (bilinear face interpolation = trilinear cell map restricted to the
+    # face, so every incident cell writes the identical value); interior
+    # dof positions likewise.
+    unit = _local_lattice(3, p)
+    allpos = _q1_geometry_map(mesh, unit)                # [nc, n_loc, 3]
+    positions[cell_dofs.ravel()] = allpos.reshape(-1, 3)
+    positions[:nv] = mesh.vertices
+    n_dofs = len(positions)
+
+    # ---- boundary face dofs --------------------------------------------
+    face_dofs = _face_dofs_from_owner(mesh, p, cell_dofs)
+    return DofMap(True, p, n_dofs, n_loc, cell_dofs, positions, face_dofs)
+
+
 # local face -> lexicographic slots on the face, in face-tangential order;
-# 2D faces ordered (-x, +x, -y, +y) like mesh._FACE_VERTICES
+# faces ordered (-x, +x, -y, +y[, -z, +z]) like mesh._FACE_VERTICES; in 3D
+# the flat order is the face (s, t) lattice with s fastest.
 def face_slots(dim: int, p: int):
     n1 = p + 1
     if dim == 1:
         return [np.array([0]), np.array([p])]
+    if dim == 2:
+        return [
+            np.arange(n1) * n1,            # -x: (0, j)
+            np.arange(n1) * n1 + p,        # +x: (p, j)
+            np.arange(n1),                 # -y: (i, 0)
+            p * n1 + np.arange(n1),        # +y: (i, p)
+        ]
+    sv = np.tile(np.arange(n1), n1)        # s, fastest
+    tv = np.repeat(np.arange(n1), n1)      # t
     return [
-        np.arange(n1) * n1,            # -x: (0, j)
-        np.arange(n1) * n1 + p,        # +x: (p, j)
-        np.arange(n1),                 # -y: (i, 0)
-        p * n1 + np.arange(n1),        # +y: (i, p)
+        sv * n1 + tv * n1 * n1,            # -x: (y, z) = (s, t)
+        p + sv * n1 + tv * n1 * n1,        # +x
+        sv + tv * n1 * n1,                 # -y: (x, z)
+        p * n1 + sv + tv * n1 * n1,        # +y
+        sv + tv * n1,                      # -z: (x, y)
+        p * n1 * n1 + sv + tv * n1,        # +z
     ]
 
 
-def _dg_face_dofs(mesh: Mesh, p: int, cell_dofs: np.ndarray) -> np.ndarray:
-    """Boundary-face dofs for the discontinuous ansatz.
-
-    Matches boundary faces to (cell, local face) by vertex sets and returns
-    the face-local dof ids [nf, p+1] (2D) / [nf, 1] (1D).
-    """
+def boundary_face_owners(mesh: Mesh):
+    """Match each boundary face to its owning (cell, local face) by vertex
+    sets.  Returns a list of (cell, f_loc) in boundary-face order."""
     from .mesh import _FACE_VERTICES
 
-    dim = mesh.dim
-    nv = mesh.n_vertices
-    slots = face_slots(dim, p)
-    fv = _FACE_VERTICES[dim]
-    out = np.zeros((len(mesh.boundary_faces), p + 1 if dim == 2 else 1),
-                   np.int64)
-    # build map sorted-face-vertices -> (cell, local face)
     table = {}
-    for f_loc, lv in enumerate(fv):
+    for f_loc, lv in enumerate(_FACE_VERTICES[mesh.dim]):
         for c in range(mesh.n_cells):
             key = tuple(sorted(mesh.cells[c, lv].tolist()))
             table[key] = (c, f_loc)
-    for k, bfv in enumerate(mesh.boundary_faces):
-        key = tuple(sorted(bfv.tolist()))
-        c, f_loc = table[key]
+    return [table[tuple(sorted(bfv.tolist()))]
+            for bfv in mesh.boundary_faces]
+
+
+def _face_dofs_from_owner(mesh: Mesh, p: int, cell_dofs: np.ndarray
+                          ) -> np.ndarray:
+    """Boundary-face dof lists [nf, (p+1)^(dim-1)] in the owning cell's face
+    frame (used by both the dG and the 3D cG paths)."""
+    dim = mesh.dim
+    slots = face_slots(dim, p)
+    n_face = (p + 1) ** (dim - 1) if dim > 1 else 1
+    out = np.zeros((len(mesh.boundary_faces), n_face), np.int64)
+    for k, (c, f_loc) in enumerate(boundary_face_owners(mesh)):
         out[k] = cell_dofs[c, slots[f_loc]]
-    del nv
     return out
+
+
+# retained name for the dG path
+_dg_face_dofs = _face_dofs_from_owner

@@ -823,6 +823,9 @@ def _dg_face_terms(mesh: Mesh, dm, p: int):
         return (np.array(rows, np.int64), np.array(cols, np.int64),
                 np.array(cvals), inc)
 
+    if dim == 3:
+        return _dg_face_terms_3d(mesh, dm, p, pairs)
+
     # dim == 2: 1D Lagrange basis on the face at QGauss(p+1) points
     nodes = gauss_lobatto_points(p)
     qp1, qw1 = _gauss_1d(max(p + 1, 2))
@@ -874,6 +877,72 @@ def _dg_face_terms(mesh: Mesh, dm, p: int):
             np.concatenate(cvals), inc)
 
 
+def _dg_face_terms_3d(mesh: Mesh, dm, p: int, pairs):
+    """3D interface contributions to c_ij for the discontinuous ansatz.
+
+    Bilinear (possibly non-planar) quad faces: per-quadrature-point
+    area-weighted normals from the cross product of the tangents, tensor
+    Lagrange basis on the face (s, t) lattice.  Neighbor face dofs are
+    matched to the owner's lattice by colocated positions (translation
+    invariant so periodic partner faces work)."""
+    from .ansatz import face_slots, gauss_lobatto_points, lagrange_1d
+    from .mesh import _FACE_VERTICES
+
+    slots = face_slots(3, p)
+    n1 = p + 1
+    nsf = n1 * n1
+    nodes = gauss_lobatto_points(p)
+    qp1, qw1 = _gauss_1d(max(p + 1, 2))
+    nq1 = len(qp1)
+    V1, _ = lagrange_1d(nodes, qp1)  # [nq1, n1]
+    S = np.tile(qp1, nq1)            # s fastest
+    T = np.repeat(qp1, nq1)
+    W = (qw1[None, :] * qw1[:, None]).ravel()  # [t, s] -> s fastest
+    # phiF[q, k] for face dof k = i_s + n1 * i_t:
+    phiF = np.einsum("qi,qj->qji", V1[np.tile(np.arange(nq1), nq1)],
+                     V1[np.repeat(np.arange(nq1), nq1)]).reshape(-1, nsf)
+    # bilinear geometry shape functions in the (s, t) corner order:
+    gN = np.stack([(1 - S) * (1 - T), S * (1 - T), (1 - S) * T, S * T], 1)
+    gNs = np.stack([-(1 - T), (1 - T), -T, T], 1)
+    gNt = np.stack([-(1 - S), -S, (1 - S), S], 1)
+
+    rows, cols, cvals, inc = [], [], [], []
+    for (ca, fa), (cb, fb) in pairs:
+        for (A, fA), (B, fB) in (((ca, fa), (cb, fb)), ((cb, fb), (ca, fa))):
+            dofs_A = dm.cell_dofs[A, slots[fA]]
+            dofs_B = dm.cell_dofs[B, slots[fB]]
+            if p > 0:
+                # permute B's dofs onto A's lattice by relative position
+                pa = dm.positions[dofs_A]
+                pb = dm.positions[dofs_B]
+                ra = pa - pa.mean(axis=0)
+                rb = pb - pb.mean(axis=0)
+                d2 = ((ra[:, None, :] - rb[None, :, :]) ** 2).sum(-1)
+                perm = np.argmin(d2, axis=1)
+                assert len(np.unique(perm)) == nsf, "face dof match failed"
+                assert d2[np.arange(nsf), perm].max() < 1e-20
+                dofs_B = dofs_B[perm]
+            XF = mesh.vertices[mesh.cells[A, _FACE_VERTICES[3][fA]]]
+            xs = gNs @ XF  # [nq, 3]
+            xt = gNt @ XF
+            nvec = np.cross(xs, xt)  # area-weighted
+            center = mesh.vertices[mesh.cells[A]].mean(axis=0)
+            fmid = (gN @ XF).mean(axis=0)
+            if nvec.mean(axis=0) @ (fmid - center) < 0:
+                nvec = -nvec
+            # blockv[i, j, d] = int_f n_d phi_i phi_j
+            blockv = np.einsum("qi,qj,qd,q->ijd", phiF, phiF, nvec, W)
+            ii = np.repeat(dofs_A, nsf)
+            rows.append(np.concatenate([ii, ii]))
+            cols.append(np.concatenate([np.tile(dofs_A, nsf),
+                                        np.tile(dofs_B, nsf)]))
+            flat = blockv.reshape(-1, 3)
+            cvals.append(np.concatenate([-0.5 * flat, 0.5 * flat]))
+            inc += list(zip(dofs_A.tolist(), dofs_B.tolist()))
+    return (np.concatenate(rows), np.concatenate(cols),
+            np.concatenate(cvals), inc)
+
+
 def _boundary_map_ansatz(mesh: Mesh, dm, p: int, master=None,
                          constrained=None):
     """Boundary map over face dofs for the generic ansatz path."""
@@ -903,6 +972,9 @@ def _boundary_map_ansatz(mesh: Mesh, dm, p: int, master=None,
                 [nrm, 1.0, 1.0, int(bid), dm.positions[v].copy()]
             )
         return _merge_boundary_entries(entries, dim)
+
+    if dim == 3:
+        return _boundary_map_ansatz_3d(mesh, dm, p, master, constrained)
 
     nodes = gauss_lobatto_points(p)
     qp1, qw1 = _gauss_1d(max(p + 1, 3))
@@ -939,6 +1011,58 @@ def _boundary_map_ansatz(mesh: Mesh, dm, p: int, master=None,
     return _merge_boundary_entries(entries, dim)
 
 
+def _boundary_map_ansatz_3d(mesh: Mesh, dm, p: int, master, constrained):
+    """3D boundary map over face dofs: per-dof face-normal integral and
+    boundary mass on bilinear quad faces with a tensor Gauss rule, in the
+    owning cell's face frame (matching dm.face_dofs)."""
+    from .ansatz import (boundary_face_owners, gauss_lobatto_points,
+                         lagrange_1d)
+    from .mesh import _FACE_VERTICES
+
+    n1 = p + 1
+    nsf = n1 * n1
+    nodes = gauss_lobatto_points(p)
+    qp1, qw1 = _gauss_1d(max(p + 1, 3))
+    nq1 = len(qp1)
+    V1, _ = lagrange_1d(nodes, qp1)
+    S = np.tile(qp1, nq1)
+    T = np.repeat(qp1, nq1)
+    W = (qw1[None, :] * qw1[:, None]).ravel()
+    phiF = np.einsum("qi,qj->qji", V1[np.tile(np.arange(nq1), nq1)],
+                     V1[np.repeat(np.arange(nq1), nq1)]).reshape(-1, nsf)
+    gN = np.stack([(1 - S) * (1 - T), S * (1 - T), (1 - S) * T, S * T], 1)
+    gNs = np.stack([-(1 - T), (1 - T), -T, T], 1)
+    gNt = np.stack([-(1 - S), -S, (1 - S), S], 1)
+
+    owners = boundary_face_owners(mesh)
+    entries: Dict[int, List] = {}
+    for k, ((c, f_loc), bid) in enumerate(zip(owners, mesh.boundary_ids)):
+        if bid == Boundary.periodic:
+            continue
+        fdofs = dm.face_dofs[k]
+        XF = mesh.vertices[mesh.cells[c, _FACE_VERTICES[3][f_loc]]]
+        xs = gNs @ XF
+        xt = gNt @ XF
+        nvec = np.cross(xs, xt)
+        center = mesh.vertices[mesh.cells[c]].mean(axis=0)
+        fmid = (gN @ XF).mean(axis=0)
+        if nvec.mean(axis=0) @ (fmid - center) < 0:
+            nvec = -nvec
+        area_el = np.linalg.norm(nvec, axis=1)
+        for loc in range(nsf):
+            v_raw = int(fdofs[loc])
+            if constrained[v_raw]:
+                continue
+            v = int(master[v_raw])
+            phi = phiF[:, loc]
+            bmass = float(np.sum(phi * area_el * W))
+            nrm = np.einsum("q,qd->d", phi * W, nvec)
+            entries.setdefault(v, []).append(
+                [nrm, bmass, bmass, int(bid), dm.positions[v_raw].copy()]
+            )
+    return _merge_boundary_entries(entries, 3)
+
+
 def _ansatz_dof_masters(mesh: Mesh, dm, continuous: bool, p: int):
     """Periodic dof identification for the generic ansatz path.
 
@@ -962,6 +1086,11 @@ def _ansatz_dof_masters(mesh: Mesh, dm, continuous: bool, p: int):
     constrained[:nv] = vconstr
     if p == 1 or mesh.dim == 1:
         return master, constrained
+    if mesh.dim == 3:
+        raise NotImplementedError(
+            "periodic constraints with 3D cG Q2/Q3 not supported; use dG or "
+            "a non-periodic boundary"
+        )
 
     # edge dofs (2D): unique edges in dof-map order
     cells = mesh.cells

@@ -145,3 +145,63 @@ def test_driver_ansatz(tmp_path):
 
     vtus = [f for f in os.listdir(tmp_path) if f.endswith(".vtu")]
     assert vtus
+
+
+@pytest.mark.parametrize("ansatz", ["cG Q2", "cG Q3", "dG Q0", "dG Q1",
+                                    "dG Q2"])
+def test_assembly_validates_3d(ansatz):
+    mesh = geometry.rectangular_domain(
+        [0, 0, 0], [1, 1, 2], [1, 1, 2], 0, [2, 2, 2, 2, 2, 2], dim=3
+    ).refine_global(1)
+    data = assembly.assemble(mesh, ansatz=ansatz)
+    data.validate()
+    np.testing.assert_allclose(
+        data.lumped_mass[~data.is_constrained].sum(), 2.0, rtol=1e-12
+    )
+    if ansatz.startswith("dG"):
+        assert data.incidence is not None
+
+
+def test_cg_q2_3d_dof_sharing():
+    mesh = geometry.rectangular_domain(
+        [0, 0, 0], [1, 1, 1], [1, 1, 1], 0, [2] * 6, dim=3
+    ).refine_global(1)
+    dm = build_dof_map(mesh, "cG Q2")
+    # 8 cells: 27 vertices + 54 unique edges + 36 unique faces + 8 interiors
+    assert dm.n_dofs == 27 + 54 + 36 + 8
+    # shared dofs must carry one unique position each:
+    pos = dm.positions
+    uniq = np.unique(np.round(pos, 12), axis=0)
+    assert len(uniq) == dm.n_dofs
+    # every cell's 27 dof positions must match the geometric lattice:
+    from ryujin_tpu.offline.ansatz import _local_lattice, _q1_geometry_map
+
+    lat = _q1_geometry_map(mesh, _local_lattice(3, 2))
+    np.testing.assert_allclose(pos[dm.cell_dofs], lat, atol=1e-12)
+
+
+@pytest.mark.parametrize("ansatz", ["cG Q2", "dG Q1"])
+def test_euler_step_3d(ansatz):
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.solver.hyperbolic import HyperbolicModule
+
+    eq = Euler(dim=3)
+    mesh = geometry.rectangular_domain(
+        [0, 0, 0], [1, 1, 1], [1, 1, 1], 0, [2] * 6, dim=3
+    ).refine_global(2)
+    packed = ell.pack(assembly.assemble(mesh, ansatz=ansatz))
+
+    def init(x, t):
+        rho = 1.0 + 0.1 * jnp.sin(2 * np.pi * x[0])
+        z = 0 * rho
+        return jnp.stack(
+            [rho, 0.1 * rho, z, z, 1.0 / 0.4 + 0.5 * 0.01 * rho], 0
+        )
+
+    hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64)
+    ti = TimeIntegrator(hm, "erk 33", cfl_min=0.3, cfl_max=0.3,
+                        cfl_recovery_strategy="none")
+    U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+    U2, tau, ok = ti.step(U, 0.0, 1.0)
+    assert bool(ok)
+    assert np.isfinite(np.asarray(U2)).all()
