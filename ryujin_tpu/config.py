@@ -92,6 +92,23 @@ class TimeIntegratorConfig:
 
 
 @dataclasses.dataclass
+class ParabolicSolverConfig:
+    """Navier-Stokes implicit solver parameters
+    (navier_stokes/parabolic_solver.template.h:40-110)."""
+
+    tolerance: float = 1.0e-12
+    max_iterations: int = 200
+    # geometric multigrid preconditioner (default off, like the reference)
+    multigrid_velocity: bool = False
+    multigrid_energy: bool = False
+    gmg_levels: int = 3  # coarse levels below the finest
+    chebyshev_degree: int = 3
+    chebyshev_power_iterations: int = 8
+    smoother_range_velocity: float = 8.0
+    smoother_range_energy: float = 15.0
+
+
+@dataclasses.dataclass
 class VTUOutputConfig:
     """Section I."""
 
@@ -148,6 +165,9 @@ class Config:
     )
     initial_values: InitialValuesConfig = dataclasses.field(
         default_factory=InitialValuesConfig
+    )
+    parabolic_solver: ParabolicSolverConfig = dataclasses.field(
+        default_factory=ParabolicSolverConfig
     )
     hyperbolic_module: HyperbolicModuleConfig = dataclasses.field(
         default_factory=HyperbolicModuleConfig

@@ -196,10 +196,49 @@ class TimeLoop:
             from .solver.parabolic import ParabolicSolver
 
             system = entry["parabolic"](config.equation)
+            ps_cfg = config.parabolic_solver
+            gmg_params, mesh_chain = None, None
+            if ps_cfg.multigrid_velocity or ps_cfg.multigrid_energy:
+                from .solver.gmg import GMGParams, check_chain
+
+                gmg_params = GMGParams(
+                    velocity=ps_cfg.multigrid_velocity,
+                    energy=ps_cfg.multigrid_energy,
+                    chebyshev_degree=ps_cfg.chebyshev_degree,
+                    power_iterations=ps_cfg.chebyshev_power_iterations,
+                    smoother_range_velocity=ps_cfg.smoother_range_velocity,
+                    smoother_range_energy=ps_cfg.smoother_range_energy,
+                )
+                # level hierarchy: regenerate the geometry at a reduced
+                # refinement and refine it globally back up (the chain's
+                # finest mesh is matched to the solver mesh by position
+                # inside GMG, so generator numbering does not matter)
+                import dataclasses as _dc
+
+                r_fine = config.discretization.mesh_refinement
+                r0 = max(0, r_fine - max(1, ps_cfg.gmg_levels))
+                c2 = _dc.replace(
+                    config,
+                    discretization=_dc.replace(
+                        config.discretization, mesh_refinement=r0
+                    ),
+                )
+                mesh_chain = [make_mesh(c2)]
+                for _ in range(r_fine - r0):
+                    mesh_chain.append(mesh_chain[-1].refine_global(1))
+                if not check_chain(mesh_chain):
+                    print(
+                        "[ryujin] geometry does not form a refinement "
+                        "chain; multigrid disabled"
+                    )
+                    gmg_params, mesh_chain = None, None
             self.parabolic_solver = ParabolicSolver(
                 self.eq, system, self.packed, self.offline_data, self.mesh,
                 self.initial_state_fn,
                 self.hyperbolic_module._xla_stencil, dtype=self.dtype,
+                tolerance=ps_cfg.tolerance,
+                max_iterations=ps_cfg.max_iterations,
+                gmg_params=gmg_params, mesh_chain=mesh_chain,
             )
 
         ti_cfg = config.time_integrator

@@ -41,6 +41,57 @@ import numpy as np
 from ..offline.mesh import Boundary
 
 
+def matvec_family(stencil, pa, V):
+    """Returns (L V [dim, n], K^{bd} V [d, n], K^{db} V [d, n]) for the
+    gradient-product family pa.kab/pa.kab_ii over `stencil`."""
+    V_j = stencil.nbr(V)  # [dim, K, n]
+    lap_edge = jnp.einsum("bbkn->kn", pa.kab)  # sum_b K^{bb}, [K, n]
+    lap_diag = jnp.einsum("bbn->n", pa.kab_ii)
+    LV = (
+        jnp.sum(lap_edge[None] * V_j * pa.mask[None], axis=1)
+        + lap_diag[None] * V
+    )
+    # T2_d = sum_b K^{bd} V_b ; T3_d = sum_b K^{db} V_b
+    T2 = (
+        jnp.einsum("bdkn,bkn->dn", pa.kab * pa.mask[None, None], V_j)
+        + jnp.einsum("bdn,bn->dn", pa.kab_ii, V)
+    )
+    T3 = (
+        jnp.einsum("dbkn,bkn->dn", pa.kab * pa.mask[None, None], V_j)
+        + jnp.einsum("dbn,bn->dn", pa.kab_ii, V)
+    )
+    return LV, T2, T3
+
+
+def stress_matvec(stencil, pa, mu, lam, dim, V):
+    """Newtonian stress bilinear form matvec (eq. 5.4 of the reference)."""
+    LV, T2, T3 = matvec_family(stencil, pa, V)
+    if dim == 1:
+        return (4.0 / 3.0 * mu + lam) * LV
+    return mu * (LV + T2) + (lam - 2.0 / 3.0 * mu) * T3
+
+
+def laplace_matvec(stencil, pa, e):
+    """Scalar diffusion matvec sum_b K^{bb} (heat flux operator)."""
+    e_j = stencil.nbr(e)  # [K, n]
+    lap_edge = jnp.einsum("bbkn->kn", pa.kab)
+    lap_diag = jnp.einsum("bbn->n", pa.kab_ii)
+    return jnp.sum(lap_edge * e_j * pa.mask, axis=0) + lap_diag * e
+
+
+def stress_diagonal(pa, mu, lam, dim):
+    """Per-component diagonal of the stress operator [dim, n]."""
+    lap_diag = jnp.einsum("bbn->n", pa.kab_ii)
+    if dim == 1:
+        return ((4.0 / 3.0 * mu + lam) * lap_diag)[None]
+    kdd = jnp.einsum("ddn->dn", pa.kab_ii)
+    return mu * (lap_diag[None] + kdd) + (lam - 2.0 / 3.0 * mu) * kdd
+
+
+def laplace_diagonal(pa):
+    return jnp.einsum("bbn->n", pa.kab_ii)
+
+
 @dataclasses.dataclass(frozen=True)
 class ParabolicSystem:
     """Newtonian fluid + Fourier heat flux parameters
@@ -81,6 +132,8 @@ class ParabolicSolver:
         dtype=jnp.float64,
         tolerance: float = 1.0e-12,
         max_iterations: int = 200,
+        gmg_params=None,
+        mesh_chain=None,
     ):
         from ..offline import assembly as _assembly
         from ..offline import ell as _ell
@@ -157,43 +210,35 @@ class ParabolicSolver:
             np.concatenate(d_pos).T if d_pos else np.zeros((dim, 0))
         )
 
+        # geometric multigrid preconditioner over the refinement chain
+        # (parabolic_solver.h:205-287); optional, diagonal CG otherwise.
+        self.gmg = None
+        if (
+            gmg_params is not None
+            and (gmg_params.velocity or gmg_params.energy)
+            and mesh_chain is not None
+            and len(mesh_chain) >= 2
+        ):
+            from .gmg import GMG
+
+            try:
+                self.gmg = GMG(self, gmg_params, mesh_chain, packed)
+            except ValueError as exc:
+                print(f"[ryujin] multigrid disabled: {exc}")
+                self.gmg = None
+
     # -- operators ---------------------------------------------------------
     def _matvec_family(self, pa: ParabolicArrays, V):
-        """Returns (L V [dim, n], K^{bd} V [d, n], K^{db} V [d, n])."""
-        st = self.stencil
-        dim = self.dim
-        V_j = st.nbr(V)  # [dim, K, n]
-        lap_edge = jnp.einsum("bbkn->kn", pa.kab)  # sum_b K^{bb}, [K, n]
-        lap_diag = jnp.einsum("bbn->n", pa.kab_ii)
-        LV = (
-            jnp.sum(lap_edge[None] * V_j * pa.mask[None], axis=1)
-            + lap_diag[None] * V
-        )
-        # T2_d = sum_b K^{bd} V_b ; T3_d = sum_b K^{db} V_b
-        T2 = (
-            jnp.einsum("bdkn,bkn->dn", pa.kab * pa.mask[None, None], V_j)
-            + jnp.einsum("bdn,bn->dn", pa.kab_ii, V)
-        )
-        T3 = (
-            jnp.einsum("dbkn,bkn->dn", pa.kab * pa.mask[None, None], V_j)
-            + jnp.einsum("dbn,bn->dn", pa.kab_ii, V)
-        )
-        return LV, T2, T3
+        return matvec_family(self.stencil, pa, V)
 
     def stress_matvec(self, pa: ParabolicArrays, V):
-        mu = self.system.mu
-        lam = self.system.lambda_
-        LV, T2, T3 = self._matvec_family(pa, V)
-        if self.dim == 1:
-            return (4.0 / 3.0 * mu + lam) * LV
-        return mu * (LV + T2) + (lam - 2.0 / 3.0 * mu) * T3
+        return stress_matvec(
+            self.stencil, pa, self.system.mu, self.system.lambda_,
+            self.dim, V,
+        )
 
     def laplace_matvec(self, pa: ParabolicArrays, e):
-        st = self.stencil
-        e_j = st.nbr(e)  # [K, n]
-        lap_edge = jnp.einsum("bbkn->kn", pa.kab)
-        lap_diag = jnp.einsum("bbn->n", pa.kab_ii)
-        return jnp.sum(lap_edge * e_j * pa.mask, axis=0) + lap_diag * e
+        return laplace_matvec(self.stencil, pa, e)
 
     # -- boundary projections ------------------------------------------------
     def _project_v(self, V):
@@ -237,10 +282,13 @@ class ParabolicSolver:
         return e
 
     # -- CG ------------------------------------------------------------------
-    def _cg(self, A, P, x0, b, diag_inv):
-        """Projected preconditioned CG: solve P A P dx = P (b - A x0)."""
+    def _cg(self, A, P, x0, b, precond):
+        """Projected preconditioned CG: solve P A P dx = P (b - A x0).
+
+        `precond` is a callable r -> approximate A^{-1} r (diagonal scaling
+        or a GMG V-cycle, cf. parabolic_solver.template.h:485-507)."""
         r = P(b - A(x0))
-        z = P(diag_inv * r)
+        z = P(precond(r))
         p = z
         rz = jnp.sum(r * z)
 
@@ -258,7 +306,7 @@ class ParabolicSolver:
             )
             x = x + alpha * p
             r = r - alpha * Ap
-            z = P(diag_inv * r)
+            z = P(precond(r))
             rz_new = jnp.sum(r * z)
             beta = rz_new / jnp.maximum(rz, jnp.finfo(x.dtype).tiny)
             p = z + beta * p
@@ -292,7 +340,13 @@ class ParabolicSolver:
         def A_v(V):
             return mrho[None] * V + tau * self.stress_matvec(pa, V)
 
-        V_new = self._cg(A_v, self._project_v, x0, rhs_v, diag_inv[None])
+        if self.gmg is not None and self.gmg.params.velocity:
+            precond_v = self.gmg.build_preconditioner(
+                "velocity", tau, mrho, A_v, self._project_v, pa
+            )
+        else:
+            precond_v = lambda r: diag_inv[None] * r  # noqa: E731
+        V_new = self._cg(A_v, self._project_v, x0, rhs_v, precond_v)
 
         # ---- internal energy solve (step P2, reference :510-790) ---------
         # Stress dissipation integrated against phi_i via the edge form
@@ -321,7 +375,13 @@ class ParabolicSolver:
         def A_e(e):
             return mrho * e + tau * kcv * self.laplace_matvec(pa, e)
 
-        e_new = self._cg(A_e, self._project_e, e0, rhs_e, diag_inv)
+        if self.gmg is not None and self.gmg.params.energy:
+            precond_e = self.gmg.build_preconditioner(
+                "energy", tau, mrho, A_e, self._project_e, pa
+            )
+        else:
+            precond_e = lambda r: diag_inv * r  # noqa: E731
+        e_new = self._cg(A_e, self._project_e, e0, rhs_e, precond_e)
 
         # ---- restart check + write back (reference :760-860) -------------
         big = jnp.asarray(jnp.finfo(U.dtype).max, U.dtype)

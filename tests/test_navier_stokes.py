@@ -20,7 +20,7 @@ from ryujin_tpu.solver.integrator import TimeIntegrator
 from ryujin_tpu.solver.parabolic import ParabolicSolver, ParabolicSystem
 
 
-def _run_becker(refinement):
+def _run_becker(refinement, gmg=False):
     eq = Euler(dim=1)
     init = make_initial_state(
         eq, "becker solution", position=[-0.125],
@@ -34,11 +34,25 @@ def _run_becker(refinement):
     data = assembly.assemble(mesh)
     packed = ell.pack(data)
     hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64)
+    gmg_params, chain = None, None
+    if gmg:
+        from ryujin_tpu.solver.gmg import GMGParams
+
+        gmg_params = GMGParams(velocity=True, energy=True)
+        chain = [geometry.rectangular_domain(
+            [-0.25], [0.25], [1], refinement=refinement - 3,
+            boundary_conditions=[Boundary.dirichlet] * 2, dim=1,
+        )]
+        for _ in range(3):
+            chain.append(chain[-1].refine_global(1))
     ps = ParabolicSolver(
         eq, ParabolicSystem(mu=0.01, lambda_=0.0,
                             cv_inverse_kappa=1.866666666666666e-2),
         packed, data, mesh, init, hm.stencil, dtype=jnp.float64,
+        gmg_params=gmg_params, mesh_chain=chain,
     )
+    if gmg:
+        assert ps.gmg is not None
     ti = TimeIntegrator(hm, "strang erk 33 cn", cfl_min=0.1, cfl_max=0.1,
                         cfl_recovery_strategy="none", parabolic_module=ps)
     U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
@@ -111,3 +125,11 @@ def test_skeleton_module_runs():
     U0 = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
     U, _, t, tau, _, _ = ti.advance(U0, 0.0, 5)
     np.testing.assert_allclose(np.asarray(U), np.asarray(U0), atol=1e-14)
+
+
+def test_becker_l6_gmg():
+    """GMG-preconditioned CG (multigrid velocity + energy, the analog of
+    tests/navier_stokes/gmg_velocity_energy.prm) reproduces the same
+    Becker solution as the diagonal preconditioner."""
+    linf, l1, l2 = _run_becker(7, gmg=True)
+    assert abs(l1 / 4.0607e-4 - 1.0) < 0.02, l1
