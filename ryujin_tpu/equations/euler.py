@@ -29,6 +29,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..offline.mesh import Boundary
 
@@ -39,6 +40,30 @@ def _pos(x):
 
 def _neg(x):
     return jnp.maximum(-x, 0.0)
+
+
+def _pow(x, e: float):
+    """jnp.power with (near-)integer exponents strength-reduced to
+    multiplies (binary exponentiation).
+
+    For gamma = 1.4 the two-rarefaction exponent 2 gamma / (gamma - 1)
+    evaluates to 7 + O(eps); the transcendental pow dominates the Riemann
+    solver's VPU cost on TPU, and the reference's SIMD pow is likewise
+    approximate (simd_fast_pow.template.h), so snapping the exponent to
+    the nearest integer is within the method's accuracy."""
+    er = round(e)
+    if abs(e - er) < 1.0e-8 and 1 <= abs(er) <= 16:
+        n = abs(er)
+        acc = None
+        base = x
+        while n:
+            if n & 1:
+                acc = base if acc is None else acc * base
+            n >>= 1
+            if n:
+                base = base * base
+        return acc if er > 0 else 1.0 / acc
+    return jnp.power(x, e)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +95,9 @@ class Euler:
     have_high_order_flux = False
     have_source_terms = False
     have_equilibrated_states = False
+    # flux tensor is a node-local function of U alone: Pallas kernels may
+    # hoist it to a per-window precompute (solver/pallas_step.py)
+    hoist_node_flux = True
     is_identity_parabolic = True  # no parabolic subsystem
 
     @property
@@ -227,28 +255,46 @@ class Euler:
         return -jnp.sum((flux_i + flux_j) * c_ij[None], axis=1)
 
     # ---- Riemann solver (riemann_solver.template.h) ---------------------
-    def riemann_data(self, U, n):
+    def riemann_precompute(self, U):
+        """Node-local Riemann inputs (p, a), hoisted out of the per-edge
+        evaluation (the projection leaves pressure and sound speed
+        direction-independent: the perpendicular kinetic energy removed
+        from E reappears in the projected kinetic energy)."""
+        g = self.params.gamma
+        rho = self.density(U)
+        rho_inv = 1.0 / rho
+        m = self.momentum(U)
+        rho_e = self.total_energy(U) - 0.5 * jnp.sum(m * m, 0) * rho_inv
+        p = (g - 1.0) * rho_e
+        a = jnp.sqrt(g * p * rho_inv)
+        return p, a
+
+    def riemann_data(self, U, n, pa=None):
         """Project onto 1D data (rho, u_n, p, a) (riemann_solver.template.h:377-403)."""
         rho = self.density(U)
         rho_inv = 1.0 / rho
         m = self.momentum(U)
         proj_m = jnp.sum(n * m, 0)
-        perp = m - proj_m[None] * n
-        E = self.total_energy(U) - 0.5 * jnp.sum(perp * perp, 0) * rho_inv
-        g = self.params.gamma
-        rho_e = E - 0.5 * proj_m * proj_m * rho_inv
-        p = (g - 1.0) * rho_e
-        a = jnp.sqrt(g * p * rho_inv)
+        if pa is None:
+            perp = m - proj_m[None] * n
+            E = self.total_energy(U) - 0.5 * jnp.sum(perp * perp, 0) * rho_inv
+            g = self.params.gamma
+            rho_e = E - 0.5 * proj_m * proj_m * rho_inv
+            p = (g - 1.0) * rho_e
+            a = jnp.sqrt(g * p * rho_inv)
+        else:
+            p, a = pa
         return rho, proj_m * rho_inv, p, a
 
     def riemann_lambda_max(
         self, U_i, U_j, n_ij, prec_i=None, prec_j=None,
         newton_iterations: int = 0, newton_tol: float = 1e-10,
+        pa_i=None, pa_j=None,
     ):
         """Upper bound on the maximal wave speed (riemann_solver.template.h:406-582)."""
         g = self.params.gamma
-        di = self.riemann_data(U_i, n_ij)
-        dj = self.riemann_data(U_j, n_ij)
+        di = self.riemann_data(U_i, n_ij, pa_i)
+        dj = self.riemann_data(U_j, n_ij, pa_j)
         rho_i, u_i, p_i, a_i = di
         rho_j, u_j, p_j, a_j = dj
 
@@ -259,17 +305,17 @@ class Euler:
         num = _pos(a_i + a_j - factor * (u_j - u_i))
         den = a_i * jnp.power(p_i / p_j, -factor / g) + a_j
         exponent = 2.0 * g / (g - 1.0)
-        p_rarefaction = p_j * jnp.power(num / den, exponent)
+        p_rarefaction = p_j * _pow(num / den, exponent)
 
-        # failsafe estimate (:330-374)
-        radicand_i = 2.0 * p_max / (
-            rho_i * ((g + 1.0) * p_max + (g - 1.0) * p_i)
-        )
-        x_i = jnp.sqrt(radicand_i)
-        radicand_j = 2.0 * p_max / (
-            rho_j * ((g + 1.0) * p_max + (g - 1.0) * p_j)
-        )
-        x_j = jnp.sqrt(radicand_j)
+        # failsafe estimate (:330-374); sqrt(x/y) as sqrt(x)*rsqrt(y) — the
+        # VPU's rsqrt avoids the divide
+        sqrt_2pmax = jnp.sqrt(2.0 * p_max)
+        ri = rho_i * ((g + 1.0) * p_max + (g - 1.0) * p_i)
+        rj = rho_j * ((g + 1.0) * p_max + (g - 1.0) * p_j)
+        ri_rsqrt = jax.lax.rsqrt(ri)
+        rj_rsqrt = jax.lax.rsqrt(rj)
+        x_i = sqrt_2pmax * ri_rsqrt
+        x_j = sqrt_2pmax * rj_rsqrt
         a_q = x_i + x_j
         b_q = u_j - u_i
         c_q = -p_i * x_i - p_j * x_j
@@ -278,11 +324,10 @@ class Euler:
 
         p_star_tilde = jnp.minimum(p_rarefaction, p_failsafe)
 
-        # phi(p_max) (:122-149)
-        ri_inv = 0.5 * rho_i * ((g + 1.0) * p_max + (g - 1.0) * p_i)
-        vi = (p_max - p_i) / jnp.sqrt(ri_inv)
-        rj_inv = 0.5 * rho_j * ((g + 1.0) * p_max + (g - 1.0) * p_j)
-        vj = (p_max - p_j) / jnp.sqrt(rj_inv)
+        # phi(p_max) (:122-149); 1/sqrt(ri/2) = sqrt(2) * rsqrt(ri)
+        sqrt2 = np.sqrt(2.0)
+        vi = (p_max - p_i) * (sqrt2 * ri_rsqrt)
+        vj = (p_max - p_j) * (sqrt2 * rj_rsqrt)
         phi_p_max = vi + vj + u_j - u_i
 
         p_2 = jnp.where(
@@ -363,7 +408,8 @@ class Euler:
 
     # ---- indicator (euler/indicator.h:187-258) --------------------------
     def indicator_alpha(
-        self, U_i, prec_i, U_j, prec_j, c_ij, mask, hd_i, evc_factor: float = 1.0
+        self, U_i, prec_i, U_j, prec_j, c_ij, mask, hd_i,
+        evc_factor: float = 1.0, f_i=None, f_j=None,
     ):
         """Entropy viscosity commutator over the stencil.
 
@@ -378,12 +424,14 @@ class Euler:
         d_eta_i = jnp.concatenate(
             [(d_eta_i[0] - eta_i * rho_i_inv)[None], d_eta_i[1:]], axis=0
         )
-        f_i = self.f(U_i)  # [C, dim, n]
+        if f_i is None:
+            f_i = self.f(U_i)  # [C, dim, n]
 
         eta_j = prec_j[1]
         rho_j = self.density(U_j)
         m_j = self.momentum(U_j)  # [dim, K, n]
-        f_j = self.f(U_j)  # [C, dim, K, n]
+        if f_j is None:
+            f_j = self.f(U_j)  # [C, dim, K, n]
 
         entropy_flux = (
             eta_j / rho_j - (eta_i * rho_i_inv)[None]

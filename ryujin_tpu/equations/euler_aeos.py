@@ -619,8 +619,10 @@ class EulerAEOS:
 
     # ---- indicator (euler_aeos/indicator.h:185-265) ----------------------------
     def indicator_alpha(
-        self, U_i, prec_i, U_j, prec_j, c_ij, mask, hd_i, evc_factor: float = 1.0
+        self, U_i, prec_i, U_j, prec_j, c_ij, mask, hd_i,
+        evc_factor: float = 1.0, f_i=None, f_j=None,
     ):
+        del f_i, f_j
         gamma_min = prec_i[1]
         eta_i = prec_i[3]
         rho_i = self.density(U_i)

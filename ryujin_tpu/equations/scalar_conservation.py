@@ -243,8 +243,10 @@ class ScalarConservation:
 
     # ---- indicator (indicator.h:150-205) -----------------------------------
     def indicator_alpha(
-        self, U_i, prec_i, U_j, prec_j, c_ij, mask, hd_i, evc_factor: float = 1.0
+        self, U_i, prec_i, U_j, prec_j, c_ij, mask, hd_i,
+        evc_factor: float = 1.0, f_i=None, f_j=None,
     ):
+        del f_i, f_j
         dim = self.dim
         u_i = self.state(U_i)  # [n]
         u_j = self.state(U_j)  # [K, n]

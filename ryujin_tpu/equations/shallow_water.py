@@ -371,8 +371,10 @@ class ShallowWater:
 
     # ---- indicator (shallow_water/indicator.h:150-240) -----------------------
     def indicator_alpha(
-        self, U_i, prec_i, U_j, prec_j, c_ij, mask, hd_i, evc_factor: float = 1.0
+        self, U_i, prec_i, U_j, prec_j, c_ij, mask, hd_i,
+        evc_factor: float = 1.0, f_i=None, f_j=None,
     ):
+        del f_i, f_j
         eta_i = prec_i[0]
         d_eta_i = self.mathematical_entropy_derivative(U_i)  # [C, n]
         f_i = self.f(U_i)  # [C, dim, n]

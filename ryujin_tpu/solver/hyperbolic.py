@@ -216,7 +216,8 @@ class StructuredStencil:
 # ---------------------------------------------------------------------------
 
 
-def phase_e_alpha(eq, p, sa, U, prec, U_j, prec_j):
+def phase_e_alpha(eq, p, sa, U, prec, U_j, prec_j,
+                  rp=None, rp_j=None, f_i=None, f_j=None):
     """Step 2 (forward half): directed wavespeed products e_ij and alpha_i.
 
     e[k, i] = ||c_ij|| * lambda_max(U_i, U_j, n_ij).  The backward product
@@ -239,17 +240,23 @@ def phase_e_alpha(eq, p, sa, U, prec, U_j, prec_j):
 
     U_i = U[:, None]
     prec_i = prec[:, None]
+    kw = {}
+    if hasattr(eq, "riemann_precompute"):
+        # node-local (p, a) hoisted out of the per-edge Riemann solve;
+        # Pallas kernels inject window-precomputed values (rp/rp_j)
+        kw["pa_i"] = rp if rp is not None else eq.riemann_precompute(U)
+        kw["pa_j"] = rp_j if rp_j is not None else eq.riemann_precompute(U_j)
     lam_f = eq.riemann_lambda_max(
         U_i, U_j, n_ij, prec_i=prec_i, prec_j=prec_j,
         newton_iterations=p.riemann_newton_max_iterations,
-        newton_tol=p.riemann_newton_tolerance,
+        newton_tol=p.riemann_newton_tolerance, **kw,
     )
     e = norm * lam_f
 
     hd_i = sa.m_lumped * sa.measure_inv
     alpha = eq.indicator_alpha(
         U, prec, U_j, prec_j, sa.cij, sa.mask, hd_i,
-        evc_factor=p.evc_factor,
+        evc_factor=p.evc_factor, f_i=f_i, f_j=f_j,
     )
     return e, alpha
 
@@ -286,7 +293,8 @@ def _expand_edges(flux, node_ndim=1):
     )
 
 
-def _fluxes(eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j):
+def _fluxes(eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j,
+            fl_i=None, fl_j=None):
     """Edge and diagonal flux divergences (+ the raw flux contributions).
 
     flux contributions are opaque pytrees (a flux tensor for Euler, a
@@ -294,8 +302,10 @@ def _fluxes(eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j):
     neighbor states equals gathering the nodal contributions since they
     are pointwise in (precomputed, initial_precomputed, U).
     """
-    flux_i = eq.flux_contribution(prec, init_prec, U)
-    flux_j = eq.flux_contribution(prec_j, init_prec_j, U_j)
+    flux_i = (fl_i if fl_i is not None
+              else eq.flux_contribution(prec, init_prec, U))
+    flux_j = (fl_j if fl_j is not None
+              else eq.flux_contribution(prec_j, init_prec_j, U_j))
     flux_i_e = _expand_edges(flux_i, sa.mask.ndim - 1)
     flux_ij = eq.flux_divergence(flux_i_e, flux_j, sa.cij)
     flux_ii = eq.flux_divergence(flux_i, flux_i, sa.cii)
@@ -412,7 +422,8 @@ def _affine_shift(eq, sa, flux_i, flux_i_e, flux_j, d, tau, S_i):
 
 def phase_low_order(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
                     stage_U, stage_prec, stage_U_j, stage_prec_j,
-                    stage_weights, init_prec, init_prec_j):
+                    stage_weights, init_prec, init_prec_j,
+                    fl_i=None, fl_j=None):
     """Step 4: low-order update, high-order RHS F_i, limiter bounds.
 
     Returns (U_low [C, n], F [C, n], bounds [B, n]).
@@ -433,7 +444,7 @@ def phase_low_order(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
     scaled_c_ij = sa.cij / jnp.maximum(d, regularization)[None]
 
     flux_i, flux_i_e, flux_j, flux_ij, flux_ii = _fluxes(
-        eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j
+        eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j, fl_i, fl_j
     )
     dU = _graph_dU(eq, U, U_j, flux_i_e, flux_j)
     m = sa.mask[None]
@@ -493,7 +504,7 @@ def phase_low_order(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
 def phase_p_l1(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
                F, F_j, m_j, U_low, bounds,
                stage_U, stage_prec, stage_U_j, stage_prec_j, stage_weights,
-               init_prec, init_prec_j):
+               init_prec, init_prec_j, fl_i=None, fl_j=None):
     """Step 5: P_ij with mass-matrix correction + first limiter pass.
 
     Returns (P [C, K, n], l [K, n], success [K, n]).
@@ -508,7 +519,7 @@ def phase_p_l1(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
         factor = jnp.maximum(factor, sa.incidence)
     d_H = d * factor
     flux_i, flux_i_e, flux_j, flux_ij, _ = _fluxes(
-        eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j
+        eq, sa, prec, init_prec, U, U_j, prec_j, init_prec_j, fl_i, fl_j
     )
     dU = _graph_dU(eq, U, U_j, flux_i_e, flux_j)
 

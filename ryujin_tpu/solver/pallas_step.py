@@ -203,21 +203,83 @@ def _tiled_call(
         slot = jax.lax.rem(p, two)
         nslot = jax.lax.rem(p + jnp.asarray(1, p.dtype), two)
 
-        @pl.when(p == 0)
-        def _():
-            start_copies(p, slot)
+        if not halo_x:
+            # Sliding window (single-column grid): consecutive windows
+            # overlap by 2*TH rows, so per tile only the NEW TH-row
+            # stripe (the rows of tile ty+1) is DMA'd from HBM — into
+            # rows [2*TH, 3*TH) of this tile's buffer — while rows
+            # [0, 2*TH) are shifted over from the previous window with a
+            # VMEM-local copy.  This cuts halo-input HBM traffic 3x
+            # versus re-fetching the full 3*TH window every tile.
+            def stripe_src(q):
+                return (q + t0 + 1) * TH  # rows of tile ty_q + 1
 
-        @pl.when(p + 1 < n_p)
-        def _():
-            start_copies(p + 1, nslot)
+            @pl.when(p == 0)
+            def _():
+                for i in range(n_h):
+                    pltpu.make_async_copy(
+                        h_refs[i].at[:, pl.ds((t0 - 1) * TH, wy), :],
+                        wins_h[i].at[slot],
+                        sems.at[slot, i],
+                    ).start()
+                for i in range(n_h):
+                    pltpu.make_async_copy(
+                        h_refs[i].at[:, pl.ds((t0 - 1) * TH, wy), :],
+                        wins_h[i].at[slot],
+                        sems.at[slot, i],
+                    ).wait()
 
-        sy, sx, lx = window_start(p)
-        for i in range(n_h):
-            pltpu.make_async_copy(
-                h_refs[i].at[:, pl.ds(sy, wy), pl.ds(sx, wx)],
-                wins_h[i].at[slot],
-                sems.at[slot, i],
-            ).wait()
+            @pl.when(p > 0)
+            def _():
+                # wait the stripe prefetch issued at p-1, then shift the
+                # overlapping 2*TH rows from the previous buffer
+                for i in range(n_h):
+                    pltpu.make_async_copy(
+                        h_refs[i].at[:, pl.ds(stripe_src(p), TH), :],
+                        wins_h[i].at[slot, :, 2 * TH : 3 * TH],
+                        sems.at[slot, i],
+                    ).wait()
+                for i in range(n_h):
+                    pltpu.make_async_copy(
+                        wins_h[i].at[nslot, :, TH : 3 * TH],
+                        wins_h[i].at[slot, :, 0 : 2 * TH],
+                        sems.at[2, i],
+                    ).start()
+                for i in range(n_h):
+                    pltpu.make_async_copy(
+                        wins_h[i].at[nslot, :, TH : 3 * TH],
+                        wins_h[i].at[slot, :, 0 : 2 * TH],
+                        sems.at[2, i],
+                    ).wait()
+
+            @pl.when(p + 1 < n_p)
+            def _():
+                # prefetch the next tile's new stripe into the other
+                # buffer (safe: its source rows were just shifted out)
+                for i in range(n_h):
+                    pltpu.make_async_copy(
+                        h_refs[i].at[:, pl.ds(stripe_src(p + 1), TH), :],
+                        wins_h[i].at[nslot, :, 2 * TH : 3 * TH],
+                        sems.at[nslot, i],
+                    ).start()
+
+            sy, sx, lx = window_start(p)
+        else:
+            @pl.when(p == 0)
+            def _():
+                start_copies(p, slot)
+
+            @pl.when(p + 1 < n_p)
+            def _():
+                start_copies(p + 1, nslot)
+
+            sy, sx, lx = window_start(p)
+            for i in range(n_h):
+                pltpu.make_async_copy(
+                    h_refs[i].at[:, pl.ds(sy, wy), pl.ds(sx, wx)],
+                    wins_h[i].at[slot],
+                    sems.at[slot, i],
+                ).wait()
 
         wins = [None] * len(ins)
         for j, i in enumerate(cent):
@@ -261,7 +323,7 @@ def _tiled_call(
     ]
     scratch = [
         pltpu.VMEM((2, a.shape[0], wy, wx), dtype) for a in ins_h
-    ] + [pltpu.SemaphoreType.DMA((2, max(n_h, 1)))]
+    ] + [pltpu.SemaphoreType.DMA((3, max(n_h, 1)))]
     aliases = {}
     a_idx = 0
     for o, a in enumerate(out_init):
@@ -407,7 +469,42 @@ class PallasStepper:
             )
 
     # -- helpers ----------------------------------------------------------
-    def _sa(self, tv, w_cij, w_mask, w_mij, w_cii, w_node):
+    def _d_win(self, w_e, mask, tv):
+        """Graph viscosity d = max(e_ij, e_ji) from the e halo window.
+
+        e_ji is the transposed-edge slot: plane K-1-k of the (dy, dx)
+        neighbor.  Computing d per tile (instead of materializing the
+        8-plane d canvas in an XLA fusion) removes one full HBM round
+        trip; the where() guards the uninitialized margins of e exactly
+        like hyperbolic.d_from_e."""
+        tvd = self._derived_view(tv)
+        e_win = self._win(w_e, tv)
+        K = self.K
+        e_c = tvd.center(e_win)
+        e_T = jnp.stack([
+            tvd._slot(e_win, K - 1 - k, dy, dx)
+            for k, (dy, dx) in enumerate(self.offsets)
+        ])
+        return jnp.where(
+            mask > 0, jnp.maximum(e_c, e_T), jnp.zeros_like(e_c)
+        )
+
+    def _derived_mask(self, w_node, tv):
+        """Edge mask from node-mask products: mask[k] = nm_i * nm_j.
+
+        Saves the 8-plane g_mask read.  False extra edges (canvas-adjacent
+        real nodes without a mesh edge, e.g. across the re-entrant step
+        corner) carry c_ij = m_ij = 0, so every flux/viscosity/limiter
+        term they enter vanishes; only the limiter *bounds* accumulation
+        (a pure min/max over the stencil) distinguishes them — PK2 keeps
+        the exact g_mask for that reason."""
+        tvd = self._derived_view(tv)
+        nm_win = self._win(w_node, tv)[3:4]
+        nm_c = tvd.center(nm_win)[0]
+        nm_j = tvd.nbr(nm_win)[0]  # [K, TH, TW]
+        return nm_c[None] * nm_j
+
+    def _sa(self, tv, w_cij, w_mask, w_mij, w_cii, w_node, mask_arr=None):
         c = tv.center
         dim, K = self.dim, self.K
         TH, TW = self.TH, self.TW
@@ -418,7 +515,7 @@ class PallasStepper:
             else None,
             cij_t=None,
             mij=c(w_mij) if w_mij is not None else None,
-            mask=c(w_mask),
+            mask=mask_arr if mask_arr is not None else c(w_mask),
             cii=c(w_cii) if w_cii is not None else None,
             m_lumped=node[0] if node is not None else None,
             m_lumped_inv=node[1] if node is not None else None,
@@ -426,6 +523,29 @@ class PallasStepper:
             node_mask=node[3] if node is not None else None,
             measure_inv=self.measure_inv,
         )
+
+    def _win(self, w_ref, tv):
+        """The live (TH+2)-row slice of a halo window ref: the rows a
+        (dy in {-1, 0, 1}) slot of the tile (at ly = tv.ly) addresses.
+        Slice the ref ONCE and index the result with `_derived_view`."""
+        return w_ref[:, tv.ly - 1 : tv.ly + self.TH + 1, :]
+
+    @staticmethod
+    def _derived_view(tv):
+        """A _TileView addressing a `_win`-sliced array (tile at row 1)."""
+        return _TileView(tv.offsets, 1, tv.lx, tv.TH, tv.TW,
+                         tv.halo_x, True, tv.wy, tv.wx)
+
+    def _flux_win(self, w_U, tv):
+        """Evaluate the flux tensor once on the halo window; return the
+        center [C, dim, TH, TW] and neighbor [C, dim, K, TH, TW] views."""
+        C, dim, K = self.eq.n_comp, self.dim, self.K
+        tvd = self._derived_view(tv)
+        f_win = self.eq.f(self._win(w_U, tv))  # [C, dim, TH+2, TW]
+        f_pl = f_win.reshape(C * dim, *f_win.shape[2:])
+        f_i = tvd.center(f_pl).reshape(C, dim, self.TH, self.TW)
+        f_j = tvd.nbr(f_pl).reshape(C, dim, K, self.TH, self.TW)
+        return f_i, f_j
 
     def _stage_views(self, tv, w_stageU, w_stageP, S, C, P):
         if S == 0:
@@ -486,19 +606,35 @@ class PallasStepper:
 
         # ---- PK1: e (forward wavespeed products) + alpha ----------------
         def pk1(wins, scal, tv):
-            w_cij, w_mask, w_node, w_U, w_prec = wins
-            sa = self._sa(tv, w_cij, w_mask, None, None, w_node)
+            w_cij, w_node, w_U, w_prec = wins
+            sa = self._sa(tv, w_cij, None, None, None, w_node,
+                          mask_arr=self._derived_mask(w_node, tv))
             Ut = tv.center(w_U)
             prect = tv.center(w_prec)
             U_j = tv.nbr(w_U)
             prec_j = tv.nbr(w_prec)
-            e, alpha = hyp.phase_e_alpha(eq, p, sa, Ut, prect, U_j, prec_j)
+            # node-local precomputes evaluated ONCE on the halo window and
+            # sliced per edge (the XLA path re-evaluates them per gathered
+            # neighbor; in VMEM the window evaluation is K-fold cheaper):
+            kw = {}
+            if hasattr(eq, "riemann_precompute"):
+                tvd = self._derived_view(tv)
+                pa_win = jnp.stack(
+                    eq.riemann_precompute(self._win(w_U, tv))
+                )
+                kw["rp"] = tuple(tvd.center(pa_win))
+                pa_j = tvd.nbr(pa_win)
+                kw["rp_j"] = (pa_j[0], pa_j[1])
+            if getattr(eq, "hoist_node_flux", False):
+                kw["f_i"], kw["f_j"] = self._flux_win(w_U, tv)
+            e, alpha = hyp.phase_e_alpha(
+                eq, p, sa, Ut, prect, U_j, prec_j, **kw
+            )
             return [e, alpha[None]]
 
         e, alpha = _tiled_call(
             pk1,
-            [(ga.g_cij, False), (ga.g_mask, False), (ga.g_node, False),
-             Uc, precc],
+            [(ga.g_cij, False), ga.g_node, Uc, precc],
             [],
             [K, zeros(1)],  # e uninit: d_from_e masks the halo read
             **common,
@@ -526,27 +662,30 @@ class PallasStepper:
         n_b = eq.n_bounds
 
         def pk2(wins, scal, tv):
-            (w_cij, w_mask, w_cii, w_node, w_U, w_prec, w_d, w_alpha,
+            (w_cij, w_mask, w_cii, w_node, w_U, w_prec, w_e, w_alpha,
              w_sU, w_sP) = wins
             tau_s = scal[0]
             w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
             sa = self._sa(tv, w_cij, w_mask, None, w_cii, w_node)
             Ut, prect = tv.center(w_U), tv.center(w_prec)
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
-            dt_ = tv.center(w_d)
+            dt_ = self._d_win(w_e, sa.mask, tv)
             alpha_t = tv.center(w_alpha)[0]
             alpha_j = tv.nbr(w_alpha)[0]
             sU, sP, sUj, sPj = self._stage_views(tv, w_sU, w_sP, S, C, PP)
+            kw = {}
+            if getattr(eq, "hoist_node_flux", False):
+                kw["fl_i"], kw["fl_j"] = self._flux_win(w_U, tv)
             U_low, F, bounds = hyp.phase_low_order(
                 eq, p, sa, Ut, prect, U_j, prec_j, dt_, alpha_t, alpha_j,
-                tau_s, sU, sP, sUj, sPj, w_arr, None, None,
+                tau_s, sU, sP, sUj, sPj, w_arr, None, None, **kw,
             )
             return [U_low, F, bounds]
 
         U_low, F, bounds = _tiled_call(
             pk2,
             [(ga.g_cij, False), (ga.g_mask, False), (ga.g_cii, False),
-             (ga.g_node, False), Uc, precc, (d, False), alpha, sUc, sPc],
+             (ga.g_node, False), Uc, precc, e, alpha, sUc, sPc],
             [tau] + [w_vec[s] for s in range(S)],
             # F is halo-read in PK3 -> needs valid (zero) margins; bounds
             # are only ever read at the center tile -> uninitialized:
@@ -560,14 +699,15 @@ class PallasStepper:
 
         # ---- PK3: P + first limiter pass --------------------------------
         def pk3(wins, scal, tv):
-            (w_cij, w_mask, w_mij, w_cii, w_node, w_U, w_prec, w_d, w_alpha,
+            (w_cij, w_mij, w_cii, w_node, w_U, w_prec, w_e, w_alpha,
              w_F, w_Ulow, w_bounds, w_sU, w_sP) = wins
             tau_s = scal[0]
             w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
-            sa = self._sa(tv, w_cij, w_mask, w_mij, w_cii, w_node)
+            sa = self._sa(tv, w_cij, None, w_mij, w_cii, w_node,
+                          mask_arr=self._derived_mask(w_node, tv))
             Ut, prect = tv.center(w_U), tv.center(w_prec)
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
-            dt_ = tv.center(w_d)
+            dt_ = self._d_win(w_e, sa.mask, tv)
             alpha_t = tv.center(w_alpha)[0]
             alpha_j = tv.nbr(w_alpha)[0]
             Ft = tv.center(w_F)
@@ -576,10 +716,13 @@ class PallasStepper:
             U_low_t = tv.center(w_Ulow)
             bounds_t = tv.center(w_bounds)
             sU, sP, sUj, sPj = self._stage_views(tv, w_sU, w_sP, S, C, PP)
+            kw = {}
+            if getattr(eq, "hoist_node_flux", False):
+                kw["fl_i"], kw["fl_j"] = self._flux_win(w_U, tv)
             P, l, success = hyp.phase_p_l1(
                 eq, p, sa, Ut, prect, U_j, prec_j, dt_, alpha_t, alpha_j,
                 tau_s, Ft, F_j, m_j, U_low_t, bounds_t,
-                sU, sP, sUj, sPj, w_arr, None, None,
+                sU, sP, sUj, sPj, w_arr, None, None, **kw,
             )
             okp = jnp.min(
                 jnp.where(
@@ -593,8 +736,8 @@ class PallasStepper:
 
         P, l_ij, okp = _tiled_call(
             pk3,
-            [(ga.g_cij, False), (ga.g_mask, False), (ga.g_mij, False),
-             (ga.g_cii, False), ga.g_node, Uc, precc, (d, False),
+            [(ga.g_cij, False), (ga.g_mij, False),
+             (ga.g_cii, False), ga.g_node, Uc, precc, e,
              alpha, F, (U_low, False), (bounds, False), sUc, sPc],
             [tau] + [w_vec[s] for s in range(S)],
             # P is center-read only -> uninitialized; l is halo-read in
@@ -612,8 +755,9 @@ class PallasStepper:
             last = it + 1 == n_iter
 
             def pk_up(wins, scal, tv, last=last):
-                w_mask, w_node, w_Ucur, w_bounds, w_P, w_l = wins
-                sa = self._sa(tv, None, w_mask, None, None, w_node)
+                w_node, w_Ucur, w_bounds, w_P, w_l = wins
+                sa = self._sa(tv, None, None, None, None, w_node,
+                              mask_arr=self._derived_mask(w_node, tv))
                 U_t = tv.center(w_Ucur)
                 bounds_t = tv.center(w_bounds)
                 P_t = tv.center(w_P).reshape(C, K, self.TH, self.TW)
@@ -628,7 +772,7 @@ class PallasStepper:
 
             outs = _tiled_call(
                 pk_up,
-                [(ga.g_mask, False), (ga.g_node, False),
+                [ga.g_node,
                  (U_cur, False), (bounds, False), (P, False), l_ij],
                 [],
                 [Uc] if last else [Uc, zeros(K)],
