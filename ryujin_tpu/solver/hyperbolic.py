@@ -329,8 +329,13 @@ def _hof_divergence(eq, flux_a, flux_b, c):
 
 
 def _stage_terms(eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
-                 stage_weights, init_prec, init_prec_j, tau, want_P):
+                 stage_weights, init_prec, init_prec_j, tau, want_P,
+                 stage_fl=None):
     """Accumulated stage contributions via lax.cond slots.
+
+    stage_fl: optional per-stage callables () -> (flux_s_i, flux_s_j)
+    supplying window-hoisted flux tensors (Pallas path); evaluated inside
+    the cond so zero-weight stages still skip the work.
 
     Returns (F_increment [C, n], P_increment [C, K, n] or scalar 0).
     """
@@ -341,12 +346,15 @@ def _stage_terms(eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
         w_s = stage_weights[s]
 
         def _compute(_, s=s, w_s=w_s):
-            flux_s_i = eq.flux_contribution(
-                stage_prec[s], init_prec, stage_U[s]
-            )
-            flux_s_j = eq.flux_contribution(
-                stage_prec_j[s], init_prec_j, stage_U_j[s]
-            )
+            if stage_fl is not None:
+                flux_s_i, flux_s_j = stage_fl[s]()
+            else:
+                flux_s_i = eq.flux_contribution(
+                    stage_prec[s], init_prec, stage_U[s]
+                )
+                flux_s_j = eq.flux_contribution(
+                    stage_prec_j[s], init_prec_j, stage_U_j[s]
+                )
             hof_s = _hof_divergence(
                 eq, _expand_edges(flux_s_i, sa.mask.ndim - 1),
                 flux_s_j, sa.cij,
@@ -423,7 +431,7 @@ def _affine_shift(eq, sa, flux_i, flux_i_e, flux_j, d, tau, S_i):
 def phase_low_order(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
                     stage_U, stage_prec, stage_U_j, stage_prec_j,
                     stage_weights, init_prec, init_prec_j,
-                    fl_i=None, fl_j=None):
+                    fl_i=None, fl_j=None, stage_fl=None):
     """Step 4: low-order update, high-order RHS F_i, limiter bounds.
 
     Returns (U_low [C, n], F [C, n], bounds [B, n]).
@@ -482,6 +490,7 @@ def phase_low_order(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
         F_inc, _ = _stage_terms(
             eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
             stage_weights, init_prec, init_prec_j, tau, want_P=False,
+            stage_fl=stage_fl,
         )
         F = F + F_inc
 
@@ -504,7 +513,8 @@ def phase_low_order(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
 def phase_p_l1(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
                F, F_j, m_j, U_low, bounds,
                stage_U, stage_prec, stage_U_j, stage_prec_j, stage_weights,
-               init_prec, init_prec_j, fl_i=None, fl_j=None):
+               init_prec, init_prec_j, fl_i=None, fl_j=None,
+               stage_fl=None):
     """Step 5: P_ij with mass-matrix correction + first limiter pass.
 
     Returns (P [C, K, n], l [K, n], success [K, n]).
@@ -539,6 +549,7 @@ def phase_p_l1(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
         _, P_inc = _stage_terms(
             eq, sa, m, stage_U, stage_prec, stage_U_j, stage_prec_j,
             stage_weights, init_prec, init_prec_j, tau, want_P=True,
+            stage_fl=stage_fl,
         )
         P = P + P_inc
 

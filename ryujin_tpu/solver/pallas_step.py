@@ -536,16 +536,25 @@ class PallasStepper:
         return _TileView(tv.offsets, 1, tv.lx, tv.TH, tv.TW,
                          tv.halo_x, True, tv.wy, tv.wx)
 
-    def _flux_win(self, w_U, tv):
-        """Evaluate the flux tensor once on the halo window; return the
-        center [C, dim, TH, TW] and neighbor [C, dim, K, TH, TW] views."""
+    def _flux_win(self, w_U, tv, pl0=0):
+        """Evaluate the flux tensor once on the halo window (planes
+        [pl0, pl0+C) of the ref); return the center [C, dim, TH, TW] and
+        neighbor [C, dim, K, TH, TW] views."""
         C, dim, K = self.eq.n_comp, self.dim, self.K
         tvd = self._derived_view(tv)
-        f_win = self.eq.f(self._win(w_U, tv))  # [C, dim, TH+2, TW]
+        win = w_U[pl0 : pl0 + C, tv.ly - 1 : tv.ly + self.TH + 1, :]
+        f_win = self.eq.f(win)  # [C, dim, TH+2, TW]
         f_pl = f_win.reshape(C * dim, *f_win.shape[2:])
         f_i = tvd.center(f_pl).reshape(C, dim, self.TH, self.TW)
         f_j = tvd.nbr(f_pl).reshape(C, dim, K, self.TH, self.TW)
         return f_i, f_j
+
+    def _stage_flux_fns(self, w_sU, tv, S, C):
+        """Per-stage lazy flux-window thunks for _stage_terms."""
+        return [
+            (lambda s=s: self._flux_win(w_sU, tv, pl0=s * C))
+            for s in range(S)
+        ]
 
     def _stage_views(self, tv, w_stageU, w_stageP, S, C, P):
         if S == 0:
@@ -676,6 +685,8 @@ class PallasStepper:
             kw = {}
             if getattr(eq, "hoist_node_flux", False):
                 kw["fl_i"], kw["fl_j"] = self._flux_win(w_U, tv)
+                if S:
+                    kw["stage_fl"] = self._stage_flux_fns(w_sU, tv, S, C)
             U_low, F, bounds = hyp.phase_low_order(
                 eq, p, sa, Ut, prect, U_j, prec_j, dt_, alpha_t, alpha_j,
                 tau_s, sU, sP, sUj, sPj, w_arr, None, None, **kw,
@@ -719,6 +730,8 @@ class PallasStepper:
             kw = {}
             if getattr(eq, "hoist_node_flux", False):
                 kw["fl_i"], kw["fl_j"] = self._flux_win(w_U, tv)
+                if S:
+                    kw["stage_fl"] = self._stage_flux_fns(w_sU, tv, S, C)
             P, l, success = hyp.phase_p_l1(
                 eq, p, sa, Ut, prect, U_j, prec_j, dt_, alpha_t, alpha_j,
                 tau_s, Ft, F_j, m_j, U_low_t, bounds_t,
