@@ -413,9 +413,12 @@ class PallasStepper:
         # lane rolls of the full-width window (correct for periodic-x and
         # masked otherwise).
         del tile
-        TH, TW = 8, self.W
+        import os
+
+        TH = int(os.environ.get("RYUJIN_TILE_H", "8"))
+        TW = self.W
         if self.H % TH:
-            raise ValueError(f"canvas height {self.H} not a multiple of 8")
+            raise ValueError(f"canvas height {self.H} not a multiple of {TH}")
         if sd.margins[0] < TH and self.H // TH > 1:
             raise ValueError(
                 "pallas backend needs >=8-row canvas margins "
