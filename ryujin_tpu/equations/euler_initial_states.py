@@ -254,7 +254,9 @@ def smooth_wave(eq, rho_ref=1.0, p_ref=1.0, mach=1.0, x0=0.1, x1=0.3):
         x = points[0] - mach * t
         inside = (x > x0) & (x < x1)
         z = jnp.where(inside, (x - x0) * (x1 - x), 0.0)
-        bump = 64.0**2 * z**3 / (x1 - x0) ** 6
+        # rho = rho_ref + 64 (x-x0)^3 (x1-x)^3 / (x1-x0)^6
+        # (initial_state_smooth_wave.h:95-99)
+        bump = 64.0 * z**3 / (x1 - x0) ** 6
         rho = rho_ref + bump
         u = jnp.full_like(rho, mach)
         p = jnp.full_like(rho, p_ref)
