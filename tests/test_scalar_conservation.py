@@ -97,3 +97,43 @@ def test_burgers_shock_stays_in_bounds():
     assert np.isfinite(u).all()
     assert u.min() > -1.0 - 1e-8 and u.max() < 1.0 + 1e-8
     assert t > 0.5  # made actual progress
+
+
+_SCHEME_BASELINES = {
+    # scheme: (cfl, L1 at 513 dofs) from the reference testsuite outputs
+    # tests/scalar_conservation/verification-linear_transport-*.output
+    "erk 11": (0.05, 3.068439412726019e-4),
+    "erk 22": (0.20, 2.006781459505022e-6),
+    "erk 43": (0.80, 3.994684035874167e-9),
+    "erk 54": (0.80, 7.942987312724608e-9),
+    "ssprk 22": (0.80, 8.041483759870051e-6),
+    "ssprk 33": (0.80, 9.979772392032799e-9),
+}
+
+
+@pytest.mark.parametrize("scheme", sorted(_SCHEME_BASELINES))
+def test_linear_transport_all_schemes_match_reference(scheme):
+    """Every explicit tableau against its committed reference L1 error
+    (the reference runs each scheme at l9 = 513 dofs)."""
+    cfl, l1_ref = _SCHEME_BASELINES[scheme]
+    eq = ScalarConservation(dim=1, flux=function_flux(1, [lambda u: u]))
+    mesh = geometry.rectangular_domain(
+        [0.0], [2.0 * np.pi], [1], refinement=9,
+        boundary_conditions=[Boundary.periodic, Boundary.periodic], dim=1,
+    )
+    data = assembly.assemble(mesh)
+    packed = ell.pack(data)
+    params = HyperbolicModuleParams(evc_factor=0.0)
+    hm = HyperbolicModule(eq, packed, _sine, params=params,
+                          dtype=jnp.float64)
+    ti = TimeIntegrator(hm, scheme, cfl_min=cfl, cfl_max=cfl,
+                        cfl_recovery_strategy="none")
+    U = interpolate_nodal(_sine, packed, eq, 0.0, jnp.float64)
+    t = 0.0
+    while t < 2.0 - 1e-12:
+        U, _, t_dev, tau, _, _ = ti.advance(U, t, 200, t_final=2.0)
+        t = float(t_dev)
+        assert float(tau) > 0 or t >= 2.0 - 1e-12
+    linf, l1, l2 = compute_error(eq, mesh, packed, np.asarray(U), t, _sine,
+                                 components=["u"])
+    assert abs(l1 / l1_ref - 1.0) < 0.05, (scheme, l1, l1_ref)
