@@ -19,7 +19,9 @@ from ryujin_tpu.equations.euler_initial_states import make_initial_state
 from ryujin_tpu.offline import assembly, ell, geometry
 from ryujin_tpu.offline.mesh import Boundary
 from ryujin_tpu.postprocess.error import compute_error, interpolate_nodal
-from ryujin_tpu.solver.hyperbolic import HyperbolicModule
+from ryujin_tpu.solver.hyperbolic import (
+    HyperbolicModule, HyperbolicModuleParams,
+)
 from ryujin_tpu.solver.integrator import TimeIntegrator
 
 
@@ -128,3 +130,45 @@ def test_aeos_vortex_l6_matches_reference():
     """verification-isentropic_vortex-pge-2d-erk33-l6: L1 = 4.0141e-4."""
     linf, l1, l2 = _run_vortex(6)
     assert abs(l1 / 4.0141e-4 - 1.0) < 0.02, l1
+
+
+def test_aeos_leblanc_1d_matches_reference():
+    """Leblanc shocktube through the AEOS surrogate machinery
+    (verification-leblanc-pge-1d-erk33-l6.mpirun=4.output):
+    1601 dofs, polytropic gas gamma = 5/3, compute strict bounds = false,
+    evc factor 0, limiter relaxation 8, CFL 0.1 -> L1 = 1.2093e-2."""
+    import types
+
+    gamma = 1.66666666666667
+    eq = ae.EulerAEOS(
+        dim=1,
+        eos=ae.polytropic_gas(gamma),
+        params=ae.EulerAEOSParams(compute_strict_bounds=False),
+    )
+    facade = types.SimpleNamespace(
+        params=types.SimpleNamespace(gamma=gamma), dim=1
+    )
+    init = make_initial_state(
+        facade, "leblanc", direction=[1.0], position=[0.326732673267]
+    )
+    mesh = geometry.rectangular_domain(
+        [0.0], [1.0], [25], refinement=6,
+        boundary_conditions=[Boundary.dirichlet] * 2, dim=1,
+    )
+    packed = ell.pack(assembly.assemble(mesh))
+    params = HyperbolicModuleParams(
+        evc_factor=0.0, limiter_relaxation_factor=8.0
+    )
+    hm = HyperbolicModule(eq, packed, init, params=params,
+                          dtype=jnp.float64)
+    ti = TimeIntegrator(hm, "erk 33", cfl_min=0.1, cfl_max=0.1,
+                        cfl_recovery_strategy="none")
+    U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+    t, t_final = 0.0, 0.66666666666667
+    while t < t_final - 1e-12:
+        U, _, t_dev, tau, _, _ = ti.advance(U, t, 100, t_final=t_final)
+        t = float(t_dev)
+        assert float(tau) > 0 or t >= t_final - 1e-12
+    linf, l1, l2 = compute_error(eq, mesh, packed, np.asarray(U), t, init,
+                                 components=["rho", "m", "E"])
+    assert abs(l1 / 1.209329301782065e-2 - 1.0) < 0.05, (linf, l1, l2)
