@@ -404,27 +404,51 @@ class TimeLoop:
             write_checkpoint(cfg.basename, self.mesh, np.asarray(U), t, cycle)
 
     def _print_cycle(self, t, steps, wall):
-        eff = self.time_integrator.efficiency
         n = self.packed.n_nodes
         substeps = steps * _substeps_per_step(self.time_integrator)
         mqs = n * substeps / max(wall, 1e-9) / 1e6
+        # ETA from current progress (time_loop.template.h:1240-1260):
+        t_final = self.config.time_loop.final_time
+        frac = max(t / max(t_final, 1e-30), 1e-9)
+        eta = self.wall_compute * (1.0 - frac) / frac
         print(
             f"  t = {t:10.6f}  |  {steps} steps  |  "
-            f"{mqs:9.2f} MQ/s  |  restarts {self.time_integrator.n_restarts}"
+            f"{mqs:9.2f} MQ/s  |  restarts "
+            f"{self.time_integrator.n_restarts}  |  eta {eta:8.1f} s"
         )
 
     def _print_summary(self):
+        """Throughput/metrics block (time_loop.template.h:1107-1267)."""
         n = self.packed.n_nodes
         substeps = self.n_steps_total * _substeps_per_step(self.time_integrator)
         wall = max(self.wall_compute, 1e-9)
+        eff = self.time_integrator.efficiency
+        mqs = n * substeps / wall / 1e6
         print("Timer and throughput summary:")
         print(f"  dofs:              {n}")
         print(f"  steps:             {self.n_steps_total}")
+        print(f"  cycles/s:          {self.n_steps_total / wall:.2f}")
         print(f"  wall (compute):    {wall:.2f} s")
-        print(f"  MQ/s:              {n * substeps / wall / 1e6:.2f}")
+        print(f"  MQ/s:              {mqs:.2f}")
+        print(f"  MQ/s (eff. norm.): {mqs / max(eff, 1e-9):.2f}")
         print(f"  s/Qdof/substep:    {wall / max(n * substeps, 1):.3e}")
         print(f"  restarts:          {self.time_integrator.n_restarts}")
         print(f"  warnings:          {self.time_integrator.n_warnings}")
+        try:  # VmRSS (time_loop.template.h:994-1019); linux-only
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        print(f"  memory (VmRSS):    {line.split()[1]} kB")
+                        break
+        except OSError:
+            pass
+        from .utils.scope import timer_statistics
+
+        stats = timer_statistics()
+        if stats:
+            print("  per-phase timers:")
+            for name, (total, count) in sorted(stats.items()):
+                print(f"    {name:<40s} {total:9.3f} s  ({count}x)")
 
 
 def _substeps_per_step(ti: TimeIntegrator) -> int:

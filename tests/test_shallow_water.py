@@ -24,7 +24,8 @@ from ryujin_tpu.solver.hyperbolic import HyperbolicModule
 from ryujin_tpu.solver.integrator import TimeIntegrator
 
 
-def _run(eq, init, mesh, t_final, cfl, refinement_note="", max_steps=100000):
+def _run(eq, init, mesh, t_final, cfl, refinement_note="", max_steps=100000,
+         components=("h",)):
     data = assembly.assemble(mesh)
     packed = ell.pack(data)
     pos = jnp.asarray(packed.positions.T, jnp.float64)
@@ -44,7 +45,7 @@ def _run(eq, init, mesh, t_final, cfl, refinement_note="", max_steps=100000):
         n += 50
         assert float(tau) > 0 or t >= t_final - 1e-10
     return compute_error(eq, mesh, packed, np.asarray(U), t, init.state,
-                         components=["h"]), packed, U
+                         components=list(components)), packed, U
 
 
 def test_paraboloid_1d_erk33():
@@ -167,3 +168,42 @@ def test_circular_dam_break_2d_admissible():
     assert np.isfinite(U).all()
     mask = np.asarray(packed.node_mask) > 0
     assert U[0][mask].min() > -1e-10
+
+
+def test_smooth_vortex_2d_erk33_matches_reference():
+    """2D traveling vortex: shallow_water-smooth_vortex-erk33.baseline
+    l6 (4225 dofs): L1 = 6.275e-4 over (h, m_1, m_2)."""
+    eq = ShallowWater(dim=2, params=ShallowWaterParams(gravity=9.81))
+    init = sw_states.make_initial_state(
+        eq, "smooth vortex", direction=[1.0, 1.0], position=[-1.0, -1.0],
+        reference_depth=2.0, mach_number=1.0, beta=2.0,
+    )
+    mesh = geometry.rectangular_domain(
+        [-6, -6], [6, 6], [1, 1], refinement=6,
+        boundary_conditions=[Boundary.dirichlet] * 4,
+    )
+    (linf, l1, l2), _, _ = _run(eq, init, mesh, t_final=2.0, cfl=0.25,
+                                components=("h", "q_1", "q_2"))
+    assert abs(l1 / 6.27538e-4 - 1.0) < 0.05, (linf, l1, l2)
+
+
+@pytest.mark.slow
+def test_paraboloid_2d_erk33_matches_reference():
+    """2D parabolic-basin oscillation (Thacker) with dry states:
+    shallow_water-paraboloid_2d-erk33.baseline l6 (4225 dofs):
+    L1 = 6.330e-2 over h, after one full period t = 13.4571044."""
+    eq = ShallowWater(dim=2, params=ShallowWaterParams(
+        gravity=9.81, reference_water_depth=0.1,
+        dry_state_relaxation_factor=0.0,
+    ))
+    init = sw_states.make_initial_state(
+        eq, "paraboloid", direction=[1.0, 0.0], position=[2.0, 2.0],
+        eta=0.5, free_surface_radius=1.0, water_height=0.1,
+    )
+    mesh = geometry.rectangular_domain(
+        [0, 0], [4, 4], [1, 1], refinement=6,
+        boundary_conditions=[Boundary.do_nothing] * 4,
+    )
+    (linf, l1, l2), _, _ = _run(eq, init, mesh, t_final=13.45710440,
+                                cfl=0.50)
+    assert abs(l1 / 6.32972e-2 - 1.0) < 0.05, (linf, l1, l2)
