@@ -98,6 +98,12 @@ class Euler:
     # flux tensor is a node-local function of U alone: Pallas kernels may
     # hoist it to a per-window precompute (solver/pallas_step.py)
     hoist_node_flux = True
+    # lambda_max(U_i, U_j, n) == lambda_max(U_j, U_i, -n) exactly (the
+    # two-rarefaction p* and the failsafe are symmetric under the swap),
+    # so the solver may evaluate one direction per undirected edge and
+    # reuse it -- the analog of the reference's upper-triangle pass +
+    # d_ji = d_ij symmetrization (hyperbolic_module.template.h:432-490):
+    riemann_symmetric = True
     is_identity_parabolic = True  # no parabolic subsystem
 
     @property

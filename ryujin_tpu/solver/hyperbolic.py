@@ -217,7 +217,7 @@ class StructuredStencil:
 
 
 def phase_e_alpha(eq, p, sa, U, prec, U_j, prec_j,
-                  rp=None, rp_j=None, f_i=None, f_j=None):
+                  rp=None, rp_j=None, f_i=None, f_j=None, half=False):
     """Step 2 (forward half): directed wavespeed products e_ij and alpha_i.
 
     e[k, i] = ||c_ij|| * lambda_max(U_i, U_j, n_ij).  The backward product
@@ -246,12 +246,27 @@ def phase_e_alpha(eq, p, sa, U, prec, U_j, prec_j,
         # Pallas kernels inject window-precomputed values (rp/rp_j)
         kw["pa_i"] = rp if rp is not None else eq.riemann_precompute(U)
         kw["pa_j"] = rp_j if rp_j is not None else eq.riemann_precompute(U_j)
-    lam_f = eq.riemann_lambda_max(
-        U_i, U_j, n_ij, prec_i=prec_i, prec_j=prec_j,
-        newton_iterations=p.riemann_newton_max_iterations,
-        newton_tol=p.riemann_newton_tolerance, **kw,
-    )
-    e = norm * lam_f
+    if half:
+        # symmetric lambda (eq.riemann_symmetric): evaluate only the
+        # first K/2 directed slots; callers rebuild the full d via
+        # d_from_lambda (the K-1-k slot at the neighbor holds the same
+        # undirected edge).  Returns RAW lambda (no |c_ij| factor).
+        K2 = sa.cij.shape[1] // 2
+        U_jh, prec_jh, n_h = U_j[:, :K2], prec_j[:, :K2], n_ij[:, :K2]
+        if "pa_j" in kw:
+            kw["pa_j"] = tuple(x[:K2] for x in kw["pa_j"])
+        e = eq.riemann_lambda_max(
+            U_i, U_jh, n_h, prec_i=prec_i, prec_j=prec_jh,
+            newton_iterations=p.riemann_newton_max_iterations,
+            newton_tol=p.riemann_newton_tolerance, **kw,
+        )
+    else:
+        lam_f = eq.riemann_lambda_max(
+            U_i, U_j, n_ij, prec_i=prec_i, prec_j=prec_j,
+            newton_iterations=p.riemann_newton_max_iterations,
+            newton_tol=p.riemann_newton_tolerance, **kw,
+        )
+        e = norm * lam_f
 
     hd_i = sa.m_lumped * sa.measure_inv
     alpha = eq.indicator_alpha(
@@ -259,6 +274,70 @@ def phase_e_alpha(eq, p, sa, U, prec, U_j, prec_j,
         evc_factor=p.evc_factor, f_i=f_i, f_j=f_j,
     )
     return e, alpha
+
+
+def _boundary_pair_data(st, dtype):
+    """Host precompute of the coupling-boundary-pair slots for the
+    symmetric-Riemann path: directed slots k < K/2 whose transposed edge
+    coefficient c_ji differs from -c_ij (both endpoints on the domain
+    boundary, offline_data.template.h:1367-1462).  Returns device arrays
+    {k, i, j, n_T, w_fwd, w_rev} or None when no such slots exist."""
+    cij = np.asarray(st.cij, np.float64)  # [dim, K, n]
+    mask = np.asarray(st.mask)
+    cT = np.asarray(st.transpose_edge(jnp.asarray(cij)))
+    K = mask.shape[0]
+    K2 = K // 2
+    mis = np.linalg.norm(cij + cT, axis=0)
+    scale = np.linalg.norm(cij, axis=0) + np.linalg.norm(cT, axis=0)
+    mismatch = (mask > 0) & (mis > 1.0e-10 * np.maximum(scale, 1e-300))
+    kk, nn = np.nonzero(mismatch[:K2])
+    if len(kk) == 0:
+        return None
+    if hasattr(st, "cols"):
+        jj = np.asarray(st.cols)[kk, nn]
+    else:  # StructuredStencil: neighbor = rolled flat index
+        shape = st.shape
+        W = shape[-1]
+        yy, xx = nn // W, nn % W
+        offs = np.asarray(st.offsets)
+        dy, dx = offs[kk, 0], offs[kk, 1]
+        jj = ((yy + dy) % shape[0]) * W + (xx + dx) % W
+    c_f = cij[:, kk, nn]
+    c_r = cT[:, kk, nn]
+    nf = np.linalg.norm(c_f, axis=0)
+    nr = np.linalg.norm(c_r, axis=0)
+    cmax = np.maximum(nf, nr)
+    n_T = c_r / np.maximum(nr, 1e-300)[None]
+    return {
+        "k": jnp.asarray(kk.astype(np.int32)),
+        "i": jnp.asarray(nn.astype(np.int32)),
+        "j": jnp.asarray(jj.astype(np.int32)),
+        "n_T": jnp.asarray(n_T, dtype),
+        "w_fwd": jnp.asarray(nf / np.maximum(cmax, 1e-300), dtype),
+        "w_rev": jnp.asarray(nr / np.maximum(cmax, 1e-300), dtype),
+    }
+
+
+def d_from_lambda(st, lam_half, mask):
+    """d = lambda * max(|c_ij|, |c_ji|) from the half-slot symmetric
+    lambda (one Riemann solve per undirected edge).  The max over both
+    |c| factors reproduces the reference's coupling-boundary-pair fixup
+    d_ij = max(d_ij, d_ji) (hyperbolic_module.template.h:461-490) for
+    slots whose lambda is direction-independent; direction-DEPENDENT
+    boundary slots are corrected beforehand by
+    HyperbolicModule._lambda_fixup."""
+    K = mask.shape[0]
+    K2 = K // 2
+    lam_pad = jnp.concatenate(
+        [lam_half, jnp.zeros_like(lam_half)], axis=0
+    )
+    lam_T = st.transpose_edge(lam_pad)[K2:]
+    lam_full = jnp.concatenate([lam_half, lam_T], axis=0)
+    norm = jnp.sqrt(jnp.sum(st.cij * st.cij, axis=0))
+    cmax = jnp.maximum(norm, st.transpose_edge(norm))
+    return jnp.where(
+        mask > 0, lam_full * cmax, jnp.zeros_like(lam_full)
+    )
 
 
 def d_from_e(mask, e, e_T):
@@ -690,6 +769,54 @@ class HyperbolicModule:
                     )
                 )
 
+        # symmetric-Riemann setup: the list of directed slots whose
+        # c_ji != -c_ij (coupling boundary pairs) needing the reference's
+        # two-direction fixup (hyperbolic_module.template.h:461-490).
+        # Only the lattice stencil guarantees the k <-> K-1-k transposed
+        # slot pairing d_from_lambda relies on; the generic ELL transpose
+        # is an arbitrary permutation, so ELL keeps the two-direction
+        # evaluation:
+        self._sym_riemann = bool(
+            getattr(equation, "riemann_symmetric", False)
+        ) and isinstance(self._xla_stencil, StructuredStencil)
+        self._bp = (
+            _boundary_pair_data(self._xla_stencil, dtype)
+            if self._sym_riemann
+            else None
+        )
+        if self._pallas is not None:
+            self._pallas.lambda_fixup = self._lambda_fixup
+
+    def _lambda_fixup(self, lam, Up, prec):
+        """Correct the half-slot lambda at coupling boundary pairs:
+        set lam_hat = max(lam_fwd |c_ij|, lam_rev |c_ji|) / cmax so that
+        d = lam_hat * cmax equals the reference's max(d_ij, d_ji)."""
+        bp = self._bp
+        if bp is None:
+            return lam
+        eq = self.eq
+        p = self.params
+        shape = lam.shape
+        n = shape[-1] if lam.ndim == 2 else shape[-2] * shape[-1]
+        lam_f = lam.reshape(shape[0], n)
+        U_i = Up[:, bp["i"]]
+        U_j = Up[:, bp["j"]]
+        prec_i = prec[:, bp["i"]]
+        prec_j = prec[:, bp["j"]]
+        kw = {}
+        if hasattr(eq, "riemann_precompute"):
+            kw["pa_i"] = eq.riemann_precompute(U_j)
+            kw["pa_j"] = eq.riemann_precompute(U_i)
+        lam_rev = eq.riemann_lambda_max(
+            U_j, U_i, bp["n_T"], prec_i=prec_j, prec_j=prec_i,
+            newton_iterations=p.riemann_newton_max_iterations,
+            newton_tol=p.riemann_newton_tolerance, **kw,
+        )
+        cur = lam_f[bp["k"], bp["i"]]
+        val = jnp.maximum(cur * bp["w_fwd"], lam_rev * bp["w_rev"])
+        lam_f = lam_f.at[bp["k"], bp["i"]].set(val)
+        return lam_f.reshape(shape)
+
     # ------------------------------------------------------------------
     # Step 1: boundary conditions + precomputation
     # (hyperbolic_module.template.h:96-193)
@@ -799,8 +926,15 @@ class HyperbolicModule:
         )
 
         # ---- steps 2/3: d_ij (forward + transposed max), alpha, tau_max --
-        e, alpha = phase_e_alpha(eq, p, st, U_old, prec_old, U_j, prec_j)
-        d = d_from_e(st.mask, e, st.transpose_edge(e))
+        if self._sym_riemann:
+            lam, alpha = phase_e_alpha(
+                eq, p, st, U_old, prec_old, U_j, prec_j, half=True
+            )
+            lam = self._lambda_fixup(lam, U_old, prec_old)
+            d = d_from_lambda(st, lam, st.mask)
+        else:
+            e, alpha = phase_e_alpha(eq, p, st, U_old, prec_old, U_j, prec_j)
+            d = d_from_e(st.mask, e, st.transpose_edge(e))
         tau_max = tau_max_from_d(st, d, cfl, tau_cap)
         tau = jnp.where(compute_tau, tau_max, tau)
 

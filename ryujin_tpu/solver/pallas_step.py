@@ -360,6 +360,7 @@ class PallasArrays:
 
     g_cij: jax.Array
     g_mask: jax.Array
+    g_cmax: jax.Array
     g_mij: jax.Array
     g_cii: jax.Array
     g_node: jax.Array
@@ -436,10 +437,18 @@ class PallasStepper:
 
         # static canvases (device-resident, built once):
         cij = np.transpose(sd.cij.reshape(H, W, K, dim), (3, 2, 0, 1))
+        # cmax[k] = max(|c_ij|, |c_ji|): the transposed coefficient lives
+        # at plane K-1-k of the (dy, dx) neighbor (symmetric-Riemann d):
+        norm_c = np.linalg.norm(cij, axis=0)  # [K, H, W]
+        cmax = norm_c.copy()
+        for k, (dy, dx) in enumerate(self.offsets):
+            rolled = np.roll(norm_c[K - 1 - k], (-dy, -dx), axis=(0, 1))
+            cmax[k] = np.maximum(cmax[k], rolled)
         lumped = sd.lumped_mass.reshape(1, H, W)
         self.arrays = PallasArrays(
             g_cij=canv(cij, dim * K),
             g_mask=canv(sd.mask.T.reshape(K, H, W), K),
+            g_cmax=canv(cmax, K),
             g_mij=canv(sd.mij.T.reshape(K, H, W), K),
             g_cii=canv(sd.cii.T.reshape(dim, H, W), dim),
             g_node=canv(
@@ -458,6 +467,10 @@ class PallasStepper:
             m_lumped_flat=jnp.asarray(sd.lumped_mass, dtype),
         )
 
+        # set by HyperbolicModule when the equation's Riemann solve is
+        # symmetric (lambda fixup at coupling boundary pairs):
+        self.lambda_fixup = None
+
         # interior tile-row range (tiles containing real nodes); the masked
         # margins guarantee t0 >= 1 and one tile of slack below:
         rows_with_nodes = np.flatnonzero(
@@ -472,6 +485,25 @@ class PallasStepper:
             )
 
     # -- helpers ----------------------------------------------------------
+    def _d_win_sym(self, w_lam, cmax_t, mask, tv):
+        """d = lambda * cmax from the half-slot lambda halo window.
+
+        lambda for slots k >= K/2 is the K-1-k plane of the (dy, dx)
+        neighbor (one Riemann solve per undirected edge)."""
+        tvd = self._derived_view(tv)
+        lam_win = self._win(w_lam, tv)
+        K = self.K
+        K2 = K // 2
+        lam_c = tvd.center(lam_win)  # [K2, TH, TW]
+        lam_T = jnp.stack([
+            tvd._slot(lam_win, K - 1 - k, dy, dx)
+            for k, (dy, dx) in list(enumerate(self.offsets))[K2:]
+        ])
+        lam_full = jnp.concatenate([lam_c, lam_T], axis=0)
+        return jnp.where(
+            mask > 0, lam_full * cmax_t, jnp.zeros_like(lam_full)
+        )
+
     def _d_win(self, w_e, mask, tv):
         """Graph viscosity d = max(e_ij, e_ji) from the e halo window.
 
@@ -640,26 +672,41 @@ class PallasStepper:
             if getattr(eq, "hoist_node_flux", False):
                 kw["f_i"], kw["f_j"] = self._flux_win(w_U, tv)
             e, alpha = hyp.phase_e_alpha(
-                eq, p, sa, Ut, prect, U_j, prec_j, **kw
+                eq, p, sa, Ut, prect, U_j, prec_j, half=sym, **kw
             )
             return [e, alpha[None]]
 
+        sym = bool(getattr(eq, "riemann_symmetric", False))
+        K_e = K // 2 if sym else K
         e, alpha = _tiled_call(
             pk1,
             [(ga.g_cij, False), ga.g_node, Uc, precc],
             [],
-            [K, zeros(1)],  # e uninit: d_from_e masks the halo read
+            [K_e, zeros(1)],  # e uninit: consumers mask the halo read
             **common,
         )
+        if sym and self.lambda_fixup is not None:
+            # coupling-boundary-pair correction (few slots, XLA scatter)
+            e = self.lambda_fixup(e, U, prec).reshape(K_e, H, W)
 
-        # ---- d = max(e, e_T) * mask + tau reduction (XLA, one fusion) ---
-        e_T = jnp.stack(
-            [
+        # ---- d + tau reduction (XLA, one fusion) ------------------------
+        if sym:
+            lam_T = jnp.stack([
                 jnp.roll(e[K - 1 - k], (-dy, -dx), axis=(0, 1))
-                for k, (dy, dx) in enumerate(self.offsets)
-            ]
-        )
-        d = hyp.d_from_e(ga.g_mask, e, e_T)
+                for k, (dy, dx) in list(enumerate(self.offsets))[K_e:]
+            ])
+            lam_full = jnp.concatenate([e, lam_T], axis=0)
+            d = jnp.where(
+                ga.g_mask > 0, lam_full * ga.g_cmax, jnp.zeros_like(lam_full)
+            )
+        else:
+            e_T = jnp.stack(
+                [
+                    jnp.roll(e[K - 1 - k], (-dy, -dx), axis=(0, 1))
+                    for k, (dy, dx) in enumerate(self.offsets)
+                ]
+            )
+            d = hyp.d_from_e(ga.g_mask, e, e_T)
         sa_flat = _SA(
             cij=None, cij_t=None, mij=None, mask=None, cii=None,
             m_lumped=ga.m_lumped_flat, m_lumped_inv=None, n_nbrs=None,
@@ -674,14 +721,17 @@ class PallasStepper:
         n_b = eq.n_bounds
 
         def pk2(wins, scal, tv):
-            (w_cij, w_mask, w_cii, w_node, w_U, w_prec, w_e, w_alpha,
-             w_sU, w_sP) = wins
+            (w_cij, w_mask, w_cmax, w_cii, w_node, w_U, w_prec, w_e,
+             w_alpha, w_sU, w_sP) = wins
             tau_s = scal[0]
             w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
             sa = self._sa(tv, w_cij, w_mask, None, w_cii, w_node)
             Ut, prect = tv.center(w_U), tv.center(w_prec)
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
-            dt_ = self._d_win(w_e, sa.mask, tv)
+            if sym:
+                dt_ = self._d_win_sym(w_e, tv.center(w_cmax), sa.mask, tv)
+            else:
+                dt_ = self._d_win(w_e, sa.mask, tv)
             alpha_t = tv.center(w_alpha)[0]
             alpha_j = tv.nbr(w_alpha)[0]
             sU, sP, sUj, sPj = self._stage_views(tv, w_sU, w_sP, S, C, PP)
@@ -698,7 +748,8 @@ class PallasStepper:
 
         U_low, F, bounds = _tiled_call(
             pk2,
-            [(ga.g_cij, False), (ga.g_mask, False), (ga.g_cii, False),
+            [(ga.g_cij, False), (ga.g_mask, False),
+             (ga.g_cmax if sym else None, False), (ga.g_cii, False),
              (ga.g_node, False), Uc, precc, e, alpha, sUc, sPc],
             [tau] + [w_vec[s] for s in range(S)],
             # F is halo-read in PK3 -> needs valid (zero) margins; bounds
@@ -713,15 +764,18 @@ class PallasStepper:
 
         # ---- PK3: P + first limiter pass --------------------------------
         def pk3(wins, scal, tv):
-            (w_cij, w_mij, w_cii, w_node, w_U, w_prec, w_e, w_alpha,
-             w_F, w_Ulow, w_bounds, w_sU, w_sP) = wins
+            (w_cij, w_cmax, w_mij, w_cii, w_node, w_U, w_prec, w_e,
+             w_alpha, w_F, w_Ulow, w_bounds, w_sU, w_sP) = wins
             tau_s = scal[0]
             w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
             sa = self._sa(tv, w_cij, None, w_mij, w_cii, w_node,
                           mask_arr=self._derived_mask(w_node, tv))
             Ut, prect = tv.center(w_U), tv.center(w_prec)
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
-            dt_ = self._d_win(w_e, sa.mask, tv)
+            if sym:
+                dt_ = self._d_win_sym(w_e, tv.center(w_cmax), sa.mask, tv)
+            else:
+                dt_ = self._d_win(w_e, sa.mask, tv)
             alpha_t = tv.center(w_alpha)[0]
             alpha_j = tv.nbr(w_alpha)[0]
             Ft = tv.center(w_F)
@@ -752,7 +806,8 @@ class PallasStepper:
 
         P, l_ij, okp = _tiled_call(
             pk3,
-            [(ga.g_cij, False), (ga.g_mij, False),
+            [(ga.g_cij, False), (ga.g_cmax if sym else None, False),
+             (ga.g_mij, False),
              (ga.g_cii, False), ga.g_node, Uc, precc, e,
              alpha, F, (U_low, False), (bounds, False), sUc, sPc],
             [tau] + [w_vec[s] for s in range(S)],
