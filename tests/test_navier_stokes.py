@@ -20,7 +20,7 @@ from ryujin_tpu.solver.integrator import TimeIntegrator
 from ryujin_tpu.solver.parabolic import ParabolicSolver, ParabolicSystem
 
 
-def _run_becker(refinement, gmg=False):
+def _run_becker(refinement, gmg=False, gmg_velocity=True, gmg_energy=True):
     eq = Euler(dim=1)
     init = make_initial_state(
         eq, "becker solution", position=[-0.125],
@@ -38,7 +38,7 @@ def _run_becker(refinement, gmg=False):
     if gmg:
         from ryujin_tpu.solver.gmg import GMGParams
 
-        gmg_params = GMGParams(velocity=True, energy=True)
+        gmg_params = GMGParams(velocity=gmg_velocity, energy=gmg_energy)
         chain = [geometry.rectangular_domain(
             [-0.25], [0.25], [1], refinement=refinement - 3,
             boundary_conditions=[Boundary.dirichlet] * 2, dim=1,
@@ -132,4 +132,13 @@ def test_becker_l6_gmg():
     tests/navier_stokes/gmg_velocity_energy.prm) reproduces the same
     Becker solution as the diagonal preconditioner."""
     linf, l1, l2 = _run_becker(7, gmg=True)
+    assert abs(l1 / 4.0607e-4 - 1.0) < 0.02, l1
+
+
+@pytest.mark.parametrize("vel,en", [(True, False), (False, True)])
+def test_becker_l6_gmg_single_sided(vel, en):
+    """Velocity-only / energy-only multigrid (the analog of
+    tests/navier_stokes/gmg_velocity.prm and gmg_energy.prm)."""
+    linf, l1, l2 = _run_becker(7, gmg=True, gmg_velocity=vel,
+                               gmg_energy=en)
     assert abs(l1 / 4.0607e-4 - 1.0) < 0.02, l1
