@@ -221,10 +221,16 @@ def _rectangular_domain_3d(pl, pr, subs, bcs) -> Mesh:
     ids[np.abs(centers[:, 1] - pr[1]) < tol] = bcs[3]
     ids[np.abs(centers[:, 2] - pl[2]) < tol] = bcs[4]
     ids[np.abs(centers[:, 2] - pr[2]) < tol] = bcs[5]
+    iz3, iy3, ix3 = np.meshgrid(
+        np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij"
+    )
     mesh = Mesh(
         dim=3, vertices=verts, cells=cells,
         boundary_faces=bfaces, boundary_ids=ids,
         structured_shape=(nx, ny, nz),
+        structured_index=np.stack(
+            [ix3.ravel(), iy3.ravel(), iz3.ravel()], axis=1
+        ),
     )
     _maybe_build_periodic_pairs(mesh, pl, pr)
     return mesh

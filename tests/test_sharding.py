@@ -61,3 +61,46 @@ def test_sharded_step_matches_single_device():
     out = np.asarray(ti2.advance(U0s, 0.0, 3)[0])
 
     np.testing.assert_allclose(out, ref, rtol=0, atol=1e-12)
+
+
+def test_structured_3d_matches_ell():
+    """3D lattice canvas backend (rolls) vs the generic ELL path on one
+    Euler step: same states at matched positions."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.equations.euler_initial_states import make_initial_state
+    from ryujin_tpu.offline import assembly, ell, geometry, structured
+    from ryujin_tpu.offline.mesh import Boundary
+    from ryujin_tpu.postprocess.error import interpolate_nodal
+    from ryujin_tpu.solver.hyperbolic import HyperbolicModule
+    from ryujin_tpu.solver.integrator import TimeIntegrator
+
+    eq = Euler(dim=3)
+    mesh = geometry.rectangular_domain(
+        [0, 0, 0], [1, 1, 1], [1, 1, 1], 3,
+        [Boundary.dirichlet] * 6, dim=3,
+    )
+    data = assembly.assemble(mesh)
+    init = make_initial_state(
+        eq, "uniform", primitive_state=(1.4, 1.0, 0.2, 0.1, 1.0)
+    )
+    res = {}
+    for name, packed in (
+        ("structured", structured.pack_structured(data, mesh)),
+        ("ell", ell.pack(data)),
+    ):
+        hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64)
+        ti = TimeIntegrator(hm, "erk 33", cfl_min=0.4, cfl_max=0.4,
+                            cfl_recovery_strategy="none")
+        U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+        U2, tau, ok = ti.step(U, 0.0, 1.0)
+        real = np.asarray(packed.node_mask) > 0
+        pos = np.asarray(packed.positions)[real]
+        order = np.lexsort(pos.T)
+        res[name] = (np.asarray(U2)[:, real][:, order], float(tau))
+    np.testing.assert_allclose(
+        res["structured"][0], res["ell"][0], rtol=5e-12, atol=1e-12
+    )
+    assert abs(res["structured"][1] / res["ell"][1] - 1.0) < 1e-12
