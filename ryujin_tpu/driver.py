@@ -143,7 +143,14 @@ class TimeLoop:
         config = self.config
         ansatz = config.discretization.ansatz
         self.offline_data = assembly.assemble(self.mesh, ansatz=ansatz)
-        if self.mesh.structured_index is not None and ansatz == "cG Q1":
+        if (
+            self.mesh.structured_index is not None
+            and ansatz == "cG Q1"
+            and self.mesh.dim <= 2
+        ):
+            # 3D canvases carry too much minor-axis padding to be the
+            # default until the fused kernels support them; ELL is the
+            # better 3D layout for now.
             self.packed = structured.pack_structured(
                 self.offline_data, self.mesh
             )
