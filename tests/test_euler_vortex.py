@@ -67,3 +67,17 @@ def test_vortex_l6_erk33_matches_reference_baseline():
 def test_vortex_l5_ssprk33():
     linf, l1, l2 = run_vortex(5, scheme="ssprk 33")
     assert l1 < 4.5e-3, l1
+
+
+@pytest.mark.slow
+def test_vortex_l6_erk22_matches_reference_baseline():
+    """4225 dofs: prm/verification/euler-isentropic_vortex-erk22.baseline:1-5."""
+    linf, l1, l2 = run_vortex(6, scheme="erk 22")
+    assert abs(l1 / 3.97499e-4 - 1.0) < 0.02, l1
+
+
+@pytest.mark.slow
+def test_vortex_l6_ssprk33_matches_reference_baseline():
+    """4225 dofs: prm/verification/euler-isentropic_vortex-ssprk33.baseline:1-5."""
+    linf, l1, l2 = run_vortex(6, scheme="ssprk 33")
+    assert abs(l1 / 4.007415406445266e-4 - 1.0) < 0.02, l1
