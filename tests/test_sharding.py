@@ -104,3 +104,63 @@ def test_structured_3d_matches_ell():
         res["structured"][0], res["ell"][0], rtol=5e-12, atol=1e-12
     )
     assert abs(res["structured"][1] / res["ell"][1] - 1.0) < 1e-12
+
+
+def test_sharded_navier_stokes_step_matches_single_device():
+    """Backward-Euler parabolic solve (CG + boundary projections) under
+    node-axis sharding agrees with the single-device result — the analog
+    of the reference's becker mpirun=4 testsuite variants."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.equations.euler_initial_states import make_initial_state
+    from ryujin_tpu.offline import assembly, ell, geometry
+    from ryujin_tpu.offline.mesh import Boundary
+    from ryujin_tpu.parallel.sharding import (
+        make_device_mesh, shard_state, shard_stencil,
+    )
+    from ryujin_tpu.postprocess.error import interpolate_nodal
+    from ryujin_tpu.solver.hyperbolic import HyperbolicModule
+    from ryujin_tpu.solver.parabolic import ParabolicSolver, ParabolicSystem
+
+    eq = Euler(dim=1)
+    init = make_initial_state(
+        eq, "becker solution", position=[-0.125],
+        velocity_galilean_frame=0.125, mu=0.01,
+    )
+    mesh = geometry.rectangular_domain(
+        [-0.25], [0.25], [1], refinement=6,
+        boundary_conditions=[Boundary.dirichlet] * 2, dim=1,
+    )
+    data = assembly.assemble(mesh)
+    packed = ell.pack(data)
+    hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64)
+    ps = ParabolicSolver(
+        eq, ParabolicSystem(mu=0.01), packed, data, mesh, init,
+        hm.stencil, dtype=jnp.float64,
+    )
+    U0 = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+    step = jax.jit(lambda U: ps.backward_euler_step(U, 0.0, 1e-3))
+    U_ref, ok_ref = step(U0)
+
+    device_mesh = make_device_mesh()
+    ps.stencil = shard_stencil(hm.stencil, device_mesh, packed.n_pad)
+    arr = ps.arrays
+    import dataclasses as dc
+
+    ps.arrays = dc.replace(
+        arr,
+        **{
+            f.name: shard_state(getattr(arr, f.name), device_mesh)
+            for f in dc.fields(arr)
+        },
+    )
+    U0s = shard_state(U0, device_mesh)
+    U_sh, ok_sh = jax.jit(lambda U: ps.backward_euler_step(U, 0.0, 1e-3))(
+        U0s
+    )
+    np.testing.assert_allclose(
+        np.asarray(U_sh), np.asarray(U_ref), rtol=1e-11, atol=1e-13
+    )
+    assert bool(ok_sh) == bool(ok_ref)
