@@ -302,9 +302,31 @@ class TimeLoop:
         return jnp.asarray(U_np, self.dtype)
 
     # ------------------------------------------------------------------
+    def _open_logfile(self, resume: bool):
+        """Rank-0 logfile `basename.log` with the effective parameter dump,
+        plus `basename-parameters.yaml` (time_loop.template.h:229-232,
+        910-913)."""
+        import yaml
+
+        cfg = self.config.time_loop
+        self._logfile = open(cfg.basename + ".log", "a" if resume else "w")
+        self._log("# ryujin_tpu")
+        self._log("# effective parameters:")
+        for line in yaml.safe_dump(
+            self.config.to_dict(), sort_keys=False
+        ).splitlines():
+            self._log("#   " + line)
+        self.config.save(cfg.basename + "-parameters.yaml")
+
+    def _log(self, msg: str):
+        if getattr(self, "_logfile", None) is not None:
+            self._logfile.write(msg + "\n")
+            self._logfile.flush()
+
     def run(self, chunk: int = 32, quiet: bool = False) -> Dict:
         cfg = self.config.time_loop
         eq = self.eq
+        self._open_logfile(resume=cfg.resume)
 
         if cfg.resume:
             U_np, t, cycle = read_checkpoint(cfg.basename, self.mesh)
@@ -341,7 +363,19 @@ class TimeLoop:
                 ti.n_restarts += int(restarts)
                 ti.n_warnings += int(warns)
                 steps_this_tick += chunk
-                if float(tau) <= 0.0:
+                tau_f = float(tau)
+                if not np.isfinite(tau_f) or not np.isfinite(t):
+                    # the analog of the reference's τ_max sanity abort
+                    # (hyperbolic_module.template.h:573-576):
+                    msg = (
+                        f"ryujin_tpu: computed time-step size tau = {tau_f} "
+                        f"at t = {t} is not a finite number; the state has "
+                        f"likely left the invariant domain (NaN/Inf). "
+                        f"Aborting."
+                    )
+                    self._log(msg)
+                    raise FloatingPointError(msg)
+                if tau_f <= 0.0:
                     break
                 now = time.perf_counter()
                 if (
@@ -353,6 +387,10 @@ class TimeLoop:
             self.wall_compute += time.perf_counter() - wall0
             self.n_steps_total += steps_this_tick
             cycle += 1
+            self._log(
+                f"cycle {cycle}  t = {t:.8g}  steps = {self.n_steps_total}  "
+                f"restarts = {self.time_integrator.n_restarts}"
+            )
             self._tick_output(U, t, cycle)
             if self.mesh_adaptor is not None and t < t_final - 1e-12:
                 self.mesh_adaptor.analyze(U, t, cycle)
@@ -377,19 +415,25 @@ class TimeLoop:
                 normalize=cfg.error_normalize,
             )
             result.update({"Linf": linf, "L1": l1, "L2": l2})
+            n_dofs = self.packed.n_nodes
+            error_block = (
+                "Normalized consolidated Linf, L1, and L2 errors at "
+                "final time\n"
+                f"#dofs = {n_dofs}\n"
+                f"t     = {t:.14g}\n"
+                f"Linf  = {linf:.14g}\n"
+                f"L1    = {l1:.14g}\n"
+                f"L2    = {l2:.14g}"
+            )
+            self._log(error_block)
             if not quiet:
-                n_dofs = self.packed.n_nodes
-                print(
-                    "Normalized consolidated Linf, L1, and L2 errors at "
-                    "final time"
-                )
-                print(f"#dofs = {n_dofs}")
-                print(f"t     = {t:.14g}")
-                print(f"Linf  = {linf:.14g}")
-                print(f"L1    = {l1:.14g}")
-                print(f"L2    = {l2:.14g}")
+                print(error_block)
         if not quiet:
             self._print_summary()
+        self._log(f"run complete: t = {t:.8g}, {cycle} cycles, "
+                  f"{self.n_steps_total} steps")
+        self._logfile.close()
+        self._logfile = None
         return result
 
     # ------------------------------------------------------------------

@@ -465,6 +465,16 @@ def _finalize_quads(
     new_verts = verts[uniq_idx]
     new_cells = inv[cells]
 
+    # drop vertices not referenced by any cell (cell-removal generators like
+    # the annulus sector cut leave orphans; an orphan node would get zero
+    # lumped mass and poison 1/m_i):
+    used = np.unique(new_cells)
+    if len(used) < len(new_verts):
+        remap = np.full(len(new_verts), -1, np.int64)
+        remap[used] = np.arange(len(used))
+        new_verts = new_verts[used]
+        new_cells = remap[new_cells]
+
     p = new_verts[new_cells]
     det = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
         p[:, 1, 1] - p[:, 0, 1]

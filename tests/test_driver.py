@@ -83,6 +83,44 @@ def test_time_loop_end_to_end(tmp_path):
     assert abs(result2["t"] - 0.6) < 1e-10
 
 
+def test_logfile_and_parameter_dump(tmp_path):
+    """Rank-0 `basename.log` + effective parameter file
+    (time_loop.template.h:229-232, 910-913)."""
+    cfg = _vortex_config(tmp_path, refinement=3)
+    cfg.time_loop.enable_checkpointing = False
+    cfg.time_loop.enable_output_full = False
+    loop = TimeLoop(cfg)
+    loop.run(quiet=True)
+
+    log = open(str(tmp_path / "vortex.log")).read()
+    assert "effective parameters:" in log
+    assert "isentropic vortex" in log  # parameter dump included
+    assert "cycle 1" in log and "run complete" in log
+    assert "Linf" in log  # error block mirrored into the log
+    cfg2 = Config.load(str(tmp_path / "vortex-parameters.yaml"))
+    assert cfg2.initial_values.configuration == "isentropic vortex"
+
+
+def test_nan_tau_aborts(tmp_path):
+    """A non-finite time-step size must abort loudly, not exit the loop as
+    if completed (hyperbolic_module.template.h:573-576 analog)."""
+    cfg = _vortex_config(tmp_path, refinement=3)
+    cfg.time_loop.enable_checkpointing = False
+    cfg.time_loop.enable_output_full = False
+    cfg.time_loop.enable_compute_error = False
+    loop = TimeLoop(cfg)
+
+    real_advance = loop.time_integrator.advance
+
+    def poisoned(U, t, n, t_final=None):
+        U, prec, t_dev, tau, r, w = real_advance(U, t, n, t_final=t_final)
+        return U, prec, t_dev, np.nan * tau, r, w
+
+    loop.time_integrator.advance = poisoned
+    with pytest.raises(FloatingPointError, match="not a finite number"):
+        loop.run(quiet=True)
+
+
 def test_cli_template_generation(tmp_path, capsys):
     from ryujin_tpu.__main__ import main
 
