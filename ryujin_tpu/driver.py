@@ -143,14 +143,16 @@ class TimeLoop:
         config = self.config
         ansatz = config.discretization.ansatz
         self.offline_data = assembly.assemble(self.mesh, ansatz=ansatz)
-        if (
-            self.mesh.structured_index is not None
-            and ansatz == "cG Q1"
-            and self.mesh.dim <= 2
-        ):
-            # 3D canvases carry too much minor-axis padding to be the
-            # default until the fused kernels support them; ELL is the
-            # better 3D layout for now.
+        structured_ok = (
+            self.mesh.structured_index is not None and ansatz == "cG Q1"
+        )
+        on_tpu_f32 = (
+            jax.default_backend() == "tpu" and self.dtype == jnp.float32
+        )
+        if structured_ok and (self.mesh.dim <= 2 or on_tpu_f32):
+            # 3D canvases carry extra minor-axis padding, so under the XLA
+            # (CPU/verification) path ELL is the better 3D layout; on TPU
+            # the fused Pallas kernels need the canvas.
             self.packed = structured.pack_structured(
                 self.offline_data, self.mesh
             )
@@ -162,10 +164,8 @@ class TimeLoop:
             backend = (
                 "pallas"
                 if (
-                    jax.default_backend() == "tpu"
+                    on_tpu_f32
                     and isinstance(self.packed, structured.StructuredData)
-                    and self.packed.dim == 2
-                    and self.dtype == jnp.float32
                 )
                 else "xla"
             )

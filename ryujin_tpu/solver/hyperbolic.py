@@ -295,13 +295,12 @@ def _boundary_pair_data(st, dtype):
         return None
     if hasattr(st, "cols"):
         jj = np.asarray(st.cols)[kk, nn]
-    else:  # StructuredStencil: neighbor = rolled flat index
+    else:  # StructuredStencil: neighbor = rolled flat index (any dim)
         shape = st.shape
-        W = shape[-1]
-        yy, xx = nn // W, nn % W
         offs = np.asarray(st.offsets)
-        dy, dx = offs[kk, 0], offs[kk, 1]
-        jj = ((yy + dy) % shape[0]) * W + (xx + dx) % W
+        midx = np.stack(np.unravel_index(nn, shape), axis=1)  # [m, nd]
+        midx = (midx + offs[kk]) % np.asarray(shape)[None]
+        jj = np.ravel_multi_index(tuple(midx.T), shape)
     c_f = cij[:, kk, nn]
     c_r = cT[:, kk, nn]
     nf = np.linalg.norm(c_f, axis=0)
@@ -797,8 +796,7 @@ class HyperbolicModule:
         eq = self.eq
         p = self.params
         shape = lam.shape
-        n = shape[-1] if lam.ndim == 2 else shape[-2] * shape[-1]
-        lam_f = lam.reshape(shape[0], n)
+        lam_f = lam.reshape(shape[0], -1)
         U_i = Up[:, bp["i"]]
         U_j = Up[:, bp["j"]]
         prec_i = prec[:, bp["i"]]

@@ -19,8 +19,13 @@ math runs full-canvas under XLA (CPU/verification path) and per-tile here.
 Intermediate arrays (d, alpha, F, bounds, P, l) round-trip through HBM once
 per phase; everything else stays in VMEM.
 
-Constraints: 2D structured canvases, non-periodic axes (periodic wrap
-would need margin exchange; such meshes fall back to the XLA path).
+2D canvases run row tiles (sliding-stripe windows when single-column); 3D
+canvases run (z-slab, row-tile) grids with a one-plane z halo on the
+windows (`_tiled_call_3d`).
+
+Constraints: non-periodic leading (y/z) axes — periodic wrap there would
+need margin exchange; such meshes fall back to the XLA path.  The x axis
+wraps for free (lane rolls of full-width windows).
 """
 
 from __future__ import annotations
@@ -46,36 +51,50 @@ class _TileView:
     use a lane roll of the window instead of a column halo — whose wrap is
     exactly the periodic identification for periodic-x canvases and hits
     masked edges otherwise (same semantics as StructuredStencil).
+
+    3D canvases add a leading z axis: offsets are (dz, dy, dx) triples,
+    windows carry a one-plane z halo (wz = TD + 2, tile planes at lz = 1),
+    and tiles always span the full canvas width (x via lane rolls).
     """
 
     def __init__(self, offsets, ly, lx, TH, TW, halo_x=True, halo_y=True,
-                 wy=None, wx=None):
+                 wy=None, wx=None, lz=None, TD=None, wz=None):
         self.offsets = offsets
         self.ly, self.lx = ly, lx
         self.TH, self.TW = TH, TW
         self.halo_x, self.halo_y = halo_x, halo_y
         self.wy = wy if wy is not None else 3 * TH
         self.wx = wx if wx is not None else 3 * TW
+        self.lz, self.TD = lz, TD
+        self.wz = wz if wz is not None else (TD + 2 if TD else None)
 
-    def _slot(self, w, k_plane, dy, dx):
+    def _slot(self, w, k_plane, off):
         # Clamp starts into the window: only all-margin tiles (masked
         # nodes) ever hit the clamp; real tiles have ly = lx = 1.  On
         # hardware an out-of-bounds VMEM slice faults rather than clamps.
+        if len(off) == 3:
+            dz, dy, dx = off
+        else:
+            dz, (dy, dx) = 0, off
+        idx = []
+        if self.TD is not None:
+            z0 = self.lz + dz  # static: interior z tiles only
+            idx.append(slice(z0, z0 + self.TD))
         if self.halo_y:
             r0 = self.ly + dy  # static: interior tiles only
-            rows = slice(r0, r0 + self.TH)
+            idx.append(slice(r0, r0 + self.TH))
         else:
-            rows = slice(None)
+            idx.append(slice(None))
         if self.halo_x:
-            cols = pl.ds(
+            idx.append(pl.ds(
                 jnp.clip(self.lx + dx, 0, self.wx - self.TW), self.TW
-            )
+            ))
         else:
-            cols = slice(None)
+            idx.append(slice(None))
         if k_plane is None:
-            sl = w[:, rows, cols]
+            sl = w[(slice(None),) + tuple(idx)]
         else:
-            sl = w[k_plane, rows, cols]
+            sl = w[(k_plane,) + tuple(idx)]
         if not self.halo_y and dy:
             sl = pltpu.roll(sl, (-dy) % self.TH, axis=sl.ndim - 2)
         if not self.halo_x and dx:
@@ -83,24 +102,28 @@ class _TileView:
         return sl
 
     def center(self, w):
-        if w.shape[-2] == self.TH and (not self.halo_x or w.shape[-1] == self.TW):
+        if (
+            w.shape[-2] == self.TH
+            and (not self.halo_x or w.shape[-1] == self.TW)
+            and (self.TD is None or w.shape[-3] == self.TD)
+        ):
             return w[...]
-        return self._slot(w, None, 0, 0)
+        return self._slot(w, None, (0,) * (3 if self.TD is not None else 2))
 
     def nbr(self, w):
-        """Window -> [pl, K, TH, TW]."""
-        sls = [self._slot(w, None, dy, dx) for (dy, dx) in self.offsets]
+        """Window -> [pl, K, *tile]."""
+        sls = [self._slot(w, None, off) for off in self.offsets]
         return jnp.stack(sls, axis=1)
 
     def transpose_edge(self, w):
-        """Window of an edge array [K, ...] -> l_T [K, TH, TW].
+        """Window of an edge array [K, ...] -> l_T [K, *tile].
 
-        out[k] = w[K-1-k] at the (dy, dx) neighbor (lattice_offsets order).
+        out[k] = w[K-1-k] at the off_k neighbor (lattice_offsets order).
         """
         K = len(self.offsets)
         sls = [
-            self._slot(w, K - 1 - k, dy, dx)
-            for k, (dy, dx) in enumerate(self.offsets)
+            self._slot(w, K - 1 - k, off)
+            for k, off in enumerate(self.offsets)
         ]
         return jnp.stack(sls, axis=0)
 
@@ -350,6 +373,230 @@ def _tiled_call(
     )
 
 
+def _tiled_call_3d(
+    compute,
+    ins: Sequence,
+    scalars: Sequence[jax.Array],
+    out_init: Sequence[jax.Array],
+    offsets,
+    D: int,
+    H: int,
+    W: int,
+    TD: int,
+    TH: int,
+    tile_planes: Tuple[int, int],
+    tile_rows: Tuple[int, int],
+    dtype,
+    interpret: bool = False,
+):
+    """Run `compute` over the interior (z-slab, row-tile) grid of a 3D
+    canvas [planes, D, H, W].
+
+    Tiles are [TD, TH, W] (full canvas width; x-neighbors via lane rolls).
+    Halo inputs are DMA'd as [planes, TD+2, 3*TH, W] windows with a
+    one-plane z halo.  Within a z-slab, consecutive y tiles slide the
+    window: only the new TH-row stripe is fetched from HBM and the
+    overlapping 2*TH rows are shifted over with a VMEM-local copy (the 3D
+    rendition of the 2D single-column sliding-stripe path); slab
+    transitions re-fetch the full window.
+
+    See `_tiled_call` for the ins/out_init/scalars conventions.
+    """
+    t0, t1 = tile_rows
+    tz0, tz1 = tile_planes
+    assert t0 >= 1 and t1 * TH + TH <= H, (tile_rows, H, TH)
+    assert tz0 * TD >= 1 and tz1 * TD + 1 <= D, (tile_planes, D, TD)
+    wz, wy, wx = TD + 2, 3 * TH, W
+
+    norm = [(a, True) if not isinstance(a, tuple) else a for a in ins]
+    cent = [
+        i for i, (a, h) in enumerate(norm)
+        if a is not None and a.shape[0] > 0 and not h
+    ]
+    halo = [
+        i for i, (a, h) in enumerate(norm)
+        if a is not None and a.shape[0] > 0 and h
+    ]
+    ins_c = [norm[i][0] for i in cent]
+    ins_h = [norm[i][0] for i in halo]
+    n_c, n_h, n_sc, n_out = len(ins_c), len(ins_h), len(scalars), len(out_init)
+    n_ali = sum(1 for a in out_init if not isinstance(a, int))
+
+    gz = tz1 - tz0
+    gy = t1 - t0
+
+    def kernel(*refs):
+        k = 0
+        sc_refs = refs[k : k + n_sc]; k += n_sc
+        c_refs = refs[k : k + n_c]; k += n_c
+        h_refs = refs[k : k + n_h]; k += n_h
+        k += n_ali  # aliased init refs (unused)
+        out_refs = refs[k : k + n_out]; k += n_out
+        wins_h = refs[k : k + n_h]; k += n_h
+        sems = refs[-1]
+
+        tz = pl.program_id(0)
+        ty = pl.program_id(1)
+        p = tz * gy + ty
+        n_p = gz * gy
+
+        def full_src(q):
+            """Full-window HBM slice of flattened tile q."""
+            tz_q = q // gy + tz0
+            ty_q = q % gy + t0
+            sz = tz_q * TD - 1
+            sy = (ty_q - 1) * TH
+            return sz, sy
+
+        def stripe_src(q):
+            """New-stripe rows (tile ty_q + 1) and slab z start of q."""
+            tz_q = q // gy + tz0
+            ty_q = q % gy + t0
+            return tz_q * TD - 1, (ty_q + 1) * TH
+
+        two = jnp.asarray(2, p.dtype)
+        slot = jax.lax.rem(p, two)
+        nslot = jax.lax.rem(p + jnp.asarray(1, p.dtype), two)
+
+        def start_full(q, into):
+            sz, sy = full_src(q)
+            for i in range(n_h):
+                pltpu.make_async_copy(
+                    h_refs[i].at[:, pl.ds(sz, wz), pl.ds(sy, wy), :],
+                    wins_h[i].at[into],
+                    sems.at[into, i],
+                ).start()
+
+        def wait_full(q, into):
+            sz, sy = full_src(q)
+            for i in range(n_h):
+                pltpu.make_async_copy(
+                    h_refs[i].at[:, pl.ds(sz, wz), pl.ds(sy, wy), :],
+                    wins_h[i].at[into],
+                    sems.at[into, i],
+                ).wait()
+
+        @pl.when(p == 0)
+        def _():
+            start_full(p, slot)
+            wait_full(p, slot)
+
+        @pl.when((p > 0) & (ty == 0))
+        def _():
+            # slab start: wait the full-window prefetch issued at p-1
+            wait_full(p, slot)
+
+        @pl.when(ty > 0)
+        def _():
+            # wait the stripe prefetch issued at p-1, then shift the
+            # overlapping 2*TH rows over from the previous buffer
+            sz, sr = stripe_src(p)
+            for i in range(n_h):
+                pltpu.make_async_copy(
+                    h_refs[i].at[:, pl.ds(sz, wz), pl.ds(sr, TH), :],
+                    wins_h[i].at[slot, :, :, 2 * TH : 3 * TH],
+                    sems.at[slot, i],
+                ).wait()
+            for i in range(n_h):
+                pltpu.make_async_copy(
+                    wins_h[i].at[nslot, :, :, TH : 3 * TH],
+                    wins_h[i].at[slot, :, :, 0 : 2 * TH],
+                    sems.at[2, i],
+                ).start()
+            for i in range(n_h):
+                pltpu.make_async_copy(
+                    wins_h[i].at[nslot, :, :, TH : 3 * TH],
+                    wins_h[i].at[slot, :, :, 0 : 2 * TH],
+                    sems.at[2, i],
+                ).wait()
+
+        @pl.when((p + 1 < n_p) & (ty + 1 < gy))
+        def _():
+            # next tile continues this slab: prefetch only its new stripe
+            # (safe: the source rows of the shift were just copied out)
+            sz, sr = stripe_src(p + 1)
+            for i in range(n_h):
+                pltpu.make_async_copy(
+                    h_refs[i].at[:, pl.ds(sz, wz), pl.ds(sr, TH), :],
+                    wins_h[i].at[nslot, :, :, 2 * TH : 3 * TH],
+                    sems.at[nslot, i],
+                ).start()
+
+        @pl.when((p + 1 < n_p) & (ty + 1 >= gy))
+        def _():
+            # next tile starts a new slab: prefetch its full window
+            start_full(p + 1, nslot)
+
+        wins = [None] * len(ins)
+        for j, i in enumerate(cent):
+            wins[i] = c_refs[j]
+        for j, i in enumerate(halo):
+            wins[i] = wins_h[j][slot]
+        scal = [r[0, 0] for r in sc_refs]
+        tv = _TileView(offsets, TH, 0, TH, W, False, True, wy, wx,
+                       lz=1, TD=TD, wz=wz)
+        outs = compute(wins, scal, tv)
+        for oref, val in zip(out_refs, outs):
+            oref[...] = val
+
+    init_arrays = [a for a in out_init if not isinstance(a, int)]
+    out_shape = [
+        jax.ShapeDtypeStruct((a, D, H, W), dtype)
+        if isinstance(a, int)
+        else jax.ShapeDtypeStruct(a.shape, a.dtype)
+        for a in out_init
+    ]
+    in_specs = (
+        [pl.BlockSpec((1, 1), lambda tz, ty: (0, 0),
+                      memory_space=pltpu.SMEM)] * n_sc
+        + [
+            pl.BlockSpec(
+                (a.shape[0], TD, TH, W),
+                lambda tz, ty, _t0=t0, _tz0=tz0: (0, tz + _tz0, ty + _t0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for a in ins_c
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_h
+        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_ali  # aliased inits
+    )
+    out_specs = [
+        pl.BlockSpec(
+            (a if isinstance(a, int) else a.shape[0], TD, TH, W),
+            lambda tz, ty, _t0=t0, _tz0=tz0: (0, tz + _tz0, ty + _t0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for a in out_init
+    ]
+    scratch = [
+        pltpu.VMEM((2, a.shape[0], wz, wy, wx), dtype) for a in ins_h
+    ] + [pltpu.SemaphoreType.DMA((3, max(n_h, 1)))]
+    aliases = {}
+    a_idx = 0
+    for o, a in enumerate(out_init):
+        if not isinstance(a, int):
+            aliases[n_sc + n_c + n_h + a_idx] = o
+            a_idx += 1
+    return pl.pallas_call(
+        kernel,
+        grid=(gz, gy),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        *[jnp.reshape(x, (1, 1)) for x in scalars],
+        *ins_c,
+        *ins_h,
+        *init_arrays,
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PallasArrays:
@@ -396,12 +643,14 @@ class PallasStepper:
         tile: Tuple[int, int] = (16, 256),
         interpret: bool = False,
     ):
-        assert sd.dim == 2, "pallas backend currently supports 2D canvases"
+        assert sd.dim in (2, 3), "pallas backend supports 2D/3D canvases"
         self.eq = eq
         self.params = params
         self.dtype = dtype
         self.interpret = interpret
-        self.H, self.W = sd.shape
+        self.canvas = tuple(sd.shape)  # (H, W) or (D, H, W)
+        self.H, self.W = self.canvas[-2], self.canvas[-1]
+        self.D = self.canvas[0] if sd.dim == 3 else None
         self.offsets = tuple(map(tuple, sd.offsets))
         self.K = sd.max_degree
         self.dim = sd.dim
@@ -412,7 +661,8 @@ class PallasStepper:
         # containing real nodes stay in bounds (all-margin tiles clamp,
         # which is harmless — their nodes are masked).  x-neighbors use
         # lane rolls of the full-width window (correct for periodic-x and
-        # masked otherwise).
+        # masked otherwise).  3D adds TD-plane z slabs with a one-plane
+        # z halo on the windows.
         del tile
         import os
 
@@ -420,44 +670,63 @@ class PallasStepper:
         TW = self.W
         if self.H % TH:
             raise ValueError(f"canvas height {self.H} not a multiple of {TH}")
-        if sd.margins[0] < TH and self.H // TH > 1:
+        if sd.margins[-2] < TH and self.H // TH > 1:
             raise ValueError(
                 "pallas backend needs >=8-row canvas margins "
                 "(pack_structured(margin=8))"
             )
         self.TH, self.TW = TH, TW
+        if self.dim == 3:
+            TD = int(os.environ.get("RYUJIN_TILE_D", "8"))
+            if self.D % TD:
+                raise ValueError(
+                    f"canvas depth {self.D} not a multiple of {TD}"
+                )
+            if sd.margins[0] < 1:
+                raise ValueError("3D pallas needs masked z margins")
+            self.TD = TD
+            self.tile = (TD, TH, TW)
+        else:
+            self.TD = None
+            self.tile = (TH, TW)
 
         H, W = self.H, self.W
         dim, K = self.dim, self.K
+        canvas = self.canvas
+        caxes = tuple(range(len(canvas)))
 
         def canv(x, planes):
             return jnp.asarray(
-                np.ascontiguousarray(x).reshape(planes, H, W), dtype
+                np.ascontiguousarray(x).reshape((planes,) + canvas), dtype
             )
 
         # static canvases (device-resident, built once):
-        cij = np.transpose(sd.cij.reshape(H, W, K, dim), (3, 2, 0, 1))
+        cij = np.moveaxis(
+            sd.cij.reshape(canvas + (K, dim)), (-1, -2), (0, 1)
+        )  # [dim, K, *canvas]
         # cmax[k] = max(|c_ij|, |c_ji|): the transposed coefficient lives
-        # at plane K-1-k of the (dy, dx) neighbor (symmetric-Riemann d):
-        norm_c = np.linalg.norm(cij, axis=0)  # [K, H, W]
+        # at plane K-1-k of the off_k neighbor (symmetric-Riemann d):
+        norm_c = np.linalg.norm(cij, axis=0)  # [K, *canvas]
         cmax = norm_c.copy()
-        for k, (dy, dx) in enumerate(self.offsets):
-            rolled = np.roll(norm_c[K - 1 - k], (-dy, -dx), axis=(0, 1))
+        for k, off in enumerate(self.offsets):
+            rolled = np.roll(
+                norm_c[K - 1 - k], tuple(-o for o in off), axis=caxes
+            )
             cmax[k] = np.maximum(cmax[k], rolled)
-        lumped = sd.lumped_mass.reshape(1, H, W)
+        lumped = sd.lumped_mass.reshape((1,) + canvas)
         self.arrays = PallasArrays(
             g_cij=canv(cij, dim * K),
-            g_mask=canv(sd.mask.T.reshape(K, H, W), K),
+            g_mask=canv(np.moveaxis(sd.mask, -1, 0), K),
             g_cmax=canv(cmax, K),
-            g_mij=canv(sd.mij.T.reshape(K, H, W), K),
-            g_cii=canv(sd.cii.T.reshape(dim, H, W), dim),
+            g_mij=canv(np.moveaxis(sd.mij, -1, 0), K),
+            g_cii=canv(np.moveaxis(sd.cii, -1, 0), dim),
             g_node=canv(
                 np.concatenate(
                     [
                         lumped,
                         1.0 / lumped,
-                        sd.n_nbrs.reshape(1, H, W),
-                        sd.node_mask.reshape(1, H, W),
+                        sd.n_nbrs.reshape((1,) + canvas),
+                        sd.node_mask.reshape((1,) + canvas),
                     ],
                     axis=0,
                 ),
@@ -473,8 +742,9 @@ class PallasStepper:
 
         # interior tile-row range (tiles containing real nodes); the masked
         # margins guarantee t0 >= 1 and one tile of slack below:
+        nm = sd.node_mask.reshape(canvas)
         rows_with_nodes = np.flatnonzero(
-            sd.node_mask.reshape(H, W).any(axis=1)
+            nm.any(axis=tuple(a for a in caxes if a != len(canvas) - 2))
         )
         r0, r1 = int(rows_with_nodes[0]), int(rows_with_nodes[-1]) + 1
         self.tile_rows = (r0 // self.TH, (r1 - 1) // self.TH + 1)
@@ -483,6 +753,23 @@ class PallasStepper:
                 "pallas backend needs >=8-row masked canvas margins "
                 "(pack_structured(margin=8))"
             )
+        if self.dim == 3:
+            planes_with_nodes = np.flatnonzero(nm.any(axis=(1, 2)))
+            z0, z1 = (
+                int(planes_with_nodes[0]), int(planes_with_nodes[-1]) + 1
+            )
+            self.tile_planes = (z0 // self.TD, (z1 - 1) // self.TD + 1)
+            # windows need one z-halo plane on each side:
+            if (
+                self.tile_planes[0] * self.TD < 1
+                or self.tile_planes[1] * self.TD + 1 > self.D
+            ):
+                raise ValueError(
+                    "3D pallas needs >=1 masked z-margin plane "
+                    "(pack_structured(margin=8))"
+                )
+        else:
+            self.tile_planes = None
 
     # -- helpers ----------------------------------------------------------
     def _d_win_sym(self, w_lam, cmax_t, mask, tv):
@@ -494,10 +781,10 @@ class PallasStepper:
         lam_win = self._win(w_lam, tv)
         K = self.K
         K2 = K // 2
-        lam_c = tvd.center(lam_win)  # [K2, TH, TW]
+        lam_c = tvd.center(lam_win)  # [K2, *tile]
         lam_T = jnp.stack([
-            tvd._slot(lam_win, K - 1 - k, dy, dx)
-            for k, (dy, dx) in list(enumerate(self.offsets))[K2:]
+            tvd._slot(lam_win, K - 1 - k, off)
+            for k, off in list(enumerate(self.offsets))[K2:]
         ])
         lam_full = jnp.concatenate([lam_c, lam_T], axis=0)
         return jnp.where(
@@ -517,8 +804,8 @@ class PallasStepper:
         K = self.K
         e_c = tvd.center(e_win)
         e_T = jnp.stack([
-            tvd._slot(e_win, K - 1 - k, dy, dx)
-            for k, (dy, dx) in enumerate(self.offsets)
+            tvd._slot(e_win, K - 1 - k, off)
+            for k, off in enumerate(self.offsets)
         ])
         return jnp.where(
             mask > 0, jnp.maximum(e_c, e_T), jnp.zeros_like(e_c)
@@ -542,10 +829,9 @@ class PallasStepper:
     def _sa(self, tv, w_cij, w_mask, w_mij, w_cii, w_node, mask_arr=None):
         c = tv.center
         dim, K = self.dim, self.K
-        TH, TW = self.TH, self.TW
         node = c(w_node) if w_node is not None else None
         return _SA(
-            cij=c(w_cij).reshape(dim, K, TH, TW)
+            cij=c(w_cij).reshape((dim, K) + self.tile)
             if w_cij is not None
             else None,
             cij_t=None,
@@ -562,26 +848,33 @@ class PallasStepper:
     def _win(self, w_ref, tv):
         """The live (TH+2)-row slice of a halo window ref: the rows a
         (dy in {-1, 0, 1}) slot of the tile (at ly = tv.ly) addresses.
-        Slice the ref ONCE and index the result with `_derived_view`."""
+        Slice the ref ONCE and index the result with `_derived_view`.
+        3D windows keep their (already minimal) TD+2 z extent."""
+        if tv.TD is not None:
+            return w_ref[
+                :, tv.lz - 1 : tv.lz + tv.TD + 1,
+                tv.ly - 1 : tv.ly + self.TH + 1, :,
+            ]
         return w_ref[:, tv.ly - 1 : tv.ly + self.TH + 1, :]
 
     @staticmethod
     def _derived_view(tv):
         """A _TileView addressing a `_win`-sliced array (tile at row 1)."""
         return _TileView(tv.offsets, 1, tv.lx, tv.TH, tv.TW,
-                         tv.halo_x, True, tv.wy, tv.wx)
+                         tv.halo_x, True, tv.wy, tv.wx,
+                         lz=(None if tv.TD is None else 1), TD=tv.TD)
 
     def _flux_win(self, w_U, tv, pl0=0):
         """Evaluate the flux tensor once on the halo window (planes
-        [pl0, pl0+C) of the ref); return the center [C, dim, TH, TW] and
-        neighbor [C, dim, K, TH, TW] views."""
+        [pl0, pl0+C) of the ref); return the center [C, dim, *tile] and
+        neighbor [C, dim, K, *tile] views."""
         C, dim, K = self.eq.n_comp, self.dim, self.K
         tvd = self._derived_view(tv)
-        win = w_U[pl0 : pl0 + C, tv.ly - 1 : tv.ly + self.TH + 1, :]
-        f_win = self.eq.f(win)  # [C, dim, TH+2, TW]
-        f_pl = f_win.reshape(C * dim, *f_win.shape[2:])
-        f_i = tvd.center(f_pl).reshape(C, dim, self.TH, self.TW)
-        f_j = tvd.nbr(f_pl).reshape(C, dim, K, self.TH, self.TW)
+        win = self._win(w_U[pl0 : pl0 + C], tv)
+        f_win = self.eq.f(win)  # [C, dim, (TD+2,) TH+2, TW]
+        f_pl = f_win.reshape((C * dim,) + f_win.shape[2:])
+        f_i = tvd.center(f_pl).reshape((C, dim) + self.tile)
+        f_j = tvd.nbr(f_pl).reshape((C, dim, K) + self.tile)
         return f_i, f_j
 
     def _stage_flux_fns(self, w_sU, tv, S, C):
@@ -592,22 +885,23 @@ class PallasStepper:
         ]
 
     def _stage_views(self, tv, w_stageU, w_stageP, S, C, P):
+        tile = self.tile
         if S == 0:
-            z = jnp.zeros((0, C, self.TH, self.TW), self.dtype)
-            zj = jnp.zeros((0, C, self.K, self.TH, self.TW), self.dtype)
-            zp = jnp.zeros((0, max(P, 1), self.TH, self.TW), self.dtype)[:, :P]
+            z = jnp.zeros((0, C) + tile, self.dtype)
+            zj = jnp.zeros((0, C, self.K) + tile, self.dtype)
+            zp = jnp.zeros((0, max(P, 1)) + tile, self.dtype)[:, :P]
             zpj = jnp.zeros(
-                (0, max(P, 1), self.K, self.TH, self.TW), self.dtype
+                (0, max(P, 1), self.K) + tile, self.dtype
             )[:, :P]
             return z, zp, zj, zpj
-        sU = tv.center(w_stageU).reshape(S, C, self.TH, self.TW)
-        sUj = tv.nbr(w_stageU).reshape(S, C, self.K, self.TH, self.TW)
+        sU = tv.center(w_stageU).reshape((S, C) + tile)
+        sUj = tv.nbr(w_stageU).reshape((S, C, self.K) + tile)
         if P:
-            sP = tv.center(w_stageP).reshape(S, P, self.TH, self.TW)
-            sPj = tv.nbr(w_stageP).reshape(S, P, self.K, self.TH, self.TW)
+            sP = tv.center(w_stageP).reshape((S, P) + tile)
+            sPj = tv.nbr(w_stageP).reshape((S, P, self.K) + tile)
         else:
-            sP = jnp.zeros((S, 0, self.TH, self.TW), self.dtype)
-            sPj = jnp.zeros((S, 0, self.K, self.TH, self.TW), self.dtype)
+            sP = jnp.zeros((S, 0) + tile, self.dtype)
+            sPj = jnp.zeros((S, 0, self.K) + tile, self.dtype)
         return sU, sP, sUj, sPj
 
     # -- the five kernels ---------------------------------------------------
@@ -617,21 +911,22 @@ class PallasStepper:
         eq, p = self.eq, self.params
         ga = stencil if isinstance(stencil, PallasArrays) else self.arrays
         H, W, TH, TW = self.H, self.W, self.TH, self.TW
+        canvas = self.canvas
         C = eq.n_comp
         PP = eq.n_precomputed
         K = self.K
         S = stage_U.shape[0]
         dtype = self.dtype
 
-        Uc = U.reshape(C, H, W)
-        precc = prec.reshape(PP, H, W)
-        sUc = stage_U.reshape(S * C, H, W) if S else jnp.zeros(
-            (0, H, W), dtype
+        Uc = U.reshape((C,) + canvas)
+        precc = prec.reshape((PP,) + canvas)
+        sUc = stage_U.reshape((S * C,) + canvas) if S else jnp.zeros(
+            (0,) + canvas, dtype
         )
         sPc = (
-            stage_prec.reshape(S * PP, H, W)
+            stage_prec.reshape((S * PP,) + canvas)
             if S and PP
-            else jnp.zeros((0, H, W), dtype)
+            else jnp.zeros((0,) + canvas, dtype)
         )
         w_vec = (
             stage_weights.astype(dtype)
@@ -639,14 +934,24 @@ class PallasStepper:
             else jnp.zeros((0,), dtype)
         )
 
-        common = dict(
-            offsets=self.offsets, H=H, W=W, TH=TH, TW=TW,
-            tile_rows=self.tile_rows, dtype=dtype,
-            interpret=self.interpret,
-        )
+        if self.dim == 3:
+            common = dict(
+                offsets=self.offsets, D=self.D, H=H, W=W,
+                TD=self.TD, TH=TH, tile_planes=self.tile_planes,
+                tile_rows=self.tile_rows, dtype=dtype,
+                interpret=self.interpret,
+            )
+            tiled_call = _tiled_call_3d
+        else:
+            common = dict(
+                offsets=self.offsets, H=H, W=W, TH=TH, TW=TW,
+                tile_rows=self.tile_rows, dtype=dtype,
+                interpret=self.interpret,
+            )
+            tiled_call = _tiled_call
 
         def zeros(planes):
-            return jnp.zeros((planes, H, W), dtype)
+            return jnp.zeros((planes,) + canvas, dtype)
 
         # ---- PK1: e (forward wavespeed products) + alpha ----------------
         def pk1(wins, scal, tv):
@@ -678,7 +983,7 @@ class PallasStepper:
 
         sym = bool(getattr(eq, "riemann_symmetric", False))
         K_e = K // 2 if sym else K
-        e, alpha = _tiled_call(
+        e, alpha = tiled_call(
             pk1,
             [(ga.g_cij, False), ga.g_node, Uc, precc],
             [],
@@ -687,13 +992,14 @@ class PallasStepper:
         )
         if sym and self.lambda_fixup is not None:
             # coupling-boundary-pair correction (few slots, XLA scatter)
-            e = self.lambda_fixup(e, U, prec).reshape(K_e, H, W)
+            e = self.lambda_fixup(e, U, prec).reshape((K_e,) + canvas)
 
         # ---- d + tau reduction (XLA, one fusion) ------------------------
+        caxes = tuple(range(len(canvas)))
         if sym:
             lam_T = jnp.stack([
-                jnp.roll(e[K - 1 - k], (-dy, -dx), axis=(0, 1))
-                for k, (dy, dx) in list(enumerate(self.offsets))[K_e:]
+                jnp.roll(e[K - 1 - k], tuple(-o for o in off), axis=caxes)
+                for k, off in list(enumerate(self.offsets))[K_e:]
             ])
             lam_full = jnp.concatenate([e, lam_T], axis=0)
             d = jnp.where(
@@ -702,8 +1008,8 @@ class PallasStepper:
         else:
             e_T = jnp.stack(
                 [
-                    jnp.roll(e[K - 1 - k], (-dy, -dx), axis=(0, 1))
-                    for k, (dy, dx) in enumerate(self.offsets)
+                    jnp.roll(e[K - 1 - k], tuple(-o for o in off), axis=caxes)
+                    for k, off in enumerate(self.offsets)
                 ]
             )
             d = hyp.d_from_e(ga.g_mask, e, e_T)
@@ -713,7 +1019,7 @@ class PallasStepper:
             node_mask=ga.node_mask_flat, measure_inv=self.measure_inv,
         )
         tau_max = hyp.tau_max_from_d(
-            sa_flat, d.reshape(K, H * W), cfl, tau_cap
+            sa_flat, d.reshape(K, -1), cfl, tau_cap
         )
         tau = jnp.where(compute_tau, tau_max, tau).astype(dtype)
 
@@ -746,7 +1052,7 @@ class PallasStepper:
             )
             return [U_low, F, bounds]
 
-        U_low, F, bounds = _tiled_call(
+        U_low, F, bounds = tiled_call(
             pk2,
             [(ga.g_cij, False), (ga.g_mask, False),
              (ga.g_cmax if sym else None, False), (ga.g_cii, False),
@@ -760,7 +1066,7 @@ class PallasStepper:
 
         ok = jnp.asarray(True)
         if p.limiter_iterations == 0:
-            return U_low.reshape(C, H * W), tau, ok
+            return U_low.reshape(C, -1), tau, ok
 
         # ---- PK3: P + first limiter pass --------------------------------
         def pk3(wins, scal, tv):
@@ -802,9 +1108,9 @@ class PallasStepper:
                 ),
                 axis=0,
             )
-            return [P.reshape(C * K, self.TH, self.TW), l, okp[None]]
+            return [P.reshape((C * K,) + self.tile), l, okp[None]]
 
-        P, l_ij, okp = _tiled_call(
+        P, l_ij, okp = tiled_call(
             pk3,
             [(ga.g_cij, False), (ga.g_cmax if sym else None, False),
              (ga.g_mij, False),
@@ -814,7 +1120,7 @@ class PallasStepper:
             # P is center-read only -> uninitialized; l is halo-read in
             # PK4 (transposed) -> zero margins; okp margins enter the
             # global min -> ones:
-            [C * K, zeros(K), jnp.ones((1, H, W), dtype)],
+            [C * K, zeros(K), jnp.ones((1,) + canvas, dtype)],
             **common,
         )
         ok = jnp.min(okp) > 0.5
@@ -831,7 +1137,7 @@ class PallasStepper:
                               mask_arr=self._derived_mask(w_node, tv))
                 U_t = tv.center(w_Ucur)
                 bounds_t = tv.center(w_bounds)
-                P_t = tv.center(w_P).reshape(C, K, self.TH, self.TW)
+                P_t = tv.center(w_P).reshape((C, K) + self.tile)
                 l_t = tv.center(w_l)
                 l_T = tv.transpose_edge(w_l)
                 U_next, l_new = hyp.phase_update(
@@ -841,7 +1147,7 @@ class PallasStepper:
                     return [U_next]
                 return [U_next, l_new]
 
-            outs = _tiled_call(
+            outs = tiled_call(
                 pk_up,
                 [ga.g_node,
                  (U_cur, False), (bounds, False), (P, False), l_ij],
@@ -854,4 +1160,4 @@ class PallasStepper:
             else:
                 U_cur, l_ij = outs
 
-        return U_cur.reshape(C, H * W), tau, ok
+        return U_cur.reshape(C, -1), tau, ok

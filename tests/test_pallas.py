@@ -16,6 +16,47 @@ from ryujin_tpu.solver.hyperbolic import HyperbolicModule
 from ryujin_tpu.solver.integrator import TimeIntegrator
 
 
+def test_pallas_interpret_matches_xla_3d():
+    """3D canvas kernels (z-slab tiles, one-plane z halo) vs the XLA
+    roll-based path on a smooth-bump flow."""
+    import jax
+
+    eq = Euler(dim=3)
+    from ryujin_tpu.offline.mesh import Boundary
+
+    mesh = geometry.rectangular_domain(
+        [0, 0, 0], [1, 1, 1], [1, 1, 1], 3,
+        [Boundary.dirichlet] * 6, dim=3,
+    )
+    data = assembly.assemble(mesh)
+    packed = structured.pack_structured(data, mesh)
+    init = make_initial_state(
+        eq, "uniform", primitive_state=(1.4, 1.0, 0.2, 0.1, 1.0)
+    )
+    res = {}
+    for be in ("xla", "pallas_interpret"):
+        hm = HyperbolicModule(eq, packed, init, dtype=jnp.float32, backend=be)
+        ti = TimeIntegrator(
+            hm, "erk 33", cfl_min=0.3, cfl_max=0.3,
+            cfl_recovery_strategy="none",
+        )
+        U = interpolate_nodal(init, packed, eq, 0.0, jnp.float32)
+        # non-trivial smooth density/energy bump so every kernel phase
+        # (riemann, indicator, limiter newton) does real work:
+        pos = jnp.asarray(packed.positions.T, jnp.float32)
+        bump = 1.0 + 0.3 * jnp.exp(
+            -20.0 * jnp.sum((pos - 0.5) ** 2, axis=0)
+        )
+        U = U.at[0].mul(bump)
+        U = U.at[4].mul(bump)
+        out = ti.advance(U, 0.0, 2)
+        res[be] = (np.asarray(out[0]), float(out[2]))
+    assert abs(res["xla"][1] / res["pallas_interpret"][1] - 1.0) < 1e-4
+    d = np.abs(res["xla"][0] - res["pallas_interpret"][0]).max()
+    assert np.isfinite(res["pallas_interpret"][0]).all()
+    assert d < 2e-4, d
+
+
 def test_pallas_interpret_matches_xla():
     eq = Euler(dim=2)
     mesh = geometry.rectangular_domain(
