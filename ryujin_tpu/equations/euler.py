@@ -262,10 +262,12 @@ class Euler:
 
     # ---- Riemann solver (riemann_solver.template.h) ---------------------
     def riemann_precompute(self, U):
-        """Node-local Riemann inputs (p, a), hoisted out of the per-edge
-        evaluation (the projection leaves pressure and sound speed
-        direction-independent: the perpendicular kinetic energy removed
-        from E reappears in the projected kinetic energy)."""
+        """Node-local Riemann inputs (p, a, 1/rho, 1/p, log2 p), hoisted
+        out of the per-edge evaluation (the projection leaves pressure and
+        sound speed direction-independent: the perpendicular kinetic
+        energy removed from E reappears in the projected kinetic energy).
+        The inverses remove per-edge divides; log2 p turns the
+        two-rarefaction pressure-ratio power into a single exp2."""
         g = self.params.gamma
         rho = self.density(U)
         rho_inv = 1.0 / rho
@@ -273,24 +275,28 @@ class Euler:
         rho_e = self.total_energy(U) - 0.5 * jnp.sum(m * m, 0) * rho_inv
         p = (g - 1.0) * rho_e
         a = jnp.sqrt(g * p * rho_inv)
-        return p, a
+        return p, a, rho_inv, 1.0 / p, jnp.log2(p)
 
     def riemann_data(self, U, n, pa=None):
-        """Project onto 1D data (rho, u_n, p, a) (riemann_solver.template.h:377-403)."""
+        """Project onto 1D data (rho, u_n, p, a, 1/p, log2 p or None)
+        (riemann_solver.template.h:377-403)."""
         rho = self.density(U)
-        rho_inv = 1.0 / rho
         m = self.momentum(U)
         proj_m = jnp.sum(n * m, 0)
         if pa is None:
+            rho_inv = 1.0 / rho
             perp = m - proj_m[None] * n
             E = self.total_energy(U) - 0.5 * jnp.sum(perp * perp, 0) * rho_inv
             g = self.params.gamma
             rho_e = E - 0.5 * proj_m * proj_m * rho_inv
             p = (g - 1.0) * rho_e
             a = jnp.sqrt(g * p * rho_inv)
+            p_inv, lp = 1.0 / p, None
         else:
-            p, a = pa
-        return rho, proj_m * rho_inv, p, a
+            p, a, rho_inv = pa[0], pa[1], pa[2]
+            p_inv = pa[3] if len(pa) > 3 else 1.0 / p
+            lp = pa[4] if len(pa) > 4 else None
+        return rho, proj_m * rho_inv, p, a, p_inv, lp
 
     def riemann_lambda_max(
         self, U_i, U_j, n_ij, prec_i=None, prec_j=None,
@@ -301,15 +307,20 @@ class Euler:
         g = self.params.gamma
         di = self.riemann_data(U_i, n_ij, pa_i)
         dj = self.riemann_data(U_j, n_ij, pa_j)
-        rho_i, u_i, p_i, a_i = di
-        rho_j, u_j, p_j, a_j = dj
+        rho_i, u_i, p_i, a_i, p_inv_i, lp_i = di
+        rho_j, u_j, p_j, a_j, p_inv_j, lp_j = dj
 
         p_max = jnp.maximum(p_i, p_j)
 
         # two-rarefaction estimate (:274-319)
         factor = (g - 1.0) * 0.5
         num = _pos(a_i + a_j - factor * (u_j - u_i))
-        den = a_i * jnp.power(p_i / p_j, -factor / g) + a_j
+        if lp_i is not None and lp_j is not None:
+            # (p_i/p_j)^(-factor/g) as one exp2 of precomputed log2 p
+            ratio_pow = jnp.exp2((-factor / g) * (lp_i - lp_j))
+        else:
+            ratio_pow = jnp.power(p_i / p_j, -factor / g)
+        den = a_i * ratio_pow + a_j
         exponent = 2.0 * g / (g - 1.0)
         p_rarefaction = p_j * _pow(num / den, exponent)
 
@@ -341,15 +352,15 @@ class Euler:
         )
 
         def lambda1_minus(data, p_star):
-            rho, u, p, a = data
+            rho, u, p, a, p_inv, _ = data
             fac = (g + 1.0) * 0.5 / g
-            tmp = _pos((p_star - p) / p)
+            tmp = _pos((p_star - p) * p_inv)
             return u - a * jnp.sqrt(1.0 + fac * tmp)
 
         def lambda3_plus(data, p_star):
-            rho, u, p, a = data
+            rho, u, p, a, p_inv, _ = data
             fac = (g + 1.0) * 0.5 / g
-            tmp = _pos((p_star - p) / p)
+            tmp = _pos((p_star - p) * p_inv)
             return u + a * jnp.sqrt(1.0 + fac * tmp)
 
         def compute_lambda(p_star):
@@ -366,7 +377,7 @@ class Euler:
         p_1 = jnp.where(p_1 <= p_2, p_1, p_2)
 
         def f_rs(data, p_star):
-            rho, u, p, a = data
+            rho, u, p, a, _, _ = data
             Az = 2.0 / (rho * (g + 1.0))
             Bz = (g - 1.0) / (g + 1.0) * p
             shock = (p_star - p) * jnp.sqrt(Az / (p_star + Bz))
@@ -375,7 +386,7 @@ class Euler:
             return jnp.where(p_star >= p, shock, rare)
 
         def df_rs(data, p_star):
-            rho, u, p, a = data
+            rho, u, p, a, _, _ = data
             radicand_inverse = 0.5 * rho * ((g + 1.0) * p_star + (g - 1.0) * p)
             denom = p_star + (g - 1.0) / (g + 1.0) * p
             true_value = (denom - 0.5 * (p_star - p)) / (

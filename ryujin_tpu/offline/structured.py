@@ -13,15 +13,17 @@ stride-uniform rows; the lattice makes every row uniform by construction.
 Lattice positions without a node (removed cells, padding added for TPU tile
 alignment) are masked: their edge masks are zero and their states are held
 at a safe constant.  Canvas dims of non-periodic axes are padded to TPU
-friendly multiples; periodic axes keep their exact period so that the
-wrap-around of the shift *is* the periodic identification.
+friendly multiples.  The periodic minor (x) axis keeps its exact period so
+that the wrap-around of the shift *is* the periodic identification;
+periodic leading axes get ghost bands instead (see StructuredData.ghosts)
+so that neither the shifts nor the Pallas halo windows ever wrap.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -77,6 +79,20 @@ class StructuredData:
     vertex_to_node: np.ndarray  # [n_raw] canvas id of (master of) vertex
     node_to_vertex: np.ndarray  # [n_pad] representative vertex; -1 pad
     boundary_rounds: List[Dict[int, BoundaryGroup]]
+
+    # Ghost bands per canvas axis: None, or (g, P) meaning the axis is
+    # laid out [g ghost | P real | g ghost | pad]; ghost rows mirror the
+    # wrapped real rows (top ghost [0, g) <- [P, P+g), bottom ghost
+    # [g+P, g+P+g) <- [g, 2g)).  Added for *periodic* non-minor axes so
+    # the neighbor shift never has to wrap the canvas: static arrays are
+    # ghost-filled at pack time, dynamic arrays must be refreshed before
+    # neighbor access (StructuredStencil.refresh_ghosts / the Pallas
+    # stepper's per-kernel refresh).  This is the SPMD rendition of the
+    # reference's ghost-row layer (sparse_matrix_simd.h:651-771).
+    ghosts: Tuple[Optional[Tuple[int, int]], ...] = ()
+    # 1.0 at real AND ghost positions (whose *values* are valid after a
+    # refresh); node_mask stays 0 at ghosts:
+    value_mask: Optional[np.ndarray] = None  # [n_pad]
 
 
 def pack_edge_values(sd: StructuredData, data: SparseOfflineData,
@@ -170,27 +186,38 @@ def pack_structured(
     )
     assert (si[real].max(axis=0) < logical).all()
 
-    # Canvas dims, slowest-first: (…, ny, nx); pad non-periodic axes.
-    # Non-periodic leading axes get a `margin`-row masked band top and
-    # bottom so that halo windows of the fused Pallas kernels
-    # (solver/pallas_step.py) never leave the canvas for tiles containing
-    # real nodes.
+    # Canvas dims, slowest-first: (…, ny, nx).  Non-periodic leading axes
+    # get a `margin`-row masked band top and bottom so that halo windows
+    # of the fused Pallas kernels (solver/pallas_step.py) never leave the
+    # canvas for tiles containing real nodes.  PERIODIC leading axes get
+    # the same band as *ghost* rows mirroring the wrapped real rows (the
+    # shift then never wraps the canvas; dynamic arrays are refreshed
+    # before neighbor access).  The periodic minor (x) axis needs neither:
+    # its wrap is the lane roll itself.
     pads = [pad_major] * (dim - 1) + [pad_minor]
     canvas = []
     offs = []
+    ghost_bands: List[Optional[Tuple[int, int]]] = []
     for axis in range(dim):  # canvas axis 0 = lattice dim (dim-1)
         d = dim - 1 - axis
         size = int(logical[d])
         off = 0
-        if not periodic[d]:
-            if dim > 1 and axis < dim - 1 and margin:
-                off = margin
-                size = size + 2 * margin
+        gh = None
+        if dim > 1 and axis < dim - 1 and margin:
+            off = margin
+            size = size + 2 * margin
+            if periodic[d]:
+                gh = (margin, int(logical[d]))
+        if not periodic[d] or gh is not None:
             size = _round_up(size, pads[axis] if dim > 1 else pad_minor)
+        elif periodic[d] and not (dim > 1 and axis < dim - 1):
+            pass  # periodic minor axis keeps its exact period
         canvas.append(size)
         offs.append(off)
+        ghost_bands.append(gh)
     canvas = tuple(canvas)
     margins = tuple(offs)
+    ghost_bands = tuple(ghost_bands)
     n_pad = int(np.prod(canvas))
 
     # canvas multi-index per vertex (canvas order: slowest-first):
@@ -234,6 +261,7 @@ def pack_structured(
             data, mesh, dim, K, offsets, canvas, margins, n_pad, logical,
             periodic, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
             positions, node_to_vertex, vertex_to_node, flat, real,
+            ghost_bands,
         )
 
     # edges, vectorized: source row i repeated deg times
@@ -275,15 +303,39 @@ def pack_structured(
         data, mesh, dim, K, offsets, canvas, margins, n_pad, logical,
         periodic, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
         positions, node_to_vertex, vertex_to_node, flat, real,
+        ghost_bands,
     )
+
+
+def _fill_ghosts(arr: np.ndarray, canvas, ghost_bands) -> None:
+    """Copy the wrapped real rows into the ghost bands, in place.
+
+    arr is [n_pad, ...]; axes are processed in order so that corner
+    regions (ghosts in several axes) end up double-wrapped."""
+    a = arr.reshape(canvas + arr.shape[1:])
+    for ax, gh in enumerate(ghost_bands):
+        if gh is None:
+            continue
+        g, P = gh
+        sl = [slice(None)] * a.ndim
+        dst, src = list(sl), list(sl)
+        dst[ax], src[ax] = slice(0, g), slice(P, P + g)
+        a[tuple(dst)] = a[tuple(src)]
+        dst[ax], src[ax] = slice(g + P, 2 * g + P), slice(g, 2 * g)
+        a[tuple(dst)] = a[tuple(src)]
 
 
 def _finalize_structured(
     data, mesh, dim, K, offsets, canvas, margins, n_pad, logical, periodic,
     cij, mij, mask, cii, lumped, n_nbrs, node_mask, positions,
-    node_to_vertex, vertex_to_node, flat, real,
+    node_to_vertex, vertex_to_node, flat, real, ghost_bands=(),
 ):
     del mesh, logical, periodic, flat
+    value_mask = node_mask.copy()
+    if any(gh is not None for gh in ghost_bands):
+        for arr in (cij, mij, mask, cii, lumped, n_nbrs, positions,
+                    value_mask):
+            _fill_ghosts(arr, canvas, ghost_bands)
     # boundary rounds in canvas numbering
     rounds: List[Dict[int, BoundaryGroup]] = []
     for rnd in data.boundary_rounds:
@@ -318,4 +370,6 @@ def _finalize_structured(
         vertex_to_node=vertex_to_node,
         node_to_vertex=node_to_vertex,
         boundary_rounds=rounds,
+        ghosts=ghost_bands,
+        value_mask=value_mask,
     )

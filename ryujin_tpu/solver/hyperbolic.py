@@ -123,7 +123,7 @@ def _stencil_from_ell(ell: EllData, dtype=jnp.float64) -> Stencil:
 
 @partial(
     jax.tree_util.register_dataclass,
-    meta_fields=("shape", "offsets"),
+    meta_fields=("shape", "offsets", "ghosts"),
     data_fields=(
         "cij", "mij", "mask", "cii", "m_lumped", "m_lumped_inv",
         "n_nbrs", "node_mask", "measure_inv",
@@ -136,13 +136,17 @@ class StructuredStencil:
     Node axis last, canvas-flattened.  `nbr` and `transpose_edge` reshape
     the node axis to the canvas and use jnp.roll with static shifts
     (slice+concat on TPU — no gather).  Wrapped-in values at non-periodic
-    canvas edges correspond to masked edges; for periodic axes the wrap is
-    exactly the periodic identification (offline/structured.py).  The
-    transposed slot of offset k is K-1-k (lattice_offsets ordering).
+    canvas edges correspond to masked edges; for the periodic minor axis
+    the wrap is exactly the periodic identification.  Periodic LEADING
+    axes instead carry ghost bands (offline/structured.py ghosts): their
+    wrapped values are copied into the ghost rows by `refresh_ghosts`,
+    which nbr/transpose_edge apply before shifting.  The transposed slot
+    of offset k is K-1-k (lattice_offsets ordering).
     """
 
     shape: Tuple[int, ...]
     offsets: Tuple[Tuple[int, ...], ...]
+    ghosts: Tuple[Optional[Tuple[int, int]], ...]
 
     cij: jax.Array  # [dim, K, n]
     mij: jax.Array  # [K, n]
@@ -158,6 +162,27 @@ class StructuredStencil:
     def K(self) -> int:
         return len(self.offsets)
 
+    @property
+    def have_ghosts(self) -> bool:
+        return any(g is not None for g in self.ghosts)
+
+    def refresh_ghosts(self, X: jax.Array) -> jax.Array:
+        """Copy the wrapped real rows into the ghost bands of [..., n]."""
+        if not self.have_ghosts:
+            return X
+        lead = X.shape[:-1]
+        Xc = X.reshape(lead + self.shape)
+        for ax, gh in enumerate(self.ghosts):
+            if gh is None:
+                continue
+            g, P = gh
+            a = len(lead) + ax
+            top = jax.lax.slice_in_dim(Xc, P, P + g, axis=a)
+            bot = jax.lax.slice_in_dim(Xc, g, 2 * g, axis=a)
+            Xc = jax.lax.dynamic_update_slice_in_dim(Xc, top, 0, a)
+            Xc = jax.lax.dynamic_update_slice_in_dim(Xc, bot, g + P, a)
+        return Xc.reshape(X.shape)
+
     def _shift(self, Xc: jax.Array, off) -> jax.Array:
         d = len(self.shape)
         axes = tuple(range(Xc.ndim - d, Xc.ndim))
@@ -165,6 +190,7 @@ class StructuredStencil:
 
     def nbr(self, X: jax.Array) -> jax.Array:
         """[..., n] -> [..., K, n] via K static canvas shifts."""
+        X = self.refresh_ghosts(X)
         lead = X.shape[:-1]
         Xc = X.reshape(lead + self.shape)
         out = jnp.stack(
@@ -175,6 +201,7 @@ class StructuredStencil:
 
     def transpose_edge(self, E: jax.Array) -> jax.Array:
         """[..., K, n] -> [..., K, n]: out[..., k, i] = E[..., K-1-k, i+off_k]."""
+        E = self.refresh_ghosts(E)
         K = E.shape[-2]
         lead = E.shape[:-2]
         Ec = E.reshape(lead + (K,) + self.shape)
@@ -193,6 +220,8 @@ class StructuredStencil:
         return StructuredStencil(
             shape=tuple(sd.shape),
             offsets=tuple(map(tuple, sd.offsets)),
+            ghosts=tuple(getattr(sd, "ghosts", ()) or
+                         (None,) * len(sd.shape)),
             cij=_f(_edge_vec(sd.cij), dtype),
             mij=_f(sd.mij.T, dtype),
             mask=_f(sd.mask.T, dtype),

@@ -23,9 +23,10 @@ per phase; everything else stays in VMEM.
 canvases run (z-slab, row-tile) grids with a one-plane z halo on the
 windows (`_tiled_call_3d`).
 
-Constraints: non-periodic leading (y/z) axes — periodic wrap there would
-need margin exchange; such meshes fall back to the XLA path.  The x axis
-wraps for free (lane rolls of full-width windows).
+Periodic axes: the minor (x) axis wraps for free (lane rolls of
+full-width windows); periodic LEADING (y/z) axes carry ghost bands
+(offline/structured.py) that are refreshed by margin-sized XLA copies
+before every halo-reading kernel (`_refresh`).
 """
 
 from __future__ import annotations
@@ -333,8 +334,8 @@ def _tiled_call(
             )
             for a in ins_c
         ]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_h
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_ali  # aliased inits
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_h
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_ali  # aliased inits
     )
     out_specs = [
         pl.BlockSpec(
@@ -557,8 +558,8 @@ def _tiled_call_3d(
             )
             for a in ins_c
         ]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_h
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_ali  # aliased inits
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_h
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_ali  # aliased inits
     )
     out_specs = [
         pl.BlockSpec(
@@ -727,10 +728,12 @@ class PallasStepper:
                         1.0 / lumped,
                         sd.n_nbrs.reshape((1,) + canvas),
                         sd.node_mask.reshape((1,) + canvas),
+                        (sd.node_mask if sd.value_mask is None
+                         else sd.value_mask).reshape((1,) + canvas),
                     ],
                     axis=0,
                 ),
-                4,
+                5,
             ),
             node_mask_flat=jnp.asarray(sd.node_mask, dtype),
             m_lumped_flat=jnp.asarray(sd.lumped_mass, dtype),
@@ -739,6 +742,13 @@ class PallasStepper:
         # set by HyperbolicModule when the equation's Riemann solve is
         # symmetric (lambda fixup at coupling boundary pairs):
         self.lambda_fixup = None
+
+        # ghost bands of periodic leading axes (offline/structured.py):
+        # dynamic canvases are refreshed before every halo-reading kernel
+        self.ghost_bands = tuple(
+            getattr(sd, "ghosts", ()) or (None,) * len(canvas)
+        )
+        self._have_ghosts = any(g is not None for g in self.ghost_bands)
 
         # interior tile-row range (tiles containing real nodes); the masked
         # margins guarantee t0 >= 1 and one tile of slack below:
@@ -812,19 +822,21 @@ class PallasStepper:
         )
 
     def _derived_mask(self, w_node, tv):
-        """Edge mask from node-mask products: mask[k] = nm_i * nm_j.
+        """Edge mask from mask products: mask[k] = nm_i * vm_j.
 
-        Saves the 8-plane g_mask read.  False extra edges (canvas-adjacent
-        real nodes without a mesh edge, e.g. across the re-entrant step
-        corner) carry c_ij = m_ij = 0, so every flux/viscosity/limiter
-        term they enter vanishes; only the limiter *bounds* accumulation
-        (a pure min/max over the stencil) distinguishes them — PK2 keeps
-        the exact g_mask for that reason."""
+        Saves the K-plane g_mask read.  The neighbor factor is the VALUE
+        mask (real + ghost rows): an edge from a real node into a ghost
+        band (periodic wrap) is live and reads the refreshed ghost value.
+        False extra edges (canvas-adjacent real nodes without a mesh edge,
+        e.g. across the re-entrant step corner) carry c_ij = m_ij = 0, so
+        every flux/viscosity/limiter term they enter vanishes; only the
+        limiter *bounds* accumulation (a pure min/max over the stencil)
+        distinguishes them — PK2 keeps the exact g_mask for that reason."""
         tvd = self._derived_view(tv)
-        nm_win = self._win(w_node, tv)[3:4]
-        nm_c = tvd.center(nm_win)[0]
-        nm_j = tvd.nbr(nm_win)[0]  # [K, TH, TW]
-        return nm_c[None] * nm_j
+        nm_win = self._win(w_node, tv)[3:5]
+        nm_c = tvd.center(nm_win)[0]  # node_mask plane
+        vm_j = tvd.nbr(nm_win)[1]  # value_mask plane, [K, *tile]
+        return nm_c[None] * vm_j
 
     def _sa(self, tv, w_cij, w_mask, w_mij, w_cii, w_node, mask_arr=None):
         c = tv.center
@@ -904,6 +916,27 @@ class PallasStepper:
             sPj = jnp.zeros((S, 0, self.K) + tile, self.dtype)
         return sU, sP, sUj, sPj
 
+    def _refresh(self, X):
+        """Copy wrapped real rows into the ghost bands of [planes, *canvas].
+
+        Applied to every dynamic canvas before a kernel halo-reads it
+        (periodic leading axes only; a no-op otherwise).  The margin-sized
+        dynamic-update-slices are negligible next to the kernel traffic —
+        this is the XLA-SPMD rendition of the reference's ghost-row
+        update_ghost_rows_{start,finish} (sparse_matrix_simd.h:651-771)."""
+        if not self._have_ghosts or X.shape[0] == 0:
+            return X
+        for ax, gh in enumerate(self.ghost_bands):
+            if gh is None:
+                continue
+            g, P = gh
+            a = 1 + ax
+            top = jax.lax.slice_in_dim(X, P, P + g, axis=a)
+            bot = jax.lax.slice_in_dim(X, g, 2 * g, axis=a)
+            X = jax.lax.dynamic_update_slice_in_dim(X, top, 0, a)
+            X = jax.lax.dynamic_update_slice_in_dim(X, bot, g + P, a)
+        return X
+
     # -- the five kernels ---------------------------------------------------
     def step(self, U, prec, stage_U, stage_prec, stage_weights, tau, cfl,
              tau_cap, compute_tau, stencil):
@@ -933,6 +966,10 @@ class PallasStepper:
             if S
             else jnp.zeros((0,), dtype)
         )
+        Uc = self._refresh(Uc)
+        precc = self._refresh(precc)
+        sUc = self._refresh(sUc)
+        sPc = self._refresh(sPc)
 
         if self.dim == 3:
             common = dict(
@@ -973,7 +1010,7 @@ class PallasStepper:
                 )
                 kw["rp"] = tuple(tvd.center(pa_win))
                 pa_j = tvd.nbr(pa_win)
-                kw["rp_j"] = (pa_j[0], pa_j[1])
+                kw["rp_j"] = tuple(pa_j)
             if getattr(eq, "hoist_node_flux", False):
                 kw["f_i"], kw["f_j"] = self._flux_win(w_U, tv)
             e, alpha = hyp.phase_e_alpha(
@@ -993,6 +1030,8 @@ class PallasStepper:
         if sym and self.lambda_fixup is not None:
             # coupling-boundary-pair correction (few slots, XLA scatter)
             e = self.lambda_fixup(e, U, prec).reshape((K_e,) + canvas)
+        e = self._refresh(e)
+        alpha = self._refresh(alpha)
 
         # ---- d + tau reduction (XLA, one fusion) ------------------------
         caxes = tuple(range(len(canvas)))
@@ -1063,6 +1102,7 @@ class PallasStepper:
             [Uc, zeros(C), n_b],
             **common,
         )
+        F = self._refresh(F)
 
         ok = jnp.asarray(True)
         if p.limiter_iterations == 0:
@@ -1124,6 +1164,7 @@ class PallasStepper:
             **common,
         )
         ok = jnp.min(okp) > 0.5
+        l_ij = self._refresh(l_ij)
 
         # ---- PK4/PK5: symmetrized limited updates -----------------------
         U_cur = U_low
@@ -1159,5 +1200,6 @@ class PallasStepper:
                 (U_cur,) = outs
             else:
                 U_cur, l_ij = outs
+                l_ij = self._refresh(l_ij)
 
         return U_cur.reshape(C, -1), tau, ok

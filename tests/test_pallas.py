@@ -16,6 +16,49 @@ from ryujin_tpu.solver.hyperbolic import HyperbolicModule
 from ryujin_tpu.solver.integrator import TimeIntegrator
 
 
+def test_pallas_periodic_ghost_canvas():
+    """Periodic-y canvases carry ghost bands refreshed between kernels;
+    both the XLA roll path and the pallas kernels must reproduce the ELL
+    reference on a fully periodic vortex."""
+    from ryujin_tpu.offline import ell
+    from ryujin_tpu.offline.mesh import Boundary
+
+    eq = Euler(dim=2)
+    mesh = geometry.rectangular_domain(
+        [-5, -5], [5, 5], [1, 1], refinement=5,
+        boundary_conditions=[Boundary.periodic] * 4,
+    )
+    data = assembly.assemble(mesh)
+    init = make_initial_state(
+        eq, "isentropic vortex", direction=[1, 1], position=[0, 0],
+        mach_number=1.0, beta=5.0,
+    )
+    sd = structured.pack_structured(data, mesh)
+    assert any(g is not None for g in sd.ghosts), "expected y ghost band"
+    res = {}
+    for name, packed, be in (
+        ("ell", ell.pack(data), "xla"),
+        ("xla", sd, "xla"),
+        ("pallas", sd, "pallas_interpret"),
+    ):
+        hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64,
+                              backend=be)
+        ti = TimeIntegrator(hm, "erk 33", cfl_min=0.3, cfl_max=0.3,
+                            cfl_recovery_strategy="none")
+        U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+        out = ti.advance(U, 0.0, 3)
+        real = np.asarray(packed.node_mask) > 0
+        pos = np.asarray(packed.positions)[real]
+        order = np.lexsort(pos.T)
+        res[name] = (np.asarray(out[0])[:, real][:, order], float(out[3]))
+    for name in ("xla", "pallas"):
+        np.testing.assert_allclose(
+            res[name][0], res["ell"][0], rtol=5e-12, atol=1e-12,
+            err_msg=name,
+        )
+        assert abs(res[name][1] / res["ell"][1] - 1.0) < 1e-12, name
+
+
 def test_pallas_interpret_matches_xla_3d():
     """3D canvas kernels (z-slab tiles, one-plane z halo) vs the XLA
     roll-based path on a smooth-bump flow."""
