@@ -93,6 +93,16 @@ class StructuredData:
     # 1.0 at real AND ghost positions (whose *values* are valid after a
     # refresh); node_mask stays 0 at ghosts:
     value_mask: Optional[np.ndarray] = None  # [n_pad]
+    # Slab decomposition of canvas axis 0 for multi-chip sharding:
+    # (n_slabs, Ls, g) — the axis is n_slabs uniform slabs
+    # [g ghost | Ls rows | g ghost]; slab s's ghosts mirror the wrapped
+    # real edge rows of slabs s-1 / s+1 (cyclic).  Refreshing is a roll
+    # along the slab axis — exactly a collective-permute when that axis
+    # is sharded over a device mesh (the XLA-SPMD halo exchange of
+    # SURVEY.md §5.7).  For non-periodic axes the two outermost ghost
+    # bands receive wrapped garbage, but value_mask is 0 there so every
+    # edge into them is masked:
+    slab_spec: Optional[Tuple[int, int, int]] = None
 
 
 def pack_edge_values(sd: StructuredData, data: SparseOfflineData,
@@ -160,12 +170,18 @@ def pack_structured(
     pad_minor: int = 128,
     pad_major: int = 8,
     margin: int = 8,
+    slabs: int = 1,
 ) -> StructuredData:
     """Pack onto the lattice canvas recorded in mesh.structured_index.
 
     Canvas axis order is (slowest ... fastest) = reversed lattice dims, i.e.
     2D canvas is [ny, nx] with x fastest — matching the row-major vertex
     numbering of the lattice generators.
+
+    slabs > 1 decomposes canvas axis 0 into `slabs` uniform ghost-banded
+    slabs (StructuredData.slab_spec) so the canvas can be sharded over a
+    device mesh along that axis — the domain-decomposition analog of the
+    reference's MPI partitioning (offline_data.h:136-169).
     """
     if mesh.structured_index is None or mesh.structured_shape is None:
         raise ValueError("mesh carries no lattice structure")
@@ -215,6 +231,28 @@ def pack_structured(
         canvas.append(size)
         offs.append(off)
         ghost_bands.append(gh)
+    # slab decomposition of canvas axis 0 (multi-chip sharding):
+    slab_spec = None
+    if slabs > 1:
+        if dim < 2:
+            raise ValueError("slab decomposition needs dim >= 2")
+        d0 = dim - 1
+        L = int(logical[d0])
+        if periodic[d0]:
+            if L % slabs or (L // slabs) % pad_major:
+                raise ValueError(
+                    f"periodic axis of period {L} cannot be split into "
+                    f"{slabs} slabs of a multiple of {pad_major} rows"
+                )
+            Ls = L // slabs
+        else:
+            Ls = _round_up(-(-L // slabs), pad_major)
+        g = margin
+        slab_spec = (slabs, Ls, g)
+        canvas[0] = slabs * (Ls + 2 * g)
+        offs[0] = g
+        ghost_bands[0] = None  # slab ghosts supersede the periodic band
+
     canvas = tuple(canvas)
     margins = tuple(offs)
     ghost_bands = tuple(ghost_bands)
@@ -223,6 +261,10 @@ def pack_structured(
     # canvas multi-index per vertex (canvas order: slowest-first):
     cidx = si[:, ::-1].copy()  # [n_raw, dim] now (iy..., ix) for 2D
     cidx += np.asarray(margins)[None, :]
+    if slab_spec is not None:
+        n_sl, Ls, g = slab_spec
+        r = si[:, dim - 1] % max(int(logical[dim - 1]), 1)
+        cidx[:, 0] = (r // Ls) * (Ls + 2 * g) + g + (r % Ls)
     flat = np.ravel_multi_index(tuple(cidx.T), canvas, mode="wrap")
     vertex_to_node = flat[data.master]
 
@@ -261,7 +303,7 @@ def pack_structured(
             data, mesh, dim, K, offsets, canvas, margins, n_pad, logical,
             periodic, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
             positions, node_to_vertex, vertex_to_node, flat, real,
-            ghost_bands,
+            ghost_bands, slab_spec, bool(periodic[dim - 1]),
         )
 
     # edges, vectorized: source row i repeated deg times
@@ -303,7 +345,7 @@ def pack_structured(
         data, mesh, dim, K, offsets, canvas, margins, n_pad, logical,
         periodic, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
         positions, node_to_vertex, vertex_to_node, flat, real,
-        ghost_bands,
+        ghost_bands, slab_spec, bool(periodic[dim - 1]),
     )
 
 
@@ -325,10 +367,21 @@ def _fill_ghosts(arr: np.ndarray, canvas, ghost_bands) -> None:
         a[tuple(dst)] = a[tuple(src)]
 
 
+def _fill_slab_ghosts(arr: np.ndarray, canvas, slab_spec) -> None:
+    """Fill the slab ghost bands of canvas axis 0 with the wrapped real
+    edge rows of the cyclically adjacent slabs, in place."""
+    n, Ls, g = slab_spec
+    A = Ls + 2 * g
+    a = arr.reshape((n, A) + canvas[1:] + arr.shape[1:])
+    a[:, :g] = np.roll(a[:, Ls : Ls + g], 1, axis=0)
+    a[:, g + Ls : g + Ls + g] = np.roll(a[:, g : 2 * g], -1, axis=0)
+
+
 def _finalize_structured(
     data, mesh, dim, K, offsets, canvas, margins, n_pad, logical, periodic,
     cij, mij, mask, cii, lumped, n_nbrs, node_mask, positions,
     node_to_vertex, vertex_to_node, flat, real, ghost_bands=(),
+    slab_spec=None, axis0_periodic=False,
 ):
     del mesh, logical, periodic, flat
     value_mask = node_mask.copy()
@@ -336,6 +389,20 @@ def _finalize_structured(
         for arr in (cij, mij, mask, cii, lumped, n_nbrs, positions,
                     value_mask):
             _fill_ghosts(arr, canvas, ghost_bands)
+    if slab_spec is not None:
+        n_sl, Ls, g = slab_spec
+        if Ls < g:
+            raise ValueError(f"slab rows {Ls} smaller than ghost band {g}")
+        for arr in (cij, mij, mask, cii, lumped, n_nbrs, positions,
+                    value_mask):
+            _fill_slab_ghosts(arr, canvas, slab_spec)
+        if not axis0_periodic:
+            # the outermost ghost bands received wrapped garbage; mask
+            # any (nonexistent) edges into them:
+            A = Ls + 2 * g
+            vm = value_mask.reshape((n_sl, A) + canvas[1:])
+            vm[0, :g] = 0.0
+            vm[-1, g + Ls : g + Ls + g] = 0.0
     # boundary rounds in canvas numbering
     rounds: List[Dict[int, BoundaryGroup]] = []
     for rnd in data.boundary_rounds:
@@ -372,4 +439,5 @@ def _finalize_structured(
         boundary_rounds=rounds,
         ghosts=ghost_bands,
         value_mask=value_mask,
+        slab_spec=slab_spec,
     )

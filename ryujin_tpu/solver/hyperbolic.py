@@ -123,7 +123,7 @@ def _stencil_from_ell(ell: EllData, dtype=jnp.float64) -> Stencil:
 
 @partial(
     jax.tree_util.register_dataclass,
-    meta_fields=("shape", "offsets", "ghosts"),
+    meta_fields=("shape", "offsets", "ghosts", "slab_spec"),
     data_fields=(
         "cij", "mij", "mask", "cii", "m_lumped", "m_lumped_inv",
         "n_nbrs", "node_mask", "measure_inv",
@@ -157,6 +157,7 @@ class StructuredStencil:
     n_nbrs: jax.Array  # [n]
     node_mask: jax.Array  # [n]
     measure_inv: jax.Array  # scalar
+    slab_spec: Optional[Tuple[int, int, int]] = None
 
     @property
     def K(self) -> int:
@@ -164,7 +165,10 @@ class StructuredStencil:
 
     @property
     def have_ghosts(self) -> bool:
-        return any(g is not None for g in self.ghosts)
+        return (
+            any(g is not None for g in self.ghosts)
+            or self.slab_spec is not None
+        )
 
     def refresh_ghosts(self, X: jax.Array) -> jax.Array:
         """Copy the wrapped real rows into the ghost bands of [..., n]."""
@@ -172,6 +176,24 @@ class StructuredStencil:
             return X
         lead = X.shape[:-1]
         Xc = X.reshape(lead + self.shape)
+        if self.slab_spec is not None:
+            # slab ghosts of canvas axis 0: a cyclic roll along the slab
+            # axis — a collective-permute when that axis is sharded
+            n_sl, Ls, g = self.slab_spec
+            A = Ls + 2 * g
+            Xs = Xc.reshape(lead + (n_sl, A) + self.shape[1:])
+            a = len(lead) + 1
+            top = jnp.roll(
+                jax.lax.slice_in_dim(Xs, Ls, Ls + g, axis=a), 1,
+                axis=len(lead),
+            )
+            bot = jnp.roll(
+                jax.lax.slice_in_dim(Xs, g, 2 * g, axis=a), -1,
+                axis=len(lead),
+            )
+            Xs = jax.lax.dynamic_update_slice_in_dim(Xs, top, 0, a)
+            Xs = jax.lax.dynamic_update_slice_in_dim(Xs, bot, g + Ls, a)
+            Xc = Xs.reshape(lead + self.shape)
         for ax, gh in enumerate(self.ghosts):
             if gh is None:
                 continue
@@ -222,6 +244,7 @@ class StructuredStencil:
             offsets=tuple(map(tuple, sd.offsets)),
             ghosts=tuple(getattr(sd, "ghosts", ()) or
                          (None,) * len(sd.shape)),
+            slab_spec=getattr(sd, "slab_spec", None),
             cij=_f(_edge_vec(sd.cij), dtype),
             mij=_f(sd.mij.T, dtype),
             mask=_f(sd.mask.T, dtype),
@@ -318,7 +341,12 @@ def _boundary_pair_data(st, dtype):
     K2 = K // 2
     mis = np.linalg.norm(cij + cT, axis=0)
     scale = np.linalg.norm(cij, axis=0) + np.linalg.norm(cT, axis=0)
+    # restrict to real rows: ghost-band rows carry copied coefficients
+    # whose transpose-mismatch is meaningless (and the outer slab bands
+    # may hold wrapped garbage)
+    nm = np.asarray(st.node_mask) > 0
     mismatch = (mask > 0) & (mis > 1.0e-10 * np.maximum(scale, 1e-300))
+    mismatch &= nm[None]
     kk, nn = np.nonzero(mismatch[:K2])
     if len(kk) == 0:
         return None

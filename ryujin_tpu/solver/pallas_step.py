@@ -743,12 +743,21 @@ class PallasStepper:
         # symmetric (lambda fixup at coupling boundary pairs):
         self.lambda_fixup = None
 
+        # multi-chip: set by parallel.sharding.shard_pallas_module —
+        # kernels then run per-device under shard_map over the slab axis
+        self.device_mesh = None
+        self.mesh_axis = None
+
         # ghost bands of periodic leading axes (offline/structured.py):
         # dynamic canvases are refreshed before every halo-reading kernel
         self.ghost_bands = tuple(
             getattr(sd, "ghosts", ()) or (None,) * len(canvas)
         )
-        self._have_ghosts = any(g is not None for g in self.ghost_bands)
+        self.slab_spec = getattr(sd, "slab_spec", None)
+        self._have_ghosts = (
+            any(g is not None for g in self.ghost_bands)
+            or self.slab_spec is not None
+        )
 
         # interior tile-row range (tiles containing real nodes); the masked
         # margins guarantee t0 >= 1 and one tile of slack below:
@@ -926,6 +935,21 @@ class PallasStepper:
         update_ghost_rows_{start,finish} (sparse_matrix_simd.h:651-771)."""
         if not self._have_ghosts or X.shape[0] == 0:
             return X
+        if self.slab_spec is not None:
+            # cyclic roll along the slab axis — a collective-permute when
+            # that axis is sharded over the device mesh
+            n_sl, Ls, g = self.slab_spec
+            A = Ls + 2 * g
+            Xs = X.reshape(X.shape[:1] + (n_sl, A) + self.canvas[1:])
+            top = jnp.roll(
+                jax.lax.slice_in_dim(Xs, Ls, Ls + g, axis=2), 1, axis=1
+            )
+            bot = jnp.roll(
+                jax.lax.slice_in_dim(Xs, g, 2 * g, axis=2), -1, axis=1
+            )
+            Xs = jax.lax.dynamic_update_slice_in_dim(Xs, top, 0, 2)
+            Xs = jax.lax.dynamic_update_slice_in_dim(Xs, bot, g + Ls, 2)
+            X = Xs.reshape(X.shape[:1] + self.canvas)
         for ax, gh in enumerate(self.ghost_bands):
             if gh is None:
                 continue
@@ -936,6 +960,73 @@ class PallasStepper:
             X = jax.lax.dynamic_update_slice_in_dim(X, top, 0, a)
             X = jax.lax.dynamic_update_slice_in_dim(X, bot, g + P, a)
         return X
+
+    def _call(self, tiled_call, compute, ins, scalars, out_init, common):
+        """Dispatch one fused kernel — directly, or per-device under
+        shard_map when a device mesh is attached.
+
+        Sharded mode: the canvas leading axis is n_dev uniform ghost-banded
+        slabs (StructuredData.slab_spec); each device runs the kernel on
+        its local [planes, A_loc, ...] slab with uniform interior tile
+        ranges.  The XLA glue between kernels (ghost refresh via slab-axis
+        roll, tau/ok reductions, lambda fixup) stays in global-array land
+        where GSPMD partitions it — the refresh roll becomes the
+        collective-permute halo exchange of SURVEY.md §5.7."""
+        if self.device_mesh is None:
+            return tiled_call(compute, ins, scalars, out_init, **common)
+        from jax.sharding import PartitionSpec
+        from jax import shard_map
+
+        n_sl, Ls, g = self.slab_spec
+        A = Ls + 2 * g
+        ax = self.mesh_axis
+        lc = dict(common)
+        if self.dim == 3:
+            lc["D"] = A
+            lc["tile_planes"] = (1, A // self.TD - 1)
+        else:
+            lc["H"] = A
+            lc["tile_rows"] = (1, A // self.TH - 1)
+
+        norm = [(a, True) if not isinstance(a, tuple) else a for a in ins]
+        vals = [a for a, _ in norm]
+        flags = [h for _, h in norm]
+        present = [v is not None for v in vals]
+        arrs = tuple(v for v in vals if v is not None)
+        init_arrays = tuple(a for a in out_init if not isinstance(a, int))
+
+        def cspec(x):
+            return PartitionSpec(None, ax, *([None] * (x.ndim - 2)))
+
+        def local_fn(arrs_l, scal_l, inits_l):
+            it = iter(arrs_l)
+            ins_l = []
+            for pres, flag in zip(present, flags):
+                v = next(it) if pres else None
+                ins_l.append(v if flag else (v, False))
+            it2 = iter(inits_l)
+            out_l = [
+                a if isinstance(a, int) else next(it2) for a in out_init
+            ]
+            return tuple(
+                tiled_call(compute, ins_l, list(scal_l), out_l, **lc)
+            )
+
+        out = shard_map(
+            local_fn,
+            mesh=self.device_mesh,
+            in_specs=(
+                tuple(cspec(a) for a in arrs),
+                tuple(PartitionSpec() for _ in scalars),
+                tuple(cspec(a) for a in init_arrays),
+            ),
+            out_specs=tuple(
+                PartitionSpec(None, ax, *([None] * (len(self.canvas) - 1)))
+                for _ in out_init
+            ),
+            check_vma=False,
+        )(arrs, tuple(scalars), init_arrays)
+        return out
 
     # -- the five kernels ---------------------------------------------------
     def step(self, U, prec, stage_U, stage_prec, stage_weights, tau, cfl,
@@ -1020,12 +1111,12 @@ class PallasStepper:
 
         sym = bool(getattr(eq, "riemann_symmetric", False))
         K_e = K // 2 if sym else K
-        e, alpha = tiled_call(
-            pk1,
+        e, alpha = self._call(
+            tiled_call, pk1,
             [(ga.g_cij, False), ga.g_node, Uc, precc],
             [],
             [K_e, zeros(1)],  # e uninit: consumers mask the halo read
-            **common,
+            common,
         )
         if sym and self.lambda_fixup is not None:
             # coupling-boundary-pair correction (few slots, XLA scatter)
@@ -1091,8 +1182,8 @@ class PallasStepper:
             )
             return [U_low, F, bounds]
 
-        U_low, F, bounds = tiled_call(
-            pk2,
+        U_low, F, bounds = self._call(
+            tiled_call, pk2,
             [(ga.g_cij, False), (ga.g_mask, False),
              (ga.g_cmax if sym else None, False), (ga.g_cii, False),
              (ga.g_node, False), Uc, precc, e, alpha, sUc, sPc],
@@ -1100,7 +1191,7 @@ class PallasStepper:
             # F is halo-read in PK3 -> needs valid (zero) margins; bounds
             # are only ever read at the center tile -> uninitialized:
             [Uc, zeros(C), n_b],
-            **common,
+            common,
         )
         F = self._refresh(F)
 
@@ -1150,8 +1241,8 @@ class PallasStepper:
             )
             return [P.reshape((C * K,) + self.tile), l, okp[None]]
 
-        P, l_ij, okp = tiled_call(
-            pk3,
+        P, l_ij, okp = self._call(
+            tiled_call, pk3,
             [(ga.g_cij, False), (ga.g_cmax if sym else None, False),
              (ga.g_mij, False),
              (ga.g_cii, False), ga.g_node, Uc, precc, e,
@@ -1161,7 +1252,7 @@ class PallasStepper:
             # PK4 (transposed) -> zero margins; okp margins enter the
             # global min -> ones:
             [C * K, zeros(K), jnp.ones((1,) + canvas, dtype)],
-            **common,
+            common,
         )
         ok = jnp.min(okp) > 0.5
         l_ij = self._refresh(l_ij)
@@ -1188,13 +1279,13 @@ class PallasStepper:
                     return [U_next]
                 return [U_next, l_new]
 
-            outs = tiled_call(
-                pk_up,
+            outs = self._call(
+                tiled_call, pk_up,
                 [ga.g_node,
                  (U_cur, False), (bounds, False), (P, False), l_ij],
                 [],
                 [Uc] if last else [Uc, zeros(K)],
-                **common,
+                common,
             )
             if last:
                 (U_cur,) = outs

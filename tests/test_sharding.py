@@ -106,6 +106,85 @@ def test_structured_3d_matches_ell():
     assert abs(res["structured"][1] / res["ell"][1] - 1.0) < 1e-12
 
 
+def test_sharded_pallas_slab_canvas_matches_single_device():
+    """The fused-kernel fast path under shard_map: canvas packed into
+    n_dev ghost-banded slabs, kernels per-device, ghost refresh via the
+    slab-axis roll.  Must reproduce the single-device ELL result, and the
+    compiled HLO must exchange halos with collective-permute — NOT gather
+    state-sized arrays (all-gather)."""
+    from ryujin_tpu.offline.mesh import Boundary
+    from ryujin_tpu.parallel.sharding import (
+        make_device_mesh, shard_pallas_module, shard_state,
+    )
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 2
+    eq = Euler(dim=2)
+    mesh = geometry.rectangular_domain(
+        [-5, -5], [5, 5], [1, 1], refinement=5,
+        boundary_conditions=[Boundary.dirichlet] * 4,
+    )
+    data = assembly.assemble(mesh)
+    init = make_initial_state(
+        eq, "isentropic vortex", direction=[1, 1], position=[-1, -1],
+    )
+
+    # reference: single-device ELL/XLA
+    from ryujin_tpu.offline import ell
+
+    packed_ref = ell.pack(data)
+    hm_ref = HyperbolicModule(eq, packed_ref, init, dtype=jnp.float64)
+    ti_ref = TimeIntegrator(hm_ref, "erk 33", cfl_min=0.3, cfl_max=0.3,
+                            cfl_recovery_strategy="none")
+    U0r = interpolate_nodal(init, packed_ref, eq, 0.0, jnp.float64)
+    out_r = ti_ref.advance(U0r, 0.0, 3)
+
+    # sharded: slab canvas + pallas (interpret) under shard_map
+    packed = structured.pack_structured(data, mesh, slabs=n_dev)
+    hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64,
+                          backend="pallas_interpret")
+    device_mesh = make_device_mesh(n_dev)
+    shard_pallas_module(hm, device_mesh)
+    ti = TimeIntegrator(hm, "erk 33", cfl_min=0.3, cfl_max=0.3,
+                        cfl_recovery_strategy="none")
+    U0 = shard_state(
+        interpolate_nodal(init, packed, eq, 0.0, jnp.float64), device_mesh
+    )
+    out = ti.advance(U0, 0.0, 3)
+
+    def gather(o, packed):
+        real = np.asarray(packed.node_mask) > 0
+        pos = np.asarray(packed.positions)[real]
+        order = np.lexsort(pos.T)
+        return np.asarray(o)[:, real][:, order]
+
+    np.testing.assert_allclose(
+        gather(out[0], packed), gather(out_r[0], packed_ref),
+        rtol=1e-11, atol=1e-12,
+    )
+    assert abs(float(out[3]) / float(out_r[3]) - 1.0) < 1e-11
+
+    # communication shape: halo exchange must be collective-permute;
+    # state-sized tensors must not be all-gathered
+    hlo = (
+        ti._advance.lower(
+            hm.stencil, None, U0, jnp.float64(0.0), jnp.float64(jnp.inf), 1
+        )
+        .compile()
+        .as_text()
+    )
+    assert "collective-permute" in hlo
+    n_state = packed.n_pad
+    import re
+
+    for m in re.finditer(r"all-gather[^\n]*", hlo):
+        line = m.group(0)
+        sizes = [int(s) for s in re.findall(r"f64\[([0-9,]+)\]",
+                                            line.replace(",", ""))]
+        for s in sizes:
+            assert s < n_state, f"state-sized all-gather: {line[:120]}"
+
+
 def test_sharded_navier_stokes_step_matches_single_device():
     """Backward-Euler parabolic solve (CG + boundary projections) under
     node-axis sharding agrees with the single-device result — the analog
