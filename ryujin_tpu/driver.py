@@ -62,12 +62,14 @@ def make_mesh(cfg: Config):
             refinement=d.mesh_refinement,
             boundary_conditions=bcs,
             dim=dim,
+            grading_pull_back=p.pop("grading_pull_back", None),
+            grading_push_forward=p.pop("grading_push_forward", None),
         )
     elif d.geometry == "step":
         mesh = geometry.step(refinement=d.mesh_refinement, **p)
         p = {}
     elif d.geometry == "cylinder":
-        mesh = geometry.cylinder(refinement=d.mesh_refinement, **p)
+        mesh = geometry.cylinder(refinement=d.mesh_refinement, dim=dim, **p)
         p = {}
     elif d.geometry == "disk":
         if "boundary_condition" in p:

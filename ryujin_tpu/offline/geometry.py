@@ -91,15 +91,53 @@ def rectangular_domain(
     refinement: int,
     boundary_conditions: Sequence[int],
     dim: int = 2,
+    grading_pull_back: Optional[Sequence[str]] = None,
+    grading_push_forward: Optional[Sequence[str]] = None,
 ) -> Mesh:
     """Rectangular domain generator (geometry_rectangular_domain.h).
 
     boundary_conditions: per-face Boundary ids ordered (left, right) in 1D,
     (left, right, bottom, top) in 2D, (+back/front appended) in 3D.
+
+    grading_pull_back / grading_push_forward: optional per-component
+    python expressions over x[, y[, z]] defining a chart manifold; the
+    *coarse* subdivisions stay uniform, refinement midpoints are computed
+    as push_forward(mean(pull_back(...))) — the analog of the reference's
+    FunctionManifold grading (geometry_rectangular_domain.h:145-153),
+    e.g. the Daru–Tenaud wall clustering pull_back ["x", "(1-y)**2"],
+    push_forward ["x", "1-y**0.5"].
     """
     point_left = np.asarray(point_left, dtype=np.float64)
     point_right = np.asarray(point_right, dtype=np.float64)
     subs = [int(s) * 2**refinement for s in subdivisions]
+
+    if grading_push_forward is not None or grading_pull_back is not None:
+        if grading_pull_back is None or grading_push_forward is None:
+            raise ValueError("grading needs both pull back and push forward")
+        # chart-averaging manifold: build the UNREFINED mesh, attach the
+        # grading manifold everywhere, then refine through it
+        coarse = rectangular_domain(
+            point_left, point_right, subdivisions, 0,
+            boundary_conditions, dim=dim,
+        )
+        chart = _grading_manifold(
+            grading_pull_back, grading_push_forward, dim
+        )
+        coarse.manifolds = dict(coarse.manifolds or {})
+        coarse.manifolds[7] = chart
+        coarse.edge_manifold_selectors = dict(
+            coarse.edge_manifold_selectors or {}
+        )
+        coarse.edge_manifold_selectors[7] = lambda pts: np.ones(
+            len(pts), dtype=bool
+        )
+        if coarse.face_manifold_ids is None:
+            coarse.face_manifold_ids = np.full(
+                len(coarse.boundary_faces), 7, dtype=np.int32
+            )
+        else:
+            coarse.face_manifold_ids[coarse.face_manifold_ids == 0] = 7
+        return coarse.refine_global(refinement)
 
     if dim == 1:
         x = np.linspace(point_left[0], point_right[0], subs[0] + 1)
@@ -130,6 +168,39 @@ def rectangular_domain(
         )
 
     raise ValueError(f"unsupported dim={dim}")
+
+
+def _grading_manifold(pull_back, push_forward, dim):
+    """Chart manifold from per-component numpy expressions: refinement
+    midpoints are push_forward(mean(pull_back(points)))."""
+    pb = [compile(str(e), "<grading>", "eval") for e in pull_back]
+    pf = [compile(str(e), "<grading>", "eval") for e in push_forward]
+    if len(pb) != dim or len(pf) != dim:
+        raise ValueError("grading needs one expression per dimension")
+
+    def apply(codes, pts):  # [..., dim] -> [..., dim]
+        env = {"__builtins__": {}, "np": np}
+        for k in ("sqrt", "exp", "log", "sin", "cos", "tanh", "abs",
+                  "sign", "minimum", "maximum", "pi", "where"):
+            env[k] = getattr(np, k)
+        env["x"] = pts[..., 0]
+        if dim >= 2:
+            env["y"] = pts[..., 1]
+        if dim >= 3:
+            env["z"] = pts[..., 2]
+        out = [
+            np.broadcast_to(
+                np.asarray(eval(c, env), dtype=np.float64),  # noqa: S307
+                pts[..., 0].shape,
+            )
+            for c in codes
+        ]
+        return np.stack(out, axis=-1)
+
+    def manifold(pts):  # [k, nv, dim] -> [k, dim]
+        return apply(pf, apply(pb, pts).mean(axis=1))
+
+    return manifold
 
 
 def _tag_rect_boundaries_2d(mesh, pl, pr, bcs):
@@ -328,14 +399,129 @@ def step(
     return mesh
 
 
+def extrude(
+    mesh2: Mesh,
+    z0: float,
+    z1: float,
+    n_layers: int,
+    bc_minus: int = Boundary.slip,
+    bc_plus: int = Boundary.slip,
+) -> Mesh:
+    """Extrude a 2D quad mesh into a 3D hex mesh of n_layers cell layers.
+
+    The analog of dealii::GridGenerator::extrude_triangulation
+    (used by the reference's 3D cylinder, geometry_cylinder.h:162).
+    Side faces inherit the 2D boundary ids; the z- / z+ faces get
+    bc_minus / bc_plus.  Periodic pairs and lattice structure are carried
+    along when present (z becomes the slowest lattice dim).
+    """
+    n2 = mesh2.n_vertices
+    zs = np.linspace(z0, z1, n_layers + 1)
+    verts = np.concatenate(
+        [
+            np.concatenate(
+                [mesh2.vertices, np.full((n2, 1), z)], axis=1
+            )
+            for z in zs
+        ],
+        axis=0,
+    )
+    cells = np.concatenate(
+        [
+            np.concatenate(
+                [mesh2.cells + l * n2, mesh2.cells + (l + 1) * n2], axis=1
+            )
+            for l in range(n_layers)
+        ],
+        axis=0,
+    )
+    # side faces: 2D face [a, b] -> quad [a, b, a', b'] per layer
+    side_faces = np.concatenate(
+        [
+            np.concatenate(
+                [
+                    mesh2.boundary_faces + l * n2,
+                    mesh2.boundary_faces + (l + 1) * n2,
+                ],
+                axis=1,
+            )
+            for l in range(n_layers)
+        ],
+        axis=0,
+    )
+    side_ids = np.tile(mesh2.boundary_ids, n_layers)
+    bottom = mesh2.cells.copy()
+    top = mesh2.cells + n_layers * n2
+    bfaces = np.concatenate([side_faces, bottom, top], axis=0)
+    ids = np.concatenate(
+        [
+            side_ids,
+            np.full(len(bottom), bc_minus, dtype=np.int32),
+            np.full(len(top), bc_plus, dtype=np.int32),
+        ]
+    )
+    fm = None
+    manifolds = None
+    if mesh2.face_manifold_ids is not None and mesh2.manifolds:
+        fm = np.concatenate(
+            [
+                np.tile(mesh2.face_manifold_ids, n_layers),
+                np.zeros(2 * len(bottom), dtype=np.int32),
+            ]
+        )
+
+        def wrap(m2):
+            def m3(pts):  # [k, nv, 3] -> [k, 3]
+                xy = m2(pts[..., :2])
+                z = pts[..., 2].mean(axis=-1)
+                return np.concatenate([xy, z[:, None]], axis=1)
+
+            return m3
+
+        manifolds = {mid: wrap(m) for mid, m in mesh2.manifolds.items()}
+    st_shape = st_index = None
+    if mesh2.structured_shape is not None:
+        st_shape = tuple(mesh2.structured_shape) + (n_layers + 1,)
+        si2 = np.asarray(mesh2.structured_index)
+        st_index = np.concatenate(
+            [
+                np.concatenate(
+                    [si2, np.full((n2, 1), l, si2.dtype)], axis=1
+                )
+                for l in range(n_layers + 1)
+            ],
+            axis=0,
+        )
+    pp = None
+    if mesh2.periodic_pairs is not None:
+        pp2 = np.asarray(mesh2.periodic_pairs)
+        pp = np.concatenate(
+            [pp2 + l * n2 for l in range(n_layers + 1)], axis=0
+        )
+    return Mesh(
+        dim=3, vertices=verts, cells=cells,
+        boundary_faces=bfaces, boundary_ids=ids,
+        face_manifold_ids=fm, manifolds=manifolds,
+        periodic_pairs=pp,
+        structured_shape=st_shape, structured_index=st_index,
+    )
+
+
 def cylinder(
     length: float = 4.0,
     height: float = 2.0,
     object_position: float = 0.6,
     object_diameter: float = 0.5,
     refinement: int = 0,
+    dim: int = 2,
 ) -> Mesh:
     """2D channel with a cylindrical obstacle (geometry_cylinder.h).
+
+    dim == 3 extrudes the 2D mesh over [-height/2, height/2] with slip
+    conditions on the z faces, matching the reference's
+    GridGenerator::extrude_triangulation construction
+    (geometry_cylinder.h:146-213); the layer count matches the in-plane
+    spacing so cells stay near-cubic.
 
     Constructed as a lattice with a hole approximated by a ring of cells
     graded onto the circle; we use the classic O-grid: a square ring around
@@ -441,6 +627,13 @@ def cylinder(
     fm = np.zeros(len(bfaces), dtype=np.int32)
     fm[on_circle] = 1
     mesh.face_manifold_ids = fm
+    if dim == 3:
+        # near-cubic layers: in-plane spacing is ~r/2**refinement
+        n_layers = max(1, int(round(height / (r / 2**refinement))))
+        return extrude(
+            mesh, -height / 2.0, height / 2.0, n_layers,
+            bc_minus=Boundary.slip, bc_plus=Boundary.slip,
+        )
     return mesh
 
 
