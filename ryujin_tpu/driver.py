@@ -331,8 +331,9 @@ class TimeLoop:
         self._open_logfile(resume=cfg.resume)
 
         if cfg.resume:
-            U_np, t, cycle = read_checkpoint(cfg.basename, self.mesh)
+            U_np, t, cycle, extra = read_checkpoint(cfg.basename, self.mesh)
             U = jnp.asarray(U_np, self.dtype)
+            self.quantities.load_state(extra)
         else:
             U = interpolate_nodal(
                 self.initial_state_fn, self.packed, eq, 0.0, self.dtype
@@ -454,7 +455,10 @@ class TimeLoop:
             cfg.enable_checkpointing
             and cycle % max(1, cfg.timer_checkpoint_multiplier) == 0
         ):
-            write_checkpoint(cfg.basename, self.mesh, np.asarray(U), t, cycle)
+            write_checkpoint(
+                cfg.basename, self.mesh, np.asarray(U), t, cycle,
+                extra=self.quantities.state_dict(),
+            )
 
     def _print_cycle(self, t, steps, wall):
         n = self.packed.n_nodes

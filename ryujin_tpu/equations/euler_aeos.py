@@ -211,11 +211,65 @@ def tabulated(
     )
 
 
+def sesame(filename: str) -> EquationOfState:
+    """Tabulated EOS loaded from a table file.
+
+    The analog of the reference's sesame/EOSPAC6 material-table path
+    (equation_of_state_library.cc:34-39, equation_of_state_sesame.h);
+    the proprietary EOSPAC binary format is not readable without the
+    vendor library, so the reader ingests open formats carrying the same
+    (rho, e) -> p data:
+
+    * ``.npz`` with arrays ``rho`` [Nr], ``e`` [Ne], ``p`` [Nr, Ne]
+    * whitespace text: a header line ``Nr Ne``, then the rho grid, the
+      e grid, and the row-major p table.
+
+    Grids must be strictly increasing; the table is mapped onto the
+    on-device bilinear `tabulated` EOS.
+    """
+    import os
+
+    if not os.path.exists(filename):
+        raise FileNotFoundError(f"EOS table '{filename}' not found")
+    if filename.endswith(".npz"):
+        with np.load(filename, allow_pickle=False) as z:
+            rho_g = np.asarray(z["rho"], np.float64)
+            e_g = np.asarray(z["e"], np.float64)
+            p_t = np.asarray(z["p"], np.float64)
+    else:
+        vals = np.fromstring(
+            " ".join(
+                ln for ln in open(filename)
+                if not ln.lstrip().startswith("#")
+            ),
+            sep=" ",
+        )
+        nr, ne = int(vals[0]), int(vals[1])
+        need = 2 + nr + ne + nr * ne
+        if len(vals) < need:
+            raise ValueError(
+                f"EOS table '{filename}': expected {need} values, "
+                f"got {len(vals)}"
+            )
+        rho_g = vals[2 : 2 + nr]
+        e_g = vals[2 + nr : 2 + nr + ne]
+        p_t = vals[2 + nr + ne : need].reshape(nr, ne)
+    if p_t.shape != (len(rho_g), len(e_g)):
+        raise ValueError(
+            f"EOS table '{filename}': p shape {p_t.shape} does not match "
+            f"grids ({len(rho_g)}, {len(e_g)})"
+        )
+    if not (np.all(np.diff(rho_g) > 0) and np.all(np.diff(e_g) > 0)):
+        raise ValueError(f"EOS table '{filename}': grids must increase")
+    return tabulated(rho_g, e_g, p_t)
+
+
 EOS_LIBRARY = {
     "polytropic gas": polytropic_gas,
     "noble abel stiffened gas": noble_abel_stiffened_gas,
     "jones wilkins lee": jones_wilkins_lee,
     "van der waals": van_der_waals,
+    "sesame": sesame,
 }
 
 

@@ -25,8 +25,14 @@ def mesh_fingerprint(mesh) -> str:
     return h.hexdigest()[:16]
 
 
-def write_checkpoint(basename: str, mesh, U, t: float, cycle: int) -> str:
-    """Write `basename-checkpoint.npz` (rotating an existing file to ~)."""
+def write_checkpoint(basename: str, mesh, U, t: float, cycle: int,
+                     extra: Optional[dict] = None) -> str:
+    """Write `basename-checkpoint.npz` (rotating an existing file to ~).
+
+    extra: additional named arrays serialized alongside the state — the
+    driver passes the quantities time-average accumulators so statistics
+    survive a resume (the reference serializes the full state vector +
+    metadata, time_loop.template.h:537-611)."""
     name = f"{basename}-checkpoint.npz"
     if os.path.exists(name):
         os.replace(name, name + "~")
@@ -36,11 +42,14 @@ def write_checkpoint(basename: str, mesh, U, t: float, cycle: int) -> str:
         t=float(t),
         cycle=int(cycle),
         fingerprint=mesh_fingerprint(mesh),
+        **{f"x_{k}": np.asarray(v) for k, v in (extra or {}).items()},
     )
     return name
 
 
-def read_checkpoint(basename: str, mesh) -> Tuple[np.ndarray, float, int]:
+def read_checkpoint(
+    basename: str, mesh
+) -> Tuple[np.ndarray, float, int, dict]:
     name = f"{basename}-checkpoint.npz"
     with np.load(name, allow_pickle=False) as z:
         fp = str(z["fingerprint"])
@@ -48,4 +57,7 @@ def read_checkpoint(basename: str, mesh) -> Tuple[np.ndarray, float, int]:
             raise ValueError(
                 "checkpoint does not match the current discretization"
             )
-        return z["U"], float(z["t"]), int(z["cycle"])
+        extra = {
+            k[2:]: z[k] for k in z.files if k.startswith("x_")
+        }
+        return z["U"], float(z["t"]), int(z["cycle"]), extra

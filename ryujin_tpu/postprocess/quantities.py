@@ -156,6 +156,28 @@ class Quantities:
                 m.t_old = t
                 m.val_old = vals
 
+    def state_dict(self) -> dict:
+        """Time-average accumulator state for checkpointing."""
+        out = {}
+        for i, m in enumerate(self.manifolds):
+            if m.t_old is None:
+                continue
+            out[f"q{i}_t_old"] = np.float64(m.t_old)
+            out[f"q{i}_t_sum"] = np.float64(m.t_sum)
+            out[f"q{i}_val_old"] = m.val_old
+            if m.val_sum is not None:
+                out[f"q{i}_val_sum"] = m.val_sum
+        return out
+
+    def load_state(self, state: dict) -> None:
+        for i, m in enumerate(self.manifolds):
+            if f"q{i}_t_old" in state:
+                m.t_old = float(state[f"q{i}_t_old"])
+                m.t_sum = float(state[f"q{i}_t_sum"])
+                m.val_old = np.asarray(state[f"q{i}_val_old"])
+                if f"q{i}_val_sum" in state:
+                    m.val_sum = np.asarray(state[f"q{i}_val_sum"])
+
     def write_out(self, U, t: float, cycle: int) -> None:
         """Per-cycle field output (quantities.template.h write_out())."""
         prim = None

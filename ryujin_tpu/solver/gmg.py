@@ -187,6 +187,11 @@ class GMG:
         self.solver = solver
         self.params = params
         self.dtype = solver.dtype
+        # coarse levels always run in float32 (the reference's GMG levels
+        # are always float, parabolic_solver.h:255-275): the V-cycle is a
+        # preconditioner, so reduced precision costs CG iterations at
+        # most, never accuracy; in f32 solver runs this is a no-op
+        self.level_dtype = jnp.float32
         dim = solver.dim
 
         if not hasattr(packed, "node_to_vertex"):
@@ -209,7 +214,7 @@ class GMG:
             data = _assembly.assemble(m)
             assert not data.is_constrained.any()
             lp = _ell.pack(data, reorder=False)
-            st = _stencil_from_ell(lp, self.dtype)
+            st = _stencil_from_ell(lp, self.level_dtype)
             kab_off, kab_diag = _assembly.assemble_stiffness(m, data)
             kab_e = _ell.pack_edge_values(lp, data, kab_off)
             kab_n = _ell.pack_node_values(lp, kab_diag)
@@ -218,10 +223,10 @@ class GMG:
             )
             self.levels.append(_LevelArrays(
                 kab=jnp.asarray(
-                    np.transpose(kab_e, (2, 3, 1, 0)), self.dtype
+                    np.transpose(kab_e, (2, 3, 1, 0)), self.level_dtype
                 ),
                 kab_ii=jnp.asarray(
-                    np.transpose(kab_n, (1, 2, 0)), self.dtype
+                    np.transpose(kab_n, (1, 2, 0)), self.level_dtype
                 ),
                 mask=st.mask,
                 node_mask=st.node_mask,
@@ -229,9 +234,9 @@ class GMG:
                 fixed_v=jnp.asarray(fixed_v),
                 dirichlet=jnp.asarray(dirichlet),
                 slip_idx=jnp.asarray(slip_idx.astype(np.int32)),
-                slip_normal=jnp.asarray(slip_normal, self.dtype),
+                slip_normal=jnp.asarray(slip_normal, self.level_dtype),
                 start=jnp.asarray(
-                    rng.uniform(0.5, 1.5, lp.n_pad), self.dtype
+                    rng.uniform(0.5, 1.5, lp.n_pad), self.level_dtype
                 ),
             ))
             self.level_stencils.append(st)
@@ -274,7 +279,7 @@ class GMG:
             groups = refinement_groups(chain[k])
             self.transfers.append(_transfer_ell(
                 groups, chain[k].n_vertices, n_pads[k + 1], n_pads[k],
-                raw_to_node[k + 1], raw_to_node[k], self.dtype,
+                raw_to_node[k + 1], raw_to_node[k], self.level_dtype,
             ))
 
     # ---- device-side pieces --------------------------------------------
@@ -316,10 +321,14 @@ class GMG:
             else prm.smoother_range_energy
         )
 
-        # restrict m*rho down the hierarchy (mass-weighted density)
+        # restrict m*rho down the hierarchy (mass-weighted density);
+        # coarse levels run in level_dtype (float32)
         mrho = [mrho_fine]
         for k in range(len(self.transfers) - 1, -1, -1):
             mrho.insert(0, self._restrict(k, mrho[0]))
+        mrho = [
+            m.astype(self.level_dtype) for m in mrho[:-1]
+        ] + [mrho[-1]]
 
         ops = []
         for k, (lvl, st) in enumerate(
@@ -426,9 +435,11 @@ class GMG:
             z = cheb(op, r, prm.chebyshev_degree)
             r2 = r - op["A"](z)
             zc = cycle(k - 1, ops[k - 1]["P"](
-                self._restrict(k - 1, r2)
+                self._restrict(k - 1, r2).astype(self.level_dtype)
             ))
-            z = z + op["P"](self._prolong(k - 1, zc))
+            z = z + op["P"](
+                self._prolong(k - 1, zc).astype(r.dtype)
+            )
             z = z + cheb(op, r - op["A"](z), prm.chebyshev_degree)
             return z
 

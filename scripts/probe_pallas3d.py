@@ -47,7 +47,11 @@ def main():
         dim=3,
     )
     data = assembly.assemble(mesh)
-    packed = structured.pack_structured(data, mesh)
+    margin = int(os.environ.get("MARGIN", "8"))
+    padm = int(os.environ.get("PADM", "8"))
+    packed = structured.pack_structured(
+        data, mesh, margin=margin, pad_major=padm
+    )
     print(
         f"mesh: {packed.n_nodes} nodes, canvas {packed.shape} "
         f"(pad ratio {packed.n_pad / packed.n_nodes:.2f}), "

@@ -31,6 +31,40 @@ CASES = [
 ]
 
 
+@pytest.mark.slow
+def test_transonic_airfoil_run():
+    """Short transonic run over the tabulated ONERA OAT15a: Mach 0.73
+    freestream, dynamic farfield, no_slip airfoil — states stay
+    admissible with the bow/recompression structure forming."""
+    import jax.numpy as jnp
+
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.equations.dispatch import make_initial_state as _mk
+    from ryujin_tpu.config import InitialValuesConfig
+    from ryujin_tpu.equations.euler_initial_states import make_initial_state
+    from ryujin_tpu.offline import assembly, ell, geometry
+    from ryujin_tpu.postprocess.error import interpolate_nodal
+    from ryujin_tpu.solver.hyperbolic import HyperbolicModule
+    from ryujin_tpu.solver.integrator import TimeIntegrator
+
+    eq = Euler(dim=2)
+    mesh = geometry.airfoil(airfoil_type="ONERA OAT15a", refinement=1)
+    packed = ell.pack(assembly.assemble(mesh))
+    # Mach 0.73 freestream: a = sqrt(1.4) for (rho, p) = (1.4, 1)
+    u = 0.73 * float(np.sqrt(1.4 * 1.0 / 1.4))
+    init = make_initial_state(eq, "uniform", primitive_state=(1.4, u, 1.0))
+    hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64)
+    ti = TimeIntegrator(hm, "erk 33", cfl_min=0.45, cfl_max=0.9)
+    U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+    out = ti.advance(U, 0.0, 30)
+    Uh = np.asarray(out[0])
+    real = np.asarray(packed.node_mask) > 0
+    assert np.isfinite(Uh[:, real]).all()
+    adm = hm.eq.is_admissible(jnp.asarray(Uh[:, real]))
+    assert bool(np.asarray(adm).all())
+    assert int(out[5]) == 0  # no invariant-domain warnings
+
+
 def test_all_reference_benchmarks_have_configs():
     ref = {
         "euler-mach10-double-mach-reflection", "euler-mach3-cylinder-2d",

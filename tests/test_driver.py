@@ -14,7 +14,7 @@ from ryujin_tpu.config import Config
 from ryujin_tpu.driver import TimeLoop
 
 
-def _vortex_config(tmp_path, refinement=4):
+def _vortex_config(tmp_path, refinement=3):
     cfg = Config()
     cfg.time_loop.basename = str(tmp_path / "vortex")
     cfg.time_loop.final_time = 0.4
@@ -55,7 +55,7 @@ def test_time_loop_end_to_end(tmp_path):
     loop = TimeLoop(cfg2)
     result = loop.run(quiet=True)
     assert abs(result["t"] - 0.4) < 1e-10
-    assert result["L1"] < 2e-2  # coarse mesh, short time
+    assert result["L1"] < 5e-2  # coarse mesh, short time
 
     # VTU files written at every tick:
     vtus = sorted(p for p in os.listdir(tmp_path) if p.endswith(".vtu"))

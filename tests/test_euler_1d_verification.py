@@ -50,6 +50,7 @@ def run_1d(config, gamma, position, t_final, cfl, relax, refinement=6,
                          components=["rho", "m", "E"])
 
 
+@pytest.mark.slow
 def test_leblanc_l6_matches_reference():
     """euler-leblanc-erk33.baseline: 1601 dofs, L1 = 1.1261e-2."""
     linf, l1, l2 = run_1d(
@@ -59,6 +60,7 @@ def test_leblanc_l6_matches_reference():
     assert abs(l1 / 1.126070081400691e-2 - 1.0) < 0.05, (linf, l1, l2)
 
 
+@pytest.mark.slow
 def test_shock_front_l6_matches_reference():
     """euler-shock_front_erk33.baseline: 1601 dofs, L1 = 3.3651e-3."""
     linf, l1, l2 = run_1d(
@@ -68,6 +70,7 @@ def test_shock_front_l6_matches_reference():
     assert abs(l1 / 3.365082670890948e-3 - 1.0) < 0.05, (linf, l1, l2)
 
 
+@pytest.mark.slow
 def test_smooth_wave_l6_matches_reference():
     """euler-smooth_wave-erk33.baseline: 1601 dofs, L1 = 1.2916e-6."""
     linf, l1, l2 = run_1d(

@@ -9,6 +9,45 @@ Mirrors the reference testsuite (tests/euler_aeos/):
   * EOS library sanity (pressure <-> specific internal energy round trip)
 """
 
+import jax
+
+
+def test_sesame_table_file_roundtrip(tmp_path):
+    """The sesame reader maps a (rho, e) -> p table file onto the
+    on-device tabulated EOS; a table sampled from a polytropic gas must
+    reproduce it (equation_of_state_library.cc:34-39 analog)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ryujin_tpu.equations.euler_aeos import EOS_LIBRARY
+
+    g = 1.4
+    rho = np.linspace(0.1, 5.0, 200)
+    e = np.linspace(0.1, 10.0, 300)
+    p = (g - 1.0) * rho[:, None] * e[None, :]
+    path = str(tmp_path / "gas.npz")
+    np.savez(path, rho=rho, e=e, p=p)
+    eos = EOS_LIBRARY["sesame"](filename=path)
+    r = jnp.asarray([0.5, 1.3, 4.2])
+    ei = jnp.asarray([0.7, 2.0, 8.5])
+    np.testing.assert_allclose(
+        np.asarray(eos.pressure(r, ei)), (g - 1.0) * np.asarray(r) *
+        np.asarray(ei), rtol=1e-10,
+    )
+    # text format + inverse lookup:
+    txt = str(tmp_path / "gas.dat")
+    with open(txt, "w") as f:
+        f.write("# sesame-style table\n")
+        f.write(f"{len(rho)} {len(e)}\n")
+        np.savetxt(f, rho[None])
+        np.savetxt(f, e[None])
+        np.savetxt(f, p)
+    eos2 = EOS_LIBRARY["sesame"](filename=txt)
+    pe = eos2.pressure(r, ei)
+    back = eos2.specific_internal_energy(r, pe)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(ei), rtol=1e-6)
+
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -132,6 +171,7 @@ def test_aeos_vortex_l6_matches_reference():
     assert abs(l1 / 4.0141e-4 - 1.0) < 0.02, l1
 
 
+@pytest.mark.slow
 def test_aeos_leblanc_1d_matches_reference():
     """Leblanc shocktube through the AEOS surrogate machinery
     (verification-leblanc-pge-1d-erk33-l6.mpirun=4.output):

@@ -84,17 +84,54 @@ def test_annulus():
     assert interior_f.sum() == 2 * interior.sum()
 
 
-def test_airfoil():
-    mesh = geometry.airfoil(refinement=0)
+def _cell_quality(mesh):
+    """Min corner jacobian sign check: no inverted/degenerate quads."""
+    p = mesh.vertices[mesh.cells]
+
+    def cross(o, a, b):
+        return (a[:, 0] - o[:, 0]) * (b[:, 1] - o[:, 1]) - (
+            a[:, 1] - o[:, 1]
+        ) * (b[:, 0] - o[:, 0])
+
+    d1 = cross(p[:, 0], p[:, 1], p[:, 2])
+    d2 = cross(p[:, 3], p[:, 2], p[:, 1])
+    return int(((d1 <= 0) | (d2 <= 0)).sum())
+
+
+@pytest.mark.parametrize(
+    "kind", ["NASA SC(2) 0714", "ONERA OAT15a", "BELL 10", "NACA 0012"]
+)
+def test_airfoil(kind):
+    """Transfinite C-type airfoil meshes: tabulated + generated profiles,
+    valid cells, wall-normal grading, correct boundary ids
+    (geometry_airfoil.h:823-1416)."""
+    mesh = geometry.airfoil(airfoil_type=kind, refinement=1)
     data = _check(mesh)
     assert data.measure_of_omega < np.pi * 3.0**2
     assert set(np.unique(mesh.boundary_ids)) == {
         Boundary.no_slip, Boundary.dynamic
     }
+    assert _cell_quality(mesh) == 0
+
+
+def test_airfoil_grading():
+    m0 = geometry.airfoil(refinement=1)
+    # nearest off-wall neighbor of a mid-chord upper-surface point:
+    import numpy as np
+
+    wall_pts = m0.vertices[
+        m0.boundary_faces[m0.boundary_ids == Boundary.no_slip]
+    ].reshape(-1, 2)
+    p = wall_pts[np.argmin(np.abs(wall_pts[:, 0]) + np.abs(
+        wall_pts[:, 1] - 0.14))]
+    d = np.linalg.norm(m0.vertices - p, axis=1)
+    d = d[d > 1e-12]
+    # graded first layer at refinement 1 is ~1e-2; uniform would be ~0.65
+    assert d.min() < 0.05
 
 
 def test_airfoil_unknown_type():
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         geometry.airfoil(airfoil_type="ONERA OA209")
 
 

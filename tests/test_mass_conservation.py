@@ -54,26 +54,26 @@ def test_mass_conservation_slip_box():
     """check-mass-conservation_01.prm analog: slip walls on all sides."""
     eq = Euler(dim=2)
     mesh = geometry.rectangular_domain(
-        [0, 0], [1, 1], [1, 1], refinement=5,
+        [0, 0], [1, 1], [1, 1], refinement=4,
         boundary_conditions=[Boundary.slip] * 4,
     )
     packed = structured.pack_structured(assembly.assemble(mesh), mesh)
     init = make_initial_state(
         eq, "uniform", primitive_state=(1.4, 3.0, 1.0), direction=[1, 0],
     )
-    m0, m1 = _run(packed, eq, init, n_steps=40)
+    m0, m1 = _run(packed, eq, init, n_steps=25)
     assert abs(m1 - m0) <= 1e-11 * abs(m0)
 
 
 def test_mass_conservation_annulus():
     """check-mass-conservation_02.prm analog: curved slip boundaries."""
     eq = Euler(dim=2)
-    mesh = geometry.annulus(refinement=1)
+    mesh = geometry.annulus(refinement=0)
     packed = ell.pack(assembly.assemble(mesh))
     init = make_initial_state(
         eq, "uniform", primitive_state=(1.4, 3.0, 1.0), direction=[1, 0],
     )
-    m0, m1 = _run(packed, eq, init, n_steps=40)
+    m0, m1 = _run(packed, eq, init, n_steps=25)
     assert abs(m1 - m0) <= 1e-11 * abs(m0)
 
 
@@ -81,14 +81,14 @@ def test_mass_conservation_periodic():
     """Periodic box: conservation without any boundary flux at all."""
     eq = Euler(dim=2)
     mesh = geometry.rectangular_domain(
-        [-5, -5], [5, 5], [1, 1], refinement=5,
+        [-5, -5], [5, 5], [1, 1], refinement=4,
         boundary_conditions=[Boundary.periodic] * 4,
     )
     packed = structured.pack_structured(assembly.assemble(mesh), mesh)
     init = make_initial_state(
         eq, "isentropic vortex", direction=[1, 1], position=[0, 0],
     )
-    m0, m1 = _run(packed, eq, init, n_steps=40)
+    m0, m1 = _run(packed, eq, init, n_steps=25)
     assert abs(m1 - m0) <= 1e-11 * abs(m0)
 
 
@@ -98,7 +98,7 @@ def test_mass_conservation_sharded():
     assert n_dev >= 2
     eq = Euler(dim=2)
     mesh = geometry.rectangular_domain(
-        [0, 0], [1, 1], [1, 1], refinement=5,
+        [0, 0], [1, 1], [1, 1], refinement=4,
         boundary_conditions=[Boundary.slip] * 4,
     )
     packed = structured.pack_structured(

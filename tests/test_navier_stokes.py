@@ -136,6 +136,7 @@ def test_becker_l6_gmg():
 
 
 @pytest.mark.parametrize("vel,en", [(True, False), (False, True)])
+@pytest.mark.slow
 def test_becker_l6_gmg_single_sided(vel, en):
     """Velocity-only / energy-only multigrid (the analog of
     tests/navier_stokes/gmg_velocity.prm and gmg_energy.prm)."""

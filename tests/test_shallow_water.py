@@ -170,6 +170,7 @@ def test_circular_dam_break_2d_admissible():
     assert U[0][mask].min() > -1e-10
 
 
+@pytest.mark.slow
 def test_smooth_vortex_2d_erk33_matches_reference():
     """2D traveling vortex: shallow_water-smooth_vortex-erk33.baseline
     l6 (4225 dofs): L1 = 6.275e-4 over (h, m_1, m_2)."""

@@ -79,7 +79,7 @@ def test_structured_3d_matches_ell():
 
     eq = Euler(dim=3)
     mesh = geometry.rectangular_domain(
-        [0, 0, 0], [1, 1, 1], [1, 1, 1], 3,
+        [0, 0, 0], [1, 1, 1], [1, 1, 1], 2,
         [Boundary.dirichlet] * 6, dim=3,
     )
     data = assembly.assemble(mesh)
@@ -121,7 +121,7 @@ def test_sharded_pallas_slab_canvas_matches_single_device():
     assert n_dev >= 2
     eq = Euler(dim=2)
     mesh = geometry.rectangular_domain(
-        [-5, -5], [5, 5], [1, 1], refinement=5,
+        [-5, -5], [5, 5], [1, 1], refinement=4,
         boundary_conditions=[Boundary.dirichlet] * 4,
     )
     data = assembly.assemble(mesh)
