@@ -1153,6 +1153,11 @@ class PallasStepper:
         )
         tau = jnp.where(compute_tau, tau_max, tau).astype(dtype)
 
+        import os as _os
+        if _os.environ.get("RYUJIN_PK_ABLATE") == "pk1":
+            # measurement aid: PK1 + tau only
+            return (Uc + 0.0 * tau).reshape(C, -1), tau, jnp.asarray(True)
+
         # ---- PK2: low-order + F + bounds --------------------------------
         n_b = eq.n_bounds
 

@@ -3,6 +3,11 @@
 Runs the interpret-mode kernels on CPU (the identical kernels compile for
 TPU; tests/conftest.py forces the CPU platform) and checks they reproduce
 the XLA phase-function path on a non-trivial vortex flow.
+
+The Mosaic-compiled hardware path is covered by
+scripts/test_pallas_hardware.py, which must run OUTSIDE this suite
+(conftest pins the CPU platform):
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/test_pallas_hardware.py
 """
 
 import jax.numpy as jnp
