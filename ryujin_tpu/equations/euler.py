@@ -465,6 +465,45 @@ class Euler:
         quotient = jnp.abs(numerator) / (denominator + hd_i * jnp.abs(eta_i))
         return jnp.minimum(1.0, evc_factor * quotient)
 
+    # Slot-streaming variant of the EVC indicator: the fused Pallas
+    # kernels accumulate the stencil reduction one lattice offset at a
+    # time (left/right running sums of [n]-sized slabs) instead of
+    # materialising [K, n] neighbor stacks — identical math, K-fold
+    # smaller VMEM temporaries (solver/pallas_step.py).
+    def indicator_init(self, U_i, prec_i, f_i=None):
+        """Node-local state shared by every indicator_accum call."""
+        eta_i = prec_i[1]
+        rho_i_inv = 1.0 / self.density(U_i)
+        d_eta_i = self.harten_entropy_derivative(U_i)
+        d_eta_i = jnp.concatenate(
+            [(d_eta_i[0] - eta_i * rho_i_inv)[None], d_eta_i[1:]], axis=0
+        )
+        if f_i is None:
+            f_i = self.f(U_i)
+        return (eta_i, rho_i_inv, d_eta_i, f_i)
+
+    def indicator_accum(self, state, U_j, prec_j, f_j, c_k, mask_k):
+        """One stencil slot's (left, right) increments; shapes [.., n]."""
+        eta_i, rho_i_inv, _, f_i = state
+        eta_j = prec_j[1]
+        rho_j = self.density(U_j)
+        m_j = self.momentum(U_j)
+        left = (
+            (eta_j / rho_j - eta_i * rho_i_inv)
+            * jnp.sum(m_j * c_k, axis=0)
+            * mask_k
+        )
+        right = jnp.sum((f_j - f_i) * c_k[None], axis=1) * mask_k[None]
+        return left, right
+
+    def indicator_finalize(self, state, left, right, hd_i,
+                           evc_factor: float = 1.0):
+        eta_i, _, d_eta_i, _ = state
+        numerator = left - jnp.sum(d_eta_i * right, axis=0)
+        denominator = jnp.abs(left) + jnp.sum(jnp.abs(d_eta_i * right), axis=0)
+        quotient = jnp.abs(numerator) / (denominator + hd_i * jnp.abs(eta_i))
+        return jnp.minimum(1.0, evc_factor * quotient)
+
     # ---- limiter --------------------------------------------------------
     def limiter_bounds(
         self,

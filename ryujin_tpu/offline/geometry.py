@@ -507,6 +507,137 @@ def extrude(
     )
 
 
+def cylinder_ogrid(
+    length: float = 4.0,
+    height: float = 2.0,
+    object_position: float = 0.6,
+    object_diameter: float = 0.5,
+    refinement: int = 0,
+    n_theta: int = 16,
+    n_radial: int = 4,
+) -> Mesh:
+    """Channel-with-cylinder as ONE logically-structured O-grid.
+
+    Same domain and boundary conditions as the reference's block
+    construction (geometry_cylinder.h:146-213), but meshed as a single
+    (theta, r) lattice: radial grid lines run from the cylinder surface
+    straight to the channel perimeter (transfinite/ruled between the two
+    closed boundary curves), with the four channel corners snapped onto
+    grid lines so the domain is the exact rectangle.  theta is the
+    periodic minor lattice axis, so the structured backend packs the mesh
+    onto a canvas whose lane wrap IS the periodic identification
+    (offline/structured.py) — the whole benchmark then runs the fused
+    Pallas kernels instead of the gather-based ELL fallback.
+
+    Radial spacing is graded per ray: geometric growth starting from the
+    surface azimuthal spacing (near-isotropic cells at the cylinder,
+    smoothly growing to the far field) — the standard structured-CFD
+    O-grid layout.
+
+    n_theta / n_radial are the cell counts at refinement 0; each
+    refinement level doubles both.
+    """
+    r0 = object_diameter / 2.0
+    cx, cy = object_position, height / 2.0
+    nt = int(n_theta) * 2**refinement
+    nr = int(n_radial) * 2**refinement
+
+    # clockwise angles so the (theta, r) lattice is right-handed:
+    jj = np.arange(nt)
+    theta = -2.0 * np.pi * jj / nt
+    dirs = np.stack([np.cos(theta), np.sin(theta)], axis=1)  # [nt, 2]
+
+    # ray-cast to the channel perimeter:
+    with np.errstate(divide="ignore"):
+        tx = np.where(
+            dirs[:, 0] > 0, (length - cx) / dirs[:, 0],
+            np.where(dirs[:, 0] < 0, (0.0 - cx) / dirs[:, 0], np.inf),
+        )
+        ty = np.where(
+            dirs[:, 1] > 0, (height - cy) / dirs[:, 1],
+            np.where(dirs[:, 1] < 0, (0.0 - cy) / dirs[:, 1], np.inf),
+        )
+    rmax = np.minimum(tx, ty)
+    outer = np.array([cx, cy])[None] + rmax[:, None] * dirs
+
+    # snap the four corners onto the nearest ray so the outer boundary
+    # polyline contains them exactly:
+    corners = np.array(
+        [[0.0, 0.0], [length, 0.0], [length, height], [0.0, height]]
+    )
+    for c in corners:
+        phi = np.arctan2(c[1] - cy, c[0] - cx)
+        j = int(np.round(-phi * nt / (2.0 * np.pi))) % nt
+        outer[j] = c
+    rmax = np.linalg.norm(outer - np.array([cx, cy])[None], axis=1)
+
+    # per-ray geometric radial grading: first spacing = surface azimuthal
+    # spacing, growth ratio solved so nr steps span the ray:
+    dr0 = 2.0 * np.pi * r0 / nt
+    L = rmax - r0
+    q = np.full(nt, 1.0 + 1e-12)
+    for _ in range(60):  # vectorized Newton on f(q) = dr0 (q^n - 1)/(q-1) - L
+        qn = q**nr
+        f = dr0 * (qn - 1.0) / (q - 1.0) - L
+        df = dr0 * (nr * qn / q * (q - 1.0) - (qn - 1.0)) / (q - 1.0) ** 2
+        q = np.clip(q - f / df, 0.2, 5.0)
+    kk = np.arange(nr + 1)
+    g = (q[:, None] ** kk[None] - 1.0) / (q[:, None] ** nr - 1.0)[..., :1]
+    g = np.where(np.abs(q[:, None] - 1.0) < 1e-9, kk[None] / nr, g)  # [nt, nr+1]
+
+    inner = np.array([cx, cy])[None] + r0 * dirs  # [nt, 2]
+    # vertices: id = k * (nt + 1) + j, with the seam column j = nt
+    # duplicating j = 0 bitwise (identified via periodic_pairs):
+    pts = inner[:, None, :] + g[:, :, None] * (outer - inner)[:, None, :]
+    pts = np.concatenate([pts, pts[:1]], axis=0)  # [nt+1, nr+1, 2]
+    verts = np.transpose(pts, (1, 0, 2)).reshape(-1, 2)
+
+    j_c, k_c = np.meshgrid(np.arange(nt), np.arange(nr), indexing="ij")
+    j_c, k_c = j_c.ravel(), k_c.ravel()
+    v00 = k_c * (nt + 1) + j_c
+    cells = np.stack(
+        [v00, v00 + 1, v00 + (nt + 1), v00 + (nt + 1) + 1], axis=1
+    )
+    p = verts[cells]
+    det = (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1]) - (
+        p[:, 1, 1] - p[:, 0, 1]
+    ) * (p[:, 2, 0] - p[:, 0, 0])
+    assert (det > 0).all(), "O-grid produced inverted cells"
+
+    # boundary faces: inner ring (slip, circle manifold) + outer ring by
+    # channel side:
+    jf = np.arange(nt)
+    inner_faces = np.stack([jf, (jf + 1)], axis=1)  # k = 0 row
+    outer_faces = inner_faces + nr * (nt + 1)
+    bfaces = np.concatenate([inner_faces, outer_faces], axis=0)
+    centers = verts[bfaces].mean(axis=1)
+    ids = np.full(len(bfaces), Boundary.slip, dtype=np.int32)
+    tol = 1e-9 * max(length, height)
+    is_outer = np.arange(len(bfaces)) >= nt
+    ids[is_outer & (np.abs(centers[:, 0] - 0.0) < tol)] = Boundary.dirichlet
+    ids[is_outer & (np.abs(centers[:, 0] - length) < tol)] = Boundary.do_nothing
+    fm = np.zeros(len(bfaces), dtype=np.int32)
+    fm[~is_outer] = 1
+
+    # lattice structure + periodic seam:
+    j_l, k_l = np.meshgrid(np.arange(nt + 1), np.arange(nr + 1), indexing="ij")
+    st_index = np.stack([j_l.T.ravel(), k_l.T.ravel()], axis=1)
+    seam = np.arange(nr + 1) * (nt + 1) + nt
+    master = np.arange(nr + 1) * (nt + 1)
+    pairs = np.stack([seam, master], axis=1)
+
+    mesh = Mesh(
+        dim=2, vertices=verts, cells=cells,
+        boundary_faces=bfaces, boundary_ids=ids,
+        structured_shape=(nt + 1, nr + 1),
+        structured_index=st_index,
+        periodic_pairs=pairs,
+    )
+    mesh.manifolds = {1: spherical_manifold([cx, cy])}
+    mesh.face_manifold_ids = fm
+    return mesh
+
+
 def cylinder(
     length: float = 4.0,
     height: float = 2.0,
@@ -514,6 +645,7 @@ def cylinder(
     object_diameter: float = 0.5,
     refinement: int = 0,
     dim: int = 2,
+    variant: str = "ogrid",
 ) -> Mesh:
     """2D channel with a cylindrical obstacle (geometry_cylinder.h).
 
@@ -523,10 +655,29 @@ def cylinder(
     (geometry_cylinder.h:146-213); the layer count matches the in-plane
     spacing so cells stay near-cubic.
 
-    Constructed as a lattice with a hole approximated by a ring of cells
-    graded onto the circle; we use the classic O-grid: a square ring around
-    the cylinder mapped to the circle, embedded in a rectangular channel.
+    variant "ogrid" (default): single logically-structured O-grid
+    (cylinder_ogrid) — canvas-packable, runs the fused Pallas fast path.
+    variant "blocks": the reference-style block construction — a square
+    ring graded onto the circle embedded in a rectangular channel lattice
+    (unstructured; ELL fallback).
     """
+    if variant == "ogrid":
+        mesh = cylinder_ogrid(
+            length=length, height=height,
+            object_position=object_position,
+            object_diameter=object_diameter,
+            refinement=refinement,
+        )
+        if dim == 3:
+            # dz ~ the median radial spacing of the 2D O-grid:
+            n_layers = max(1, int(round(height * 4 * 2**refinement)))
+            return extrude(
+                mesh, -height / 2.0, height / 2.0, n_layers,
+                bc_minus=Boundary.slip, bc_plus=Boundary.slip,
+            )
+        return mesh
+    if variant != "blocks":
+        raise ValueError(f"unknown cylinder variant '{variant}'")
     r = object_diameter / 2.0
     cx, cy = object_position, height / 2.0
 

@@ -1028,6 +1028,71 @@ class PallasStepper:
         )(arrs, tuple(scalars), init_arrays)
         return out
 
+    def _pk1_stream(self, wins, scal, tv, sym):
+        """Slot-streaming PK1: per-offset slices + running EVC sums
+        instead of [K, tile] neighbor stacks.  Identical math to
+        hyp.phase_e_alpha up to reassociation of the indicator sums; the
+        VMEM working set shrinks ~K-fold (the [C, dim, K, tile] hoisted
+        flux stack alone is ~13 MB at K = 26), which is what bounds the
+        3D kernels."""
+        eq, p = self.eq, self.params
+        C, K, dim = eq.n_comp, self.K, self.dim
+        dtype = self.dtype
+        w_cij, w_node, w_U, w_prec = wins
+        tvd = self._derived_view(tv)
+        U_win = self._win(w_U, tv)
+        prec_win = self._win(w_prec, tv)
+        node_win = self._win(w_node, tv)
+        Ut = tvd.center(U_win)
+        prect = tvd.center(prec_win)
+        node_c = tvd.center(node_win)
+        nm_c = node_c[3]
+        cij_c = tv.center(w_cij).reshape((dim, K) + self.tile)
+        tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+
+        pa_win = pa_i = None
+        if hasattr(eq, "riemann_precompute"):
+            pa_win = jnp.stack(eq.riemann_precompute(U_win))
+            pa_i = tuple(tvd.center(pa_win))
+        f_win = eq.f(U_win)
+        f_pl = f_win.reshape((C * dim,) + f_win.shape[2:])
+        f_i = tvd.center(f_pl).reshape((C, dim) + self.tile)
+
+        ind = eq.indicator_init(Ut, prect, f_i=f_i)
+        left = right = None
+        e_slots = []
+        K2 = K // 2 if sym else K
+        for k, off in enumerate(self.offsets):
+            U_jk = tvd._slot(U_win, None, off)
+            prec_jk = tvd._slot(prec_win, None, off)
+            c_k = cij_c[:, k]
+            vm_jk = tvd._slot(node_win, 4, off)
+            mask_k = nm_c * vm_jk
+            if k < K2:
+                norm_k = jnp.sqrt(jnp.sum(c_k * c_k, axis=0))
+                n_k = c_k / jnp.maximum(norm_k, tiny)[None]
+                kwk = {}
+                if pa_win is not None:
+                    kwk["pa_i"] = pa_i
+                    kwk["pa_j"] = tuple(
+                        tvd._slot(pa_win, i, off)
+                        for i in range(pa_win.shape[0])
+                    )
+                lam_k = eq.riemann_lambda_max(
+                    Ut, U_jk, n_k, prec_i=prect, prec_j=prec_jk,
+                    newton_iterations=p.riemann_newton_max_iterations,
+                    newton_tol=p.riemann_newton_tolerance, **kwk,
+                )
+                e_slots.append(lam_k if sym else norm_k * lam_k)
+            f_jk = tvd._slot(f_pl, None, off).reshape((C, dim) + self.tile)
+            li, ri = eq.indicator_accum(ind, U_jk, prec_jk, f_jk, c_k, mask_k)
+            left = li if left is None else left + li
+            right = ri if right is None else right + ri
+
+        hd_i = node_c[0] * self.measure_inv
+        alpha = eq.indicator_finalize(ind, left, right, hd_i, p.evc_factor)
+        return [jnp.stack(e_slots), alpha[None]]
+
     # -- the five kernels ---------------------------------------------------
     def step(self, U, prec, stage_U, stage_prec, stage_weights, tau, cfl,
              tau_cap, compute_tau, stencil):
@@ -1111,8 +1176,19 @@ class PallasStepper:
 
         sym = bool(getattr(eq, "riemann_symmetric", False))
         K_e = K // 2 if sym else K
+        import os as _os_s
+
+        _stream_env = _os_s.environ.get("RYUJIN_STREAM")
+        stream = hasattr(eq, "indicator_accum") and (
+            _stream_env == "1" if _stream_env is not None else self.dim == 3
+        )
+        pk1_fn = (
+            (lambda wins, scal, tv: self._pk1_stream(wins, scal, tv, sym))
+            if stream
+            else pk1
+        )
         e, alpha = self._call(
-            tiled_call, pk1,
+            tiled_call, pk1_fn,
             [(ga.g_cij, False), ga.g_node, Uc, precc],
             [],
             [K_e, zeros(1)],  # e uninit: consumers mask the halo read

@@ -215,3 +215,43 @@ def test_reader_msh41(tmp_path):
     # boundary ids resolve through Entities to physical tags 1 and 2:
     assert sorted(mesh.boundary_ids.tolist()) == [1, 1, 2, 2]
     _check(mesh, 1.0, tol=1e-12)
+
+
+def test_cylinder_ogrid_structured():
+    """The default cylinder variant is a single logically-structured
+    O-grid (geometry.cylinder_ogrid): exact channel corners, periodic
+    theta seam, canvas-packable with the lane wrap as the periodic
+    identification (geometry_cylinder.h analog, TPU-first layout)."""
+    from ryujin_tpu.offline import structured
+
+    mesh = geometry.cylinder(refinement=2)
+    assert mesh.structured_shape == (65, 17)
+    assert mesh.periodic_pairs is not None and len(mesh.periodic_pairs) == 17
+
+    # the four channel corners are mesh vertices:
+    for c in ([0, 0], [4, 0], [4, 2], [0, 2]):
+        d = np.linalg.norm(mesh.vertices - np.asarray(c, float), axis=1)
+        assert d.min() < 1e-12
+
+    data = assembly.assemble(mesh)
+    data.validate()
+    area = 4.0 * 2.0 - np.pi * 0.25**2
+    assert abs(data.measure_of_omega - area) / area < 1e-4
+
+    # boundary tagging: inflow (left), outflow (right), slip elsewhere
+    ids = np.asarray(mesh.boundary_ids)
+    assert (ids == Boundary.dirichlet).sum() > 0
+    assert (ids == Boundary.do_nothing).sum() > 0
+    assert (ids == Boundary.slip).sum() > 0
+
+    packed = structured.pack_structured(data, mesh)
+    # periodic theta = minor canvas axis at its exact period (lane wrap):
+    assert packed.shape[-1] == 64
+    assert packed.n_nodes == 64 * 17
+
+
+def test_cylinder_blocks_variant():
+    mesh = geometry.cylinder(refinement=1, variant="blocks")
+    assert mesh.structured_index is None
+    data = assembly.assemble(mesh)
+    data.validate()

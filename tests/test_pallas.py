@@ -132,3 +132,43 @@ def test_pallas_interpret_matches_xla():
     d = np.abs(res["xla"][0] - res["pallas_interpret"][0]).max()
     assert np.isfinite(res["pallas_interpret"][0]).all()
     assert d < 2e-4, d
+
+
+def test_pallas_cylinder_ogrid_matches_ell():
+    """The O-grid cylinder (periodic-theta minor axis: the canvas lane
+    wrap IS the periodic identification) must reproduce the ELL reference
+    under both the XLA roll path and the fused Pallas kernels, on the
+    Mach-3 channel flow of the flagship benchmark
+    (prm/benchmarks/euler-mach3-cylinder-2d.prm analog)."""
+    from ryujin_tpu.offline import ell
+
+    eq = Euler(dim=2)
+    mesh = geometry.cylinder(refinement=2)
+    data = assembly.assemble(mesh)
+    init = make_initial_state(
+        eq, "uniform", direction=[1, 0], position=[1, 0],
+        primitive_state=[1.4, 3.0, 1.0],
+    )
+    sd = structured.pack_structured(data, mesh)
+    res = {}
+    for name, packed, be in (
+        ("ell", ell.pack(data), "xla"),
+        ("xla", sd, "xla"),
+        ("pallas", sd, "pallas_interpret"),
+    ):
+        hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64,
+                              backend=be)
+        ti = TimeIntegrator(hm, "erk 33", cfl_min=0.6, cfl_max=0.6,
+                            cfl_recovery_strategy="none")
+        U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+        out = ti.advance(U, 0.0, 5)
+        real = np.asarray(packed.node_mask) > 0
+        pos = np.asarray(packed.positions)[real]
+        order = np.lexsort(pos.T)
+        res[name] = (np.asarray(out[0])[:, real][:, order], float(out[2]))
+    for name in ("xla", "pallas"):
+        np.testing.assert_allclose(
+            res[name][0], res["ell"][0], rtol=5e-11, atol=1e-12,
+            err_msg=name,
+        )
+        assert abs(res[name][1] / res["ell"][1] - 1.0) < 1e-12, name
