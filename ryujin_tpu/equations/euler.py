@@ -576,6 +576,76 @@ class Euler:
 
         return jnp.stack([rho_min, rho_max, s_min], axis=0)
 
+    # Slot-streaming variant of the limiter bounds (see indicator_init):
+    # the accumulators carry (rho_min, rho_max, s_min, s_interp_max,
+    # rho_relax_num, k_count) per node, seeded with the diagonal (j = i)
+    # contributions, one offset folded in per accum call.
+    def limiter_bounds_init(self, U_i, prec_i):
+        rho_i = self.density(U_i)
+        m_i = self.momentum(U_i)
+        s_i = prec_i[0]
+        return {
+            "rho_i": rho_i,
+            "m_i": m_i,
+            "rho_min": rho_i,
+            "rho_max": rho_i,
+            "s_min": s_i,
+            "s_interp_max": s_i,
+            "rho_relax_num": 2.0 * rho_i,
+            "k_count": jnp.zeros_like(rho_i),
+            "U_i": U_i,
+        }
+
+    def limiter_bounds_accum(self, st, U_j, prec_j, scaled_c_k, mask_k):
+        dtype = U_j.dtype
+        big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+        rho_j = self.density(U_j)
+        m_j = self.momentum(U_j)
+        rho_ij_bar = 0.5 * (
+            st["rho_i"] + rho_j
+            + jnp.sum((st["m_i"] - m_j) * scaled_c_k, axis=0)
+        )
+        on = mask_k > 0
+        st = dict(st)
+        st["rho_min"] = jnp.minimum(
+            st["rho_min"], jnp.where(on, rho_ij_bar, big)
+        )
+        st["rho_max"] = jnp.maximum(
+            st["rho_max"], jnp.where(on, rho_ij_bar, -big)
+        )
+        st["s_min"] = jnp.minimum(st["s_min"], jnp.where(on, prec_j[0], big))
+        s_interp = self.specific_entropy(0.5 * (st["U_i"] + U_j))
+        st["s_interp_max"] = jnp.maximum(
+            st["s_interp_max"], jnp.where(on, s_interp, -big)
+        )
+        st["rho_relax_num"] = st["rho_relax_num"] + (
+            (st["rho_i"] + rho_j) * mask_k
+        )
+        st["k_count"] = st["k_count"] + mask_k
+        return st
+
+    def limiter_bounds_finalize(self, st, hd_i,
+                                relaxation_factor: float = 1.0):
+        dtype = st["rho_i"].dtype
+        rho_min, rho_max = st["rho_min"], st["rho_max"]
+        s_min = st["s_min"]
+        r_i = jnp.sqrt(hd_i)
+        if self.dim == 2:
+            r_i = jnp.sqrt(jnp.sqrt(hd_i)) ** 3
+        elif self.dim == 1:
+            r_i = jnp.sqrt(hd_i) ** 3
+        r_i = r_i * relaxation_factor
+        eps = jnp.finfo(dtype).eps
+        rho_relaxation = jnp.abs(st["rho_relax_num"]) / (
+            jnp.abs(st["k_count"] + 1.0) + eps
+        )
+        relaxation = 2.0 * relaxation_factor * rho_relaxation
+        rho_min = jnp.maximum((1.0 - r_i) * rho_min, rho_min - relaxation)
+        rho_max = jnp.minimum((1.0 + r_i) * rho_max, rho_max + relaxation)
+        entropy_relaxation = relaxation_factor * (st["s_interp_max"] - s_min)
+        s_min = jnp.maximum((1.0 - r_i) * s_min, s_min - entropy_relaxation)
+        return jnp.stack([rho_min, rho_max, s_min], axis=0)
+
     def limiter_limit(
         self,
         bounds,

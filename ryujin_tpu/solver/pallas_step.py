@@ -598,6 +598,172 @@ def _tiled_call_3d(
     )
 
 
+def _tiled_call_3d_slab(
+    compute,
+    ins: Sequence,
+    scalars: Sequence[jax.Array],
+    out_init: Sequence[jax.Array],
+    offsets,
+    D: int,
+    H: int,
+    W: int,
+    TD: int,
+    tile_planes: Tuple[int, int],
+    dtype,
+    interpret: bool = False,
+):
+    """Run `compute` over full-cross-section z-slab tiles [TD, H, W].
+
+    The second-generation 3D tiling: tiles span the full (H, W) cross
+    section, so y-neighbors are sublane rolls (wrapping into the masked
+    canvas margins) exactly like x-neighbors are lane rolls — no y halo,
+    no (3*TH)-row windows.  Halo inputs are DMA'd as [planes, TD+2, H, W]
+    windows whose z-slices are fully CONTIGUOUS per plane: one linear
+    transfer per plane instead of the row-fragmented [wz, 3*TH, W]
+    gathers of `_tiled_call_3d`, whose DMA overhead — not compute — was
+    measured to bound the first-generation kernels (~70 us/tile on
+    v5e with the per-slot math ablated to nothing).  Windows are
+    double-buffered across the 1D z grid (prefetch tile p+1 during
+    tile p).
+
+    Compute must be slot-streaming (solver/pallas_step.py PallasStepper
+    streaming kernels): with [K, tile] neighbor stacks the [TD, H, W]
+    tiles would not fit VMEM.
+
+    See `_tiled_call` for the ins/out_init/scalars conventions.
+    """
+    tz0, tz1 = tile_planes
+    assert tz0 * TD >= 1 and tz1 * TD + 1 <= D, (tile_planes, D, TD)
+    wz = TD + 2
+
+    norm = [(a, True) if not isinstance(a, tuple) else a for a in ins]
+    cent = [
+        i for i, (a, h) in enumerate(norm)
+        if a is not None and a.shape[0] > 0 and not h
+    ]
+    halo = [
+        i for i, (a, h) in enumerate(norm)
+        if a is not None and a.shape[0] > 0 and h
+    ]
+    ins_c = [norm[i][0] for i in cent]
+    ins_h = [norm[i][0] for i in halo]
+    n_c, n_h, n_sc, n_out = len(ins_c), len(ins_h), len(scalars), len(out_init)
+    n_ali = sum(1 for a in out_init if not isinstance(a, int))
+    gz = tz1 - tz0
+
+    def kernel(*refs):
+        k = 0
+        sc_refs = refs[k : k + n_sc]; k += n_sc
+        c_refs = refs[k : k + n_c]; k += n_c
+        h_refs = refs[k : k + n_h]; k += n_h
+        k += n_ali  # aliased init refs (unused)
+        out_refs = refs[k : k + n_out]; k += n_out
+        wins_h = refs[k : k + n_h]; k += n_h
+        sems = refs[-1]
+
+        p = pl.program_id(0)
+        two = jnp.asarray(2, p.dtype)
+        slot = jax.lax.rem(p, two)
+        nslot = jax.lax.rem(p + jnp.asarray(1, p.dtype), two)
+
+        def start(q, into):
+            sz = (q + tz0) * TD - 1
+            for i in range(n_h):
+                pltpu.make_async_copy(
+                    h_refs[i].at[:, pl.ds(sz, wz)],
+                    wins_h[i].at[into],
+                    sems.at[into, i],
+                ).start()
+
+        def wait(q, into):
+            sz = (q + tz0) * TD - 1
+            for i in range(n_h):
+                pltpu.make_async_copy(
+                    h_refs[i].at[:, pl.ds(sz, wz)],
+                    wins_h[i].at[into],
+                    sems.at[into, i],
+                ).wait()
+
+        @pl.when(p == 0)
+        def _():
+            start(p, slot)
+
+        @pl.when(p + 1 < gz)
+        def _():
+            start(p + 1, nslot)
+
+        wait(p, slot)
+
+        wins = [None] * len(ins)
+        for j, i in enumerate(cent):
+            wins[i] = c_refs[j]
+        for j, i in enumerate(halo):
+            wins[i] = wins_h[j][slot]
+        scal = [r[0, 0] for r in sc_refs]
+        tv = _TileView(offsets, 1, 0, H, W, False, False, H, W,
+                       lz=1, TD=TD, wz=wz)
+        outs = compute(wins, scal, tv)
+        for oref, val in zip(out_refs, outs):
+            oref[...] = val
+
+    init_arrays = [a for a in out_init if not isinstance(a, int)]
+    out_shape = [
+        jax.ShapeDtypeStruct((a, D, H, W), dtype)
+        if isinstance(a, int)
+        else jax.ShapeDtypeStruct(a.shape, a.dtype)
+        for a in out_init
+    ]
+    in_specs = (
+        [pl.BlockSpec((1, 1), lambda tz: (0, 0),
+                      memory_space=pltpu.SMEM)] * n_sc
+        + [
+            pl.BlockSpec(
+                (a.shape[0], TD, H, W),
+                lambda tz, _tz0=tz0: (0, tz + _tz0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for a in ins_c
+        ]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_h
+        + [pl.BlockSpec(memory_space=pl.ANY)] * n_ali  # aliased inits
+    )
+    out_specs = [
+        pl.BlockSpec(
+            (a if isinstance(a, int) else a.shape[0], TD, H, W),
+            lambda tz, _tz0=tz0: (0, tz + _tz0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for a in out_init
+    ]
+    scratch = [
+        pltpu.VMEM((2, a.shape[0], wz, H, W), dtype) for a in ins_h
+    ] + [pltpu.SemaphoreType.DMA((2, max(n_h, 1)))]
+    aliases = {}
+    a_idx = 0
+    for o, a in enumerate(out_init):
+        if not isinstance(a, int):
+            aliases[n_sc + n_c + n_h + a_idx] = o
+            a_idx += 1
+    return pl.pallas_call(
+        kernel,
+        grid=(gz,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        *[jnp.reshape(x, (1, 1)) for x in scalars],
+        *ins_c,
+        *ins_h,
+        *init_arrays,
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PallasArrays:
@@ -777,6 +943,7 @@ class PallasStepper:
             z0, z1 = (
                 int(planes_with_nodes[0]), int(planes_with_nodes[-1]) + 1
             )
+            self.z_planes = (z0, z1)
             self.tile_planes = (z0 // self.TD, (z1 - 1) // self.TD + 1)
             # windows need one z-halo plane on each side:
             if (
@@ -788,7 +955,26 @@ class PallasStepper:
                     "(pack_structured(margin=8))"
                 )
         else:
+            self.z_planes = None
             self.tile_planes = None
+
+        # second-generation 3D path: full-cross-section z-slab tiles +
+        # slot-streaming kernels (no [K, tile] stacks).  Euler-family
+        # equations only; RYUJIN_SLAB3D=0 falls back to the y-tiled
+        # stacked kernels.
+        self.stream_capable = (
+            hasattr(eq, "indicator_accum")
+            and hasattr(eq, "limiter_bounds_accum")
+            and not getattr(eq, "have_source_terms", False)
+            and not getattr(eq, "have_equilibrated_states", False)
+            and not getattr(eq, "have_high_order_flux", False)
+            and not getattr(eq, "limiter_needs_fluxes", False)
+        )
+        self.slab3d = (
+            self.dim == 3
+            and self.stream_capable
+            and os.environ.get("RYUJIN_SLAB3D", "1") != "0"
+        )
 
     # -- helpers ----------------------------------------------------------
     def _d_win_sym(self, w_lam, cmax_t, mask, tv):
@@ -870,19 +1056,23 @@ class PallasStepper:
         """The live (TH+2)-row slice of a halo window ref: the rows a
         (dy in {-1, 0, 1}) slot of the tile (at ly = tv.ly) addresses.
         Slice the ref ONCE and index the result with `_derived_view`.
-        3D windows keep their (already minimal) TD+2 z extent."""
+        3D windows keep their (already minimal) TD+2 z extent; z-slab
+        windows (halo_y False: full-height tiles, y via rolls) keep the
+        full y extent."""
         if tv.TD is not None:
-            return w_ref[
-                :, tv.lz - 1 : tv.lz + tv.TD + 1,
-                tv.ly - 1 : tv.ly + self.TH + 1, :,
-            ]
+            ys = (
+                slice(tv.ly - 1, tv.ly + self.TH + 1)
+                if tv.halo_y
+                else slice(None)
+            )
+            return w_ref[:, tv.lz - 1 : tv.lz + tv.TD + 1, ys, :]
         return w_ref[:, tv.ly - 1 : tv.ly + self.TH + 1, :]
 
     @staticmethod
     def _derived_view(tv):
         """A _TileView addressing a `_win`-sliced array (tile at row 1)."""
-        return _TileView(tv.offsets, 1, tv.lx, tv.TH, tv.TW,
-                         tv.halo_x, True, tv.wy, tv.wx,
+        return _TileView(tv.offsets, 1 if tv.halo_y else tv.ly, tv.lx,
+                         tv.TH, tv.TW, tv.halo_x, tv.halo_y, tv.wy, tv.wx,
                          lz=(None if tv.TD is None else 1), TD=tv.TD)
 
     def _flux_win(self, w_U, tv, pl0=0):
@@ -982,8 +1172,9 @@ class PallasStepper:
         ax = self.mesh_axis
         lc = dict(common)
         if self.dim == 3:
+            TD = lc.get("TD", self.TD)
             lc["D"] = A
-            lc["tile_planes"] = (1, A // self.TD - 1)
+            lc["tile_planes"] = (1, A // TD - 1)
         else:
             lc["H"] = A
             lc["tile_rows"] = (1, A // self.TH - 1)
@@ -1038,6 +1229,7 @@ class PallasStepper:
         eq, p = self.eq, self.params
         C, K, dim = eq.n_comp, self.K, self.dim
         dtype = self.dtype
+        tile = ((tv.TD,) if tv.TD is not None else ()) + (tv.TH, tv.TW)
         w_cij, w_node, w_U, w_prec = wins
         tvd = self._derived_view(tv)
         U_win = self._win(w_U, tv)
@@ -1047,7 +1239,7 @@ class PallasStepper:
         prect = tvd.center(prec_win)
         node_c = tvd.center(node_win)
         nm_c = node_c[3]
-        cij_c = tv.center(w_cij).reshape((dim, K) + self.tile)
+        cij_c = tv.center(w_cij).reshape((dim, K) + tile)
         tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
 
         pa_win = pa_i = None
@@ -1056,8 +1248,21 @@ class PallasStepper:
             pa_i = tuple(tvd.center(pa_win))
         f_win = eq.f(U_win)
         f_pl = f_win.reshape((C * dim,) + f_win.shape[2:])
-        f_i = tvd.center(f_pl).reshape((C, dim) + self.tile)
+        f_i = tvd.center(f_pl).reshape((C, dim) + tile)
 
+        import os as _os
+
+        _abl = _os.environ.get("RYUJIN_PK1_ABLATE", "")
+        K2_ = K // 2 if sym else K
+        if "empty" in _abl:
+            # measurement aid: windows DMA'd but untouched; zero outputs
+            z = jnp.zeros((K2_,) + tile, dtype)
+            return [z, nm_c[None] * 0.0]
+        if "center" in _abl:
+            # measurement aid: only center reads, no neighbor slots
+            s = jnp.sum(Ut, 0) + jnp.sum(prect, 0) + pa_i[0]
+            return [jnp.zeros((K2_,) + tile, dtype) + s[None] * 1e-30,
+                    nm_c[None] * 0.0]
         ind = eq.indicator_init(Ut, prect, f_i=f_i)
         left = right = None
         e_slots = []
@@ -1078,20 +1283,405 @@ class PallasStepper:
                         tvd._slot(pa_win, i, off)
                         for i in range(pa_win.shape[0])
                     )
-                lam_k = eq.riemann_lambda_max(
-                    Ut, U_jk, n_k, prec_i=prect, prec_j=prec_jk,
-                    newton_iterations=p.riemann_newton_max_iterations,
-                    newton_tol=p.riemann_newton_tolerance, **kwk,
-                )
+                if "riemann" in _abl and pa_win is not None:
+                    # measurement aid: trivial |u.n| + a bound instead of
+                    # the two-rarefaction solve
+                    pj = kwk["pa_j"]
+                    u_i = jnp.sum(eq.momentum(Ut) * n_k, 0) * pa_i[2]
+                    u_j = jnp.sum(eq.momentum(U_jk) * n_k, 0) * pj[2]
+                    lam_k = jnp.maximum(
+                        jnp.abs(u_i) + pa_i[1], jnp.abs(u_j) + pj[1]
+                    )
+                else:
+                    lam_k = eq.riemann_lambda_max(
+                        Ut, U_jk, n_k, prec_i=prect, prec_j=prec_jk,
+                        newton_iterations=p.riemann_newton_max_iterations,
+                        newton_tol=p.riemann_newton_tolerance, **kwk,
+                    )
                 e_slots.append(lam_k if sym else norm_k * lam_k)
-            f_jk = tvd._slot(f_pl, None, off).reshape((C, dim) + self.tile)
+            if "noind" in _abl:
+                continue
+            f_jk = tvd._slot(f_pl, None, off).reshape((C, dim) + tile)
             li, ri = eq.indicator_accum(ind, U_jk, prec_jk, f_jk, c_k, mask_k)
             left = li if left is None else left + li
             right = ri if right is None else right + ri
+        if "noind" in _abl:
+            return [jnp.stack(e_slots), nm_c[None] * 0.5]
 
         hd_i = node_c[0] * self.measure_inv
         alpha = eq.indicator_finalize(ind, left, right, hd_i, p.evc_factor)
         return [jnp.stack(e_slots), alpha[None]]
+
+    # -- streamed z-slab kernels (3D second generation) ---------------------
+    def _slot_d(self, tv, tvd, e_win, e_c, cmax_c, mask_k, k, off, sym):
+        """Graph viscosity d_k for one offset from the e halo window."""
+        K = self.K
+        if sym:
+            K2 = K // 2
+            lam_k = (
+                e_c[k] if k < K2 else tvd._slot(e_win, K - 1 - k, off)
+            )
+            d_k = lam_k * cmax_c[k]
+        else:
+            d_k = jnp.maximum(e_c[k], tvd._slot(e_win, K - 1 - k, off))
+        return jnp.where(mask_k > 0, d_k, jnp.zeros_like(d_k))
+
+    def _step_slab(self, Uc, precc, sUc, sPc, w_vec, tau, cfl, tau_cap,
+                   compute_tau, ga):
+        """The IDP substep as streamed full-cross-section z-slab kernels.
+
+        Same five-phase structure as `step` (PK1 / tau / PK2 / PK3 /
+        PK4-5, hyperbolic_module.template.h:341-1182), but every kernel
+        runs on [TD, H, W] tiles via `_tiled_call_3d_slab` and streams
+        the stencil one offset at a time (running sums / running min-max
+        through the equation's *_accum APIs) instead of materialising
+        [K, tile] neighbor stacks.  Euler-family equations only
+        (no sources / equilibrated states / high-order flux)."""
+        eq, p = self.eq, self.params
+        C = eq.n_comp
+        PP = eq.n_precomputed
+        K = self.K
+        dim = self.dim
+        S = sUc.shape[0] // C if sUc.shape[0] else 0
+        dtype = self.dtype
+        canvas = self.canvas
+        D, H, W = canvas
+        sym = bool(getattr(eq, "riemann_symmetric", False))
+        K_e = K // 2 if sym else K
+        import os as _os
+
+        TD = int(_os.environ.get("RYUJIN_TILE_D", "2"))
+        z0, z1 = self.z_planes
+        common = dict(
+            offsets=self.offsets, D=D, H=H, W=W, TD=TD,
+            tile_planes=(z0 // TD, (z1 - 1) // TD + 1),
+            dtype=dtype, interpret=self.interpret,
+        )
+        tiled_call = _tiled_call_3d_slab
+
+        def zeros(planes):
+            return jnp.zeros((planes,) + canvas, dtype)
+
+        # ---- PK1: e + alpha (shared streaming compute) ------------------
+        e, alpha = self._call(
+            tiled_call,
+            lambda wins, scal, tv: self._pk1_stream(wins, scal, tv, sym),
+            [(ga.g_cij, False), ga.g_node, Uc, precc],
+            [],
+            [K_e, zeros(1)],
+            common,
+        )
+        if sym and self.lambda_fixup is not None:
+            e = self.lambda_fixup(e, Uc.reshape(C, -1), precc.reshape(PP, -1))
+            e = e.reshape((K_e,) + canvas)
+        e = self._refresh(e)
+        alpha = self._refresh(alpha)
+
+        # ---- d + tau reduction (XLA, one fusion) ------------------------
+        caxes = tuple(range(len(canvas)))
+        if sym:
+            lam_T = jnp.stack([
+                jnp.roll(e[K - 1 - k], tuple(-o for o in off), axis=caxes)
+                for k, off in list(enumerate(self.offsets))[K_e:]
+            ])
+            lam_full = jnp.concatenate([e, lam_T], axis=0)
+            d = jnp.where(
+                ga.g_mask > 0, lam_full * ga.g_cmax, jnp.zeros_like(lam_full)
+            )
+        else:
+            e_T = jnp.stack([
+                jnp.roll(e[K - 1 - k], tuple(-o for o in off), axis=caxes)
+                for k, off in enumerate(self.offsets)
+            ])
+            d = hyp.d_from_e(ga.g_mask, e, e_T)
+        sa_flat = _SA(
+            cij=None, cij_t=None, mij=None, mask=None, cii=None,
+            m_lumped=ga.m_lumped_flat, m_lumped_inv=None, n_nbrs=None,
+            node_mask=ga.node_mask_flat, measure_inv=self.measure_inv,
+        )
+        tau_max = hyp.tau_max_from_d(sa_flat, d.reshape(K, -1), cfl, tau_cap)
+        tau = jnp.where(compute_tau, tau_max, tau).astype(dtype)
+
+        if _os.environ.get("RYUJIN_PK_ABLATE") == "pk1":
+            return (Uc + 0.0 * tau).reshape(C, -1), tau, jnp.asarray(True)
+
+        n_b = eq.n_bounds
+        # plain python float: jnp scalars created here would be captured
+        # constants inside the pallas kernels below
+        regularization = float(100.0 * np.finfo(np.dtype(dtype)).tiny)
+
+        def weight_of(ws):
+            # 1 - sum(stage weights), from the SMEM scalar refs
+            w = 1.0
+            for w_s in ws:
+                w = w - w_s
+            return w
+
+        def slot_inputs(tv, wins_slices, k, off):
+            """Common per-offset slices for PK2/PK3."""
+            (tvd, U_win, prec_win, e_win, alpha_win, cij_c,
+             mask_c, cmax_c, e_c, f_pl) = wins_slices
+            tile = (tv.TD, tv.TH, tv.TW)
+            U_jk = tvd._slot(U_win, None, off)
+            prec_jk = tvd._slot(prec_win, None, off)
+            c_k = cij_c[:, k]
+            mask_k = mask_c[k]
+            d_k = self._slot_d(
+                tv, tvd, e_win, e_c, cmax_c, mask_k, k, off, sym
+            )
+            alpha_jk = tvd._slot(alpha_win, 0, off)
+            f_jk = tvd._slot(f_pl, None, off).reshape((C, dim) + tile)
+            return U_jk, prec_jk, c_k, mask_k, d_k, alpha_jk, f_jk
+
+        def common_windows(tv, w_cij, w_mask, w_cmax, w_U, w_prec,
+                           w_e, w_alpha):
+            tvd = self._derived_view(tv)
+            tile = (tv.TD, tv.TH, tv.TW)
+            U_win = self._win(w_U, tv)
+            prec_win = self._win(w_prec, tv)
+            e_win = self._win(w_e, tv)
+            alpha_win = self._win(w_alpha, tv)
+            cij_c = tv.center(w_cij).reshape((dim, K) + tile)
+            mask_c = tv.center(w_mask)
+            cmax_c = tv.center(w_cmax) if sym else None
+            e_c = tvd.center(e_win)
+            f_win = eq.f(U_win)
+            f_pl = f_win.reshape((C * dim,) + f_win.shape[2:])
+            return (tvd, U_win, prec_win, e_win, alpha_win,
+                    cij_c, mask_c, cmax_c, e_c, f_pl)
+
+        def stage_windows(tv, w_sU):
+            """Hoisted per-stage flux windows [S][C*dim, ...window]."""
+            if S == 0:
+                return []
+            outs = []
+            for s in range(S):
+                f_s = eq.f(self._win(w_sU, tv)[s * C : (s + 1) * C])
+                outs.append(f_s.reshape((C * dim,) + f_s.shape[2:]))
+            return outs
+
+        # ---- PK2: low-order + F + bounds --------------------------------
+        def pk2(wins, scal, tv):
+            (w_cij, w_mask, w_cmax, w_cii, w_node, w_U, w_prec, w_e,
+             w_alpha, w_sU) = wins
+            tau_s = scal[0]
+            ws = scal[1:]
+            weight_scalar = weight_of(ws)
+            tvd = self._derived_view(tv)
+            tile = (tv.TD, tv.TH, tv.TW)
+            sl = common_windows(tv, w_cij, w_mask, w_cmax, w_U,
+                                w_prec, w_e, w_alpha)
+            (_, U_win, prec_win, e_win, alpha_win, cij_c,
+             mask_c, cmax_c, e_c, f_pl) = sl
+            Ut = tvd.center(U_win)
+            prect = tvd.center(prec_win)
+            node_c = tv.center(w_node)
+            alpha_c = tvd.center(alpha_win)[0]
+            f_i = tvd.center(f_pl).reshape((C, dim) + tile)
+            cii_c = tv.center(w_cii)
+            flux_ii = eq.flux_divergence(f_i, f_i, cii_c)
+            f_s_wins = stage_windows(tv, w_sU)
+
+            low_acc = jnp.zeros((C,) + tile, dtype)
+            F_acc = jnp.zeros((C,) + tile, dtype)
+            bst = eq.limiter_bounds_init(Ut, prect)
+            for k, off in enumerate(self.offsets):
+                (U_jk, prec_jk, c_k, mask_k, d_k, alpha_jk,
+                 f_jk) = slot_inputs(tv, sl, k, off)
+                flux_ij_k = eq.flux_divergence(f_i, f_jk, c_k)
+                dU_k = U_jk - Ut
+                dH_k = d_k * (0.5 * (alpha_c + alpha_jk))
+                low_acc = low_acc + (
+                    flux_ij_k + d_k[None] * dU_k
+                ) * mask_k[None]
+                F_acc = F_acc + (
+                    dH_k[None] * dU_k + weight_scalar * flux_ij_k
+                ) * mask_k[None]
+                for s in range(S):
+                    f_s_jk = tvd._slot(f_s_wins[s], None, off).reshape(
+                        (C, dim) + tile
+                    )
+                    f_s_i = tvd.center(f_s_wins[s]).reshape(
+                        (C, dim) + tile
+                    )
+                    F_acc = F_acc + ws[s] * eq.flux_divergence(
+                        f_s_i, f_s_jk, c_k
+                    ) * mask_k[None]
+                scaled_c_k = c_k / jnp.maximum(d_k, regularization)[None]
+                bst = eq.limiter_bounds_accum(
+                    bst, U_jk, prec_jk, scaled_c_k, mask_k
+                )
+
+            m_inv = node_c[1]
+            U_low = Ut + (tau_s * m_inv)[None] * (low_acc + flux_ii)
+            F = F_acc + weight_scalar * flux_ii
+            for s in range(S):
+                f_s_i = tvd.center(f_s_wins[s]).reshape((C, dim) + tile)
+                F = F + ws[s] * eq.flux_divergence(f_s_i, f_s_i, cii_c)
+            hd_i = node_c[0] * self.measure_inv
+            bounds = eq.limiter_bounds_finalize(
+                bst, hd_i, p.limiter_relaxation_factor
+            )
+            return [U_low, F, bounds]
+
+        U_low, F, bounds = self._call(
+            tiled_call, pk2,
+            [(ga.g_cij, False), (ga.g_mask, False),
+             (ga.g_cmax if sym else None, False), (ga.g_cii, False),
+             (ga.g_node, False), Uc, precc, e, alpha, sUc],
+            [tau] + [w_vec[s] for s in range(S)],
+            [Uc, zeros(C), n_b],
+            common,
+        )
+        F = self._refresh(F)
+
+        ok = jnp.asarray(True)
+        if p.limiter_iterations == 0:
+            return U_low.reshape(C, -1), tau, ok
+
+        # ---- PK3: P + first limiter pass --------------------------------
+        def pk3(wins, scal, tv):
+            (w_cij, w_mask, w_cmax, w_mij, w_node, w_U, w_prec, w_e,
+             w_alpha, w_F, w_Ulow, w_bounds, w_sU) = wins
+            tau_s = scal[0]
+            ws = scal[1:]
+            weight_scalar = weight_of(ws)
+            tvd = self._derived_view(tv)
+            tile = (tv.TD, tv.TH, tv.TW)
+            sl = common_windows(tv, w_cij, w_mask, w_cmax, w_U,
+                                w_prec, w_e, w_alpha)
+            (_, U_win, prec_win, e_win, alpha_win, cij_c,
+             mask_c, cmax_c, e_c, f_pl) = sl
+            node_win = self._win(w_node, tv)
+            Ut = tvd.center(U_win)
+            node_c = tvd.center(node_win)
+            alpha_c = tvd.center(alpha_win)[0]
+            f_i = tvd.center(f_pl).reshape((C, dim) + tile)
+            mij_c = tv.center(w_mij)
+            F_win = self._win(w_F, tv)
+            F_i = tvd.center(F_win)
+            U_low_t = tv.center(w_Ulow)
+            bounds_t = tv.center(w_bounds)
+            m_inv = node_c[1]
+            nn = node_c[2]
+            nm = node_c[3]
+            pfac = tau_s * m_inv * nn
+            f_s_wins = stage_windows(tv, w_sU)
+
+            P_slots = []
+            l_slots = []
+            ok_acc = jnp.ones(tile, dtype)
+            for k, off in enumerate(self.offsets):
+                (U_jk, prec_jk, c_k, mask_k, d_k, alpha_jk,
+                 f_jk) = slot_inputs(tv, sl, k, off)
+                flux_ij_k = eq.flux_divergence(f_i, f_jk, c_k)
+                dU_k = U_jk - Ut
+                dH_k = d_k * (0.5 * (alpha_c + alpha_jk))
+                P_k = (weight_scalar - 1.0) * flux_ij_k + (
+                    dH_k - d_k
+                )[None] * dU_k
+                for s in range(S):
+                    f_s_jk = tvd._slot(f_s_wins[s], None, off).reshape(
+                        (C, dim) + tile
+                    )
+                    f_s_i = tvd.center(f_s_wins[s]).reshape(
+                        (C, dim) + tile
+                    )
+                    P_k = P_k + ws[s] * eq.flux_divergence(
+                        f_s_i, f_s_jk, c_k
+                    )
+                m_jk = tvd._slot(node_win, 0, off)
+                F_jk = tvd._slot(F_win, None, off)
+                b_ij_k = -mij_c[k] / m_jk
+                b_ji_k = -mij_c[k] * m_inv
+                P_k = P_k + b_ij_k[None] * F_jk - b_ji_k[None] * F_i
+                P_k = P_k * pfac[None]
+                l_k, succ_k = eq.limiter_limit(
+                    bounds_t, U_low_t, P_k,
+                    newton_iterations=p.limiter_newton_max_iterations,
+                    newton_tol=p.limiter_newton_tolerance,
+                )
+                ok_acc = jnp.minimum(
+                    ok_acc,
+                    jnp.where(
+                        (mask_k > 0) & (nm > 0),
+                        succ_k.astype(dtype),
+                        jnp.ones(tile, dtype),
+                    ),
+                )
+                P_slots.append(P_k)
+                l_slots.append(l_k)
+            P = jnp.stack(P_slots, axis=1).reshape((C * K,) + tile)
+            l = jnp.stack(l_slots, axis=0)
+            return [P, l, ok_acc[None]]
+
+        P, l_ij, okp = self._call(
+            tiled_call, pk3,
+            [(ga.g_cij, False), (ga.g_mask, False),
+             (ga.g_cmax if sym else None, False), (ga.g_mij, False),
+             ga.g_node, Uc, precc, e, alpha, F,
+             (U_low, False), (bounds, False), sUc],
+            [tau] + [w_vec[s] for s in range(S)],
+            [C * K, zeros(K), jnp.ones((1,) + canvas, dtype)],
+            common,
+        )
+        ok = jnp.min(okp) > 0.5
+        l_ij = self._refresh(l_ij)
+
+        # ---- PK4/PK5: symmetrized limited updates -----------------------
+        U_cur = U_low
+        n_iter = p.limiter_iterations
+        for it in range(n_iter):
+            last = it + 1 == n_iter
+
+            def pk_up(wins, scal, tv, last=last):
+                w_mask, w_node, w_Ucur, w_bounds, w_P, w_l = wins
+                tvd = self._derived_view(tv)
+                tile = (tv.TD, tv.TH, tv.TW)
+                node_c = tv.center(w_node)
+                mask_c = tv.center(w_mask)
+                U_t = tv.center(w_Ucur)
+                bounds_t = tv.center(w_bounds)
+                P_t = tv.center(w_P).reshape((C, K) + tile)
+                l_t = tv.center(w_l)
+                l_win = self._win(w_l, tv)
+                lam_i = 1.0 / node_c[2]
+                acc = jnp.zeros((C,) + tile, dtype)
+                l_sym_slots = []
+                for k, off in enumerate(self.offsets):
+                    l_T_k = tvd._slot(l_win, K - 1 - k, off)
+                    l_sym_k = jnp.minimum(l_t[k], l_T_k)
+                    l_sym_slots.append(l_sym_k)
+                    acc = acc + (l_sym_k * mask_c[k])[None] * P_t[:, k]
+                U_next = U_t + lam_i[None] * acc
+                if last:
+                    return [U_next]
+                l_new = []
+                for k in range(K):
+                    one_m = 1.0 - l_sym_slots[k]
+                    l2_k, _ = eq.limiter_limit(
+                        bounds_t, U_next, one_m[None] * P_t[:, k],
+                        newton_iterations=p.limiter_newton_max_iterations,
+                        newton_tol=p.limiter_newton_tolerance,
+                    )
+                    l_new.append(one_m * l2_k)
+                return [U_next, jnp.stack(l_new, axis=0)]
+
+            outs = self._call(
+                tiled_call, pk_up,
+                [(ga.g_mask, False), ga.g_node,
+                 (U_cur, False), (bounds, False), (P, False), l_ij],
+                [],
+                [Uc] if last else [Uc, zeros(K)],
+                common,
+            )
+            if last:
+                (U_cur,) = outs
+            else:
+                U_cur, l_ij = outs
+                l_ij = self._refresh(l_ij)
+
+        return U_cur.reshape(C, -1), tau, ok
 
     # -- the five kernels ---------------------------------------------------
     def step(self, U, prec, stage_U, stage_prec, stage_weights, tau, cfl,
@@ -1126,6 +1716,12 @@ class PallasStepper:
         precc = self._refresh(precc)
         sUc = self._refresh(sUc)
         sPc = self._refresh(sPc)
+
+        if self.dim == 3 and self.slab3d:
+            return self._step_slab(
+                Uc, precc, sUc, sPc, w_vec, tau, cfl, tau_cap,
+                compute_tau, ga,
+            )
 
         if self.dim == 3:
             common = dict(

@@ -48,7 +48,8 @@ def main():
     )
 
     init = make_initial_state(
-        eq, "uniform", direction=[1, 0], position=[1, 0],
+        eq, "uniform", direction=[1] + [0] * (dim - 1),
+        position=[1] + [0] * (dim - 1),
         primitive_state=[1.4, 3.0, 1.0],
     )
     hm = HyperbolicModule(eq, packed, init, dtype=dtype, backend=backend)

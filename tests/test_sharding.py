@@ -185,6 +185,69 @@ def test_sharded_pallas_slab_canvas_matches_single_device():
             assert s < n_state, f"state-sized all-gather: {line[:120]}"
 
 
+def test_sharded_pallas_slab_canvas_3d_matches_single_device():
+    """The streamed z-slab 3D kernels under shard_map (canvas z axis in
+    n_dev ghost-banded slabs) must reproduce the single-device ELL
+    result — the 3D rendition of the slab-canvas test above."""
+    from ryujin_tpu.offline.mesh import Boundary
+    from ryujin_tpu.parallel.sharding import (
+        make_device_mesh, shard_pallas_module, shard_state,
+    )
+    from ryujin_tpu.offline import ell
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 2
+    eq = Euler(dim=3)
+    mesh = geometry.rectangular_domain(
+        [0, 0, 0], [1, 1, 1], [1, 1, 1], 3,
+        [Boundary.dirichlet] * 6, dim=3,
+    )
+    data = assembly.assemble(mesh)
+    init = make_initial_state(
+        eq, "uniform", primitive_state=(1.4, 1.0, 0.2, 0.1, 1.0)
+    )
+
+    packed_ref = ell.pack(data)
+    hm_ref = HyperbolicModule(eq, packed_ref, init, dtype=jnp.float64)
+    ti_ref = TimeIntegrator(hm_ref, "erk 33", cfl_min=0.3, cfl_max=0.3,
+                            cfl_recovery_strategy="none")
+
+    def bump(packed, U):
+        pos = jnp.asarray(packed.positions.T, jnp.float64)
+        b = 1.0 + 0.3 * jnp.exp(-20.0 * jnp.sum((pos - 0.5) ** 2, axis=0))
+        return U.at[0].mul(b).at[4].mul(b)
+
+    U0r = bump(
+        packed_ref, interpolate_nodal(init, packed_ref, eq, 0.0, jnp.float64)
+    )
+    out_r = ti_ref.advance(U0r, 0.0, 1)
+
+    packed = structured.pack_structured(data, mesh, slabs=n_dev)
+    hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64,
+                          backend="pallas_interpret")
+    device_mesh = make_device_mesh(n_dev)
+    shard_pallas_module(hm, device_mesh)
+    ti = TimeIntegrator(hm, "erk 33", cfl_min=0.3, cfl_max=0.3,
+                        cfl_recovery_strategy="none")
+    U0 = shard_state(
+        bump(packed, interpolate_nodal(init, packed, eq, 0.0, jnp.float64)),
+        device_mesh,
+    )
+    out = ti.advance(U0, 0.0, 1)
+
+    def gather(o, packed):
+        real = np.asarray(packed.node_mask) > 0
+        pos = np.asarray(packed.positions)[real]
+        order = np.lexsort(pos.T)
+        return np.asarray(o)[:, real][:, order]
+
+    np.testing.assert_allclose(
+        gather(out[0], packed), gather(out_r[0], packed_ref),
+        rtol=1e-11, atol=1e-12,
+    )
+    assert abs(float(out[3]) / float(out_r[3]) - 1.0) < 1e-11
+
+
 def test_sharded_navier_stokes_step_matches_single_device():
     """Backward-Euler parabolic solve (CG + boundary projections) under
     node-axis sharding agrees with the single-device result — the analog
