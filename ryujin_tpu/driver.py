@@ -12,6 +12,7 @@ only syncs at tick boundaries.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -151,13 +152,37 @@ class TimeLoop:
         on_tpu_f32 = (
             jax.default_backend() == "tpu" and self.dtype == jnp.float32
         )
+        multiblock_ok = (
+            not structured_ok
+            and ansatz == "cG Q1"
+            and self.mesh.dim == 2
+            and self.mesh.hanging is None
+            and self.mesh.periodic_pairs is None
+            and (on_tpu_f32 or os.environ.get("RYUJIN_MULTIBLOCK") == "1")
+        )
         if structured_ok and (self.mesh.dim <= 2 or on_tpu_f32):
             # 3D canvases carry extra minor-axis padding, so under the XLA
             # (CPU/verification) path ELL is the better 3D layout; on TPU
             # the fused Pallas kernels need the canvas.
+            from .solver.pallas_step import pallas_default_margin
+
             self.packed = structured.pack_structured(
-                self.offline_data, self.mesh
+                self.offline_data, self.mesh,
+                margin=pallas_default_margin(self.eq, self.mesh.dim),
             )
+        elif multiblock_ok:
+            # block-decomposable quilts (airfoil, disk, annulus, cylinder
+            # "blocks", gmsh imports of multi-block meshes) pack onto a
+            # multi-block canvas and run the fused Pallas kernels; truly
+            # irregular meshes fall back to padded ELL:
+            from .offline import multiblock
+
+            try:
+                self.packed = multiblock.pack_multiblock(
+                    self.offline_data, self.mesh
+                )
+            except multiblock.MultiblockError:
+                self.packed = ell.pack(self.offline_data)
         else:
             self.packed = ell.pack(self.offline_data)
 

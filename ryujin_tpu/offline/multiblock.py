@@ -1,0 +1,632 @@
+"""Multi-block structured packing: canvas layout for block-decomposable
+quad meshes.
+
+The reference's "unstructured" production geometries — the airfoil C-type
+blocking (geometry_airfoil.h:823-1416), the cylinder block construction
+(geometry_cylinder.h:62-144), disk, annulus, wall — are all quilts of
+logically-structured patches glued along conforming interfaces.  The
+TPU-native consequence: instead of falling back to gather-based ELL
+(measured: XLA HBM gathers reach ~15 Mnode/s on v5e, and Mosaic's
+in-kernel dynamic_gather is restricted to single-vreg extents —
+scripts/probe_gather.py), we
+
+  1. recover the block structure automatically from the cell graph (BFS
+     propagation of integer lattice coordinates with D4 orientation
+     tracking, `decompose`),
+  2. pack every block onto a shared canvas (stacked along the major axis)
+     with a one-cell ghost ring around each block,
+  3. resolve every cross-block stencil edge onto a ghost-ring cell so the
+     fused Pallas kernels (solver/pallas_step.py) and the XLA shift
+     stencil see a plain lattice everywhere, and
+  4. emit runtime *refresh maps*: small gather/scatter index pairs that
+     copy owner values into ghost cells (gmap_node, node arrays) and
+     owner edge slots into ghost-ring slots in the reader block's frame
+     (gmap_edge, edge arrays like the wavespeed products e and the
+     limiter values l).  This is the multi-block rendition of the ghost-
+     row exchange of the reference's SparseMatrixSIMD
+     (sparse_matrix_simd.h:651-771): O(interface) copies per phase
+     instead of O(n) gathers per neighbor access.
+
+Reader/owner block frames may be rotated relative to each other, which
+breaks the k <-> K-1-k transposed-slot pairing across interfaces; the
+hyperbolic module therefore disables the half-slot symmetric-Riemann
+shortcut on multi-block canvases and evaluates both edge directions
+(hyperbolic.py _sym_riemann).
+
+Vertices whose full stencil cannot be embedded in their canvas
+8-neighborhood (extraordinary block corners) make the mesh unpackable;
+`pack_multiblock` raises `MultiblockError` and the driver falls back to
+the padded-ELL layout.  Conforming quilts with regular interfaces and
+3-/4-valent corners (annulus, disk, airfoil, cylinder blocks) pack fully.
+
+2D only: the reference's multi-block geometries are 2D (their 3D
+variants are extrusions, which keep a global lattice and use
+pack_structured).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .assembly import SparseOfflineData
+from .mesh import Mesh
+from .structured import (
+    StructuredData,
+    _finalize_structured,
+    _round_up,
+    lattice_offsets,
+)
+
+
+class MultiblockError(ValueError):
+    """Mesh cannot be embedded in a multi-block canvas."""
+
+
+# The 8 elements of D4 as integer 2x2 matrices acting on (x, y) columns.
+_D4 = [
+    np.array(m, dtype=np.int64)
+    for m in (
+        [[1, 0], [0, 1]],
+        [[0, -1], [1, 0]],
+        [[-1, 0], [0, -1]],
+        [[0, 1], [-1, 0]],
+        [[-1, 0], [0, 1]],
+        [[1, 0], [0, -1]],
+        [[0, 1], [1, 0]],
+        [[0, -1], [-1, 0]],
+    )
+]
+
+# Local (x, y) corner offsets of the deal.II vertex ordering
+# (coordinate d toggles with stride 2**d): v0=(0,0) v1=(1,0) v2=(0,1) v3=(1,1).
+_CORNERS = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], dtype=np.int64)
+
+
+@dataclasses.dataclass
+class Block:
+    """One logically-structured patch: grid[y, x] = vertex id or -1."""
+
+    grid: np.ndarray  # [H, W] int64
+    cells: np.ndarray  # member cell ids
+
+
+def _face_neighbors(cells: np.ndarray) -> np.ndarray:
+    """[nc, 4] neighbor cell per deal.II face (-x, +x, -y, +y); -1 boundary."""
+    nc = len(cells)
+    faces = np.stack(
+        [cells[:, [0, 2]], cells[:, [1, 3]], cells[:, [0, 1]],
+         cells[:, [2, 3]]],
+        axis=1,
+    ).reshape(-1, 2)
+    fkey = np.sort(faces, axis=1)
+    order = np.lexsort((fkey[:, 1], fkey[:, 0]))
+    sk = fkey[order]
+    same = np.all(sk[1:] == sk[:-1], axis=1)
+    nbr = np.full(nc * 4, -1, dtype=np.int64)
+    a = order[:-1][same]
+    b = order[1:][same]
+    nbr[a] = b // 4
+    nbr[b] = a // 4
+    return nbr.reshape(nc, 4)
+
+
+def decompose(mesh: Mesh) -> List[Block]:
+    """Greedy BFS block decomposition of a conforming 2D quad mesh.
+
+    Cells are absorbed into the current block when their four vertices
+    admit exactly one conflict-free D4 placement on the block lattice;
+    otherwise they seed/join another block.  The frontier is a priority
+    queue keyed by |x| of the cell center so growth sweeps column by
+    column: when a block wraps around an annular topology onto itself,
+    the two fronts meet along a STRAIGHT column instead of the jagged
+    diagonal a plain BFS produces — the leftover seam cells then form a
+    clean sliver block whose stencil rows embed on the canvas.  Runs
+    once per mesh on the host (python BFS over cells, ~1 us/cell).
+    """
+    if mesh.dim != 2:
+        raise MultiblockError("multi-block packing is 2D only")
+    cells = np.asarray(mesh.cells, dtype=np.int64)
+    nc = len(cells)
+    nbr = _face_neighbors(cells)
+
+    block_of = np.full(nc, -1, dtype=np.int64)
+    blocks: List[Block] = []
+
+    for seed in range(nc):
+        if block_of[seed] >= 0:
+            continue
+        bid = len(blocks)
+        vcoord: Dict[int, Tuple[int, int]] = {}
+        vat: Dict[Tuple[int, int], int] = {}
+        centers = set()
+        members: List[int] = []
+
+        def assign(cell_id, coords):
+            for v, xy in coords:
+                vcoord[v] = xy
+                vat[xy] = v
+            cx = sum(xy[0] for _, xy in coords)
+            cy = sum(xy[1] for _, xy in coords)
+            centers.add((cx, cy))  # 4 * cell center, integer
+            block_of[cell_id] = bid
+            members.append(cell_id)
+            return (abs(cx), abs(cy))
+
+        cs = cells[seed]
+        key0 = assign(
+            seed,
+            [(int(cs[i]), (int(_CORNERS[i, 0]), int(_CORNERS[i, 1])))
+             for i in range(4)],
+        )
+        q = [(key0, seed)]
+        while q:
+            _, cur = heapq.heappop(q)
+            for f in range(4):
+                nb = int(nbr[cur, f])
+                if nb < 0 or block_of[nb] >= 0:
+                    continue
+                vs = [int(v) for v in cells[nb]]
+                known = [(i, vcoord[vs[i]]) for i in range(4)
+                         if vs[i] in vcoord]
+                if len(known) < 2:
+                    continue
+                placements: Dict[Tuple[int, int], list] = {}
+                for R in _D4:
+                    loc = _CORNERS @ R.T  # [4, 2] rotated corners
+                    i0, xy0 = known[0]
+                    t = np.array(xy0, dtype=np.int64) - loc[i0]
+                    pts = loc + t
+                    if any(
+                        (int(pts[i, 0]), int(pts[i, 1])) != xy
+                        for i, xy in known
+                    ):
+                        continue
+                    center = (int(pts[:, 0].sum()), int(pts[:, 1].sum()))
+                    if center in centers or center in placements:
+                        continue
+                    ok = True
+                    coords = []
+                    for i in range(4):
+                        xy = (int(pts[i, 0]), int(pts[i, 1]))
+                        v = vs[i]
+                        if vcoord.get(v, xy) != xy or vat.get(xy, v) != v:
+                            ok = False
+                            break
+                        coords.append((v, xy))
+                    if ok:
+                        placements[center] = coords
+                if len(placements) == 1:
+                    (coords,) = placements.values()
+                    key = assign(nb, coords)
+                    heapq.heappush(q, (key, nb))
+        xs = np.array([xy[0] for xy in vcoord.values()])
+        ys = np.array([xy[1] for xy in vcoord.values()])
+        x0, y0 = xs.min(), ys.min()
+        H = int(ys.max() - y0 + 1)
+        W = int(xs.max() - x0 + 1)
+        grid = np.full((H, W), -1, dtype=np.int64)
+        for v, (x, y) in vcoord.items():
+            grid[y - y0, x - x0] = v
+        blocks.append(Block(grid=grid, cells=np.asarray(members)))
+    return blocks
+
+
+class _EdgeCellLookup:
+    """(i, j) vertex pair -> one mesh cell containing both (sorted keys)."""
+
+    def __init__(self, cells: np.ndarray, n_vertices: int):
+        nc, nv = cells.shape
+        i = np.repeat(cells, nv, axis=1).reshape(-1)
+        j = np.tile(cells, (1, nv)).reshape(-1)
+        c = np.repeat(np.arange(nc, dtype=np.int64), nv * nv)
+        sel = i != j
+        key = i[sel] * n_vertices + j[sel]
+        order = np.argsort(key, kind="stable")
+        self.key = key[order]
+        self.cell = c[sel][order]
+        self.n = n_vertices
+
+    def get(self, i: int, j: int) -> Optional[int]:
+        k = i * self.n + j
+        pos = np.searchsorted(self.key, k)
+        if pos < len(self.key) and self.key[pos] == k:
+            return int(self.cell[pos])
+        return None
+
+
+def pack_multiblock(
+    data: SparseOfflineData,
+    mesh: Mesh,
+    pad_minor: int = 128,
+    pad_major: int = 8,
+    margin: int = 8,
+    blocks: Optional[List[Block]] = None,
+) -> StructuredData:
+    """Pack a block-decomposable 2D mesh onto a multi-block canvas.
+
+    Raises MultiblockError when a stencil row cannot be embedded in its
+    canvas 8-neighborhood (extraordinary corner) — callers fall back to
+    ELL.
+    """
+    if data.dim != 2:
+        raise MultiblockError("multi-block packing is 2D only")
+    if data.is_constrained.any():
+        raise MultiblockError(
+            "multi-block packing does not support constrained nodes "
+            "(periodic/hanging)"
+        )
+    if blocks is None:
+        blocks = decompose(mesh)
+
+    K = 8
+    offsets = lattice_offsets(2)
+    n_raw = data.n_nodes
+
+    # ------------------------------------------------------------------
+    # Canvas layout: blocks stacked along axis 0 (y), each with a 1-cell
+    # ghost ring; global masked margin bands top/bottom for the Pallas
+    # halo windows.
+    # ------------------------------------------------------------------
+    Wmax = max(b.grid.shape[1] for b in blocks)
+    Wc = _round_up(Wmax + 2, pad_minor)
+    y_off = []
+    y = margin
+    for b in blocks:
+        y_off.append(y + 1)  # first grid row (ring row above at y_off - 1)
+        y += b.grid.shape[0] + 2
+    Hc = _round_up(y + margin, pad_major)
+    canvas = (Hc, Wc)
+    n_pad = Hc * Wc
+
+    # flat canvas offsets of the K lattice offsets (dy, dx):
+    nbr_off = np.array([o[0] * Wc + o[1] for o in offsets], dtype=np.int64)
+
+    # cell occupancy + ownership
+    cell_vertex = np.full(n_pad, -1, dtype=np.int64)
+    owner_cell = np.full(n_raw, -1, dtype=np.int64)
+    occ_cells: List[np.ndarray] = []
+    occ_verts: List[np.ndarray] = []
+    in_block: List[Dict[int, int]] = []
+    for b, blk in enumerate(blocks):
+        yy, xx = np.nonzero(blk.grid >= 0)
+        v = blk.grid[yy, xx]
+        cell = (y_off[b] + yy) * Wc + (1 + xx)
+        cell_vertex[cell] = v
+        first = owner_cell[v] < 0
+        owner_cell[v[first]] = cell[first]
+        occ_cells.append(cell)
+        occ_verts.append(v)
+        in_block.append({int(a): int(c) for a, c in zip(v, cell)})
+    if (owner_cell < 0).any():
+        raise MultiblockError("mesh has vertices outside every block")
+
+    # Ownership refinement: an interface vertex appears in several blocks;
+    # its stencil row lives at the OWNER cell and must embed in that cell's
+    # 8-neighborhood.  At rotational seams (a block wrapping onto itself,
+    # e.g. an annulus absorbed into one block) the first occurrence may be
+    # surrounded by unrelated grid vertices while a sliver-block occurrence
+    # has the full neighborhood on-grid — pick the occurrence where the
+    # most mesh neighbors are already lattice-adjacent.
+    occ_count = np.zeros(n_raw, dtype=np.int64)
+    for v in np.concatenate(occ_verts):
+        occ_count[v] += 1
+    indptr_, indices_ = data.indptr, data.indices
+    for v in np.flatnonzero(occ_count > 1):
+        nbrs = indices_[indptr_[v]:indptr_[v + 1]]
+        best, best_n = None, -1
+        for b in range(len(blocks)):
+            cell = in_block[b].get(int(v))
+            if cell is None:
+                continue
+            # score: neighbors already lattice-adjacent, plus free cells
+            # available for ghost-ring placements of the missing ones
+            # (a crowded rotational-seam neighborhood scores low even
+            # when its adjacency count ties a clean sliver occurrence):
+            adj = {int(cell_vertex[cell + o]) for o in nbr_off}
+            cnt = sum(1 for w in nbrs if int(w) in adj)
+            free = sum(1 for o in nbr_off if cell_vertex[cell + o] < 0)
+            score = cnt + min(free, len(nbrs) - cnt)
+            if score > best_n:
+                best, best_n = cell, score
+        owner_cell[v] = best
+
+    block_of_cell = np.full(len(mesh.cells), -1, dtype=np.int64)
+    for b, blk in enumerate(blocks):
+        block_of_cell[blk.cells] = b
+
+    # CSR directed edges
+    indptr, indices = data.indptr, data.indices
+    deg = indptr[1:] - indptr[:-1]
+    i_e = np.repeat(np.arange(n_raw, dtype=np.int64), deg)
+    j_e = indices.astype(np.int64)
+    p_e = owner_cell[i_e]
+
+    def unresolved_mask():
+        bad = np.ones(len(i_e), dtype=bool)
+        for o in nbr_off:
+            bad &= cell_vertex[p_e + o] != j_e
+        return bad
+
+    # ------------------------------------------------------------------
+    # Ghost-ring construction.  For each unresolved edge (i, j): map the
+    # shared mesh cell (which lives in another block) into owner(i)'s
+    # frame via an anchor edge whose endpoints are already placed, and
+    # write the cell's remaining vertices onto ring cells.  Iterated:
+    # corner diagonals resolve once their edge-ring neighbors exist.
+    # ------------------------------------------------------------------
+    eclook = _EdgeCellLookup(np.asarray(mesh.cells, np.int64), n_raw)
+    tried: Dict[int, set] = {}
+    for _owner_round in range(4):
+        todo = np.flatnonzero(unresolved_mask())
+        for _ in range(6):
+            if len(todo) == 0:
+                break
+            progress = False
+            remaining = []
+            for eidx in todo:
+                i, j, p = int(i_e[eidx]), int(j_e[eidx]), int(p_e[eidx])
+                if any(cell_vertex[p + o] == j for o in nbr_off):
+                    progress = True
+                    continue
+                if _place_via_shared_cell(
+                    i, j, p, eclook, block_of_cell, in_block, mesh,
+                    cell_vertex, nbr_off, Wc, n_pad,
+                ):
+                    progress = True
+                else:
+                    remaining.append(eidx)
+            todo = np.asarray(remaining, dtype=np.int64)
+            if not progress:
+                break
+        bad = unresolved_mask()
+        if not bad.any():
+            break
+        # Rows that could not embed at their current owner cell (e.g. the
+        # crowded side of a rotational seam): retry with ownership moved
+        # to another occurrence of the same vertex, where the ring has
+        # room (the sliver side).  Ghost copies stay value-correct under
+        # any ownership choice, so previously placed ring cells remain
+        # valid.
+        switched = False
+        for i in np.unique(i_e[bad]):
+            cur = int(owner_cell[i])
+            seen = tried.setdefault(int(i), {cur})
+            for b in range(len(blocks)):
+                cell = in_block[b].get(int(i))
+                if cell is not None and cell not in seen:
+                    owner_cell[i] = cell
+                    seen.add(cell)
+                    switched = True
+                    break
+        if not switched:
+            break
+        p_e = owner_cell[i_e]
+
+    bad = unresolved_mask()
+    if bad.any():
+        k = int(bad.sum())
+        ex = [(int(a), int(b)) for a, b in zip(i_e[bad][:3], j_e[bad][:3])]
+        raise MultiblockError(
+            f"{k} stencil edges not embeddable (extraordinary corners), "
+            f"e.g. {ex}"
+        )
+
+    return _assemble_canvas(
+        data, mesh, canvas, margin, cell_vertex, owner_cell,
+        np.concatenate(occ_cells), np.concatenate(occ_verts),
+        i_e, j_e, p_e, nbr_off, offsets,
+    )
+
+
+def _place_via_shared_cell(
+    i, j, p, eclook, block_of_cell, in_block, mesh, cell_vertex, nbr_off,
+    Wc, n_pad,
+):
+    """Place the vertices of the mesh cell shared by (i, j) on ring cells
+    around owner(i)'s cell p.  Returns True when j became reachable."""
+    q_cell = eclook.get(i, j)
+    if q_cell is None:
+        return False
+    B = int(block_of_cell[q_cell])
+    if B < 0:
+        return False
+    qvs = [int(v) for v in mesh.cells[q_cell]]
+    pb = in_block[B]
+    if any(v not in pb for v in qvs):
+        return False
+
+    def near(v):
+        """Cell at or adjacent to p currently holding v (else None)."""
+        if cell_vertex[p] == v:
+            return p
+        for o in nbr_off:
+            t = p + o
+            if 0 <= t < n_pad and cell_vertex[t] == v:
+                return int(t)
+        return None
+
+    # anchor edges of the quad (deal.II ordering):
+    for (a, b) in ((0, 1), (2, 3), (0, 2), (1, 3), (1, 0), (3, 2),
+                   (2, 0), (3, 1)):
+        va, vb = qvs[a], qvs[b]
+        ca, cb = near(va), near(vb)
+        if ca is None or cb is None:
+            continue
+        d = cb - ca
+        if d not in (1, -1, Wc, -Wc):
+            continue
+        nrm = Wc if abs(d) == 1 else 1
+        fa = pb[va]
+        dB = pb[vb] - fa
+        # corner offsets of the quad in B's frame are {0, dB, nB, nB+dB}:
+        rest = [pb[v] - fa for v in qvs if pb[v] - fa not in (0, dB)]
+        if len(rest) != 2:
+            continue
+        if rest[0] + dB == rest[1]:
+            nB = rest[0]
+        elif rest[1] + dB == rest[0]:
+            nB = rest[1]
+        else:
+            continue
+        placed = False
+        for sgn in (1, -1):
+            trial = {}
+            good = True
+            n_match = 0
+            for v in qvs:
+                ob = pb[v] - fa
+                alpha = beta = None
+                for al in (0, 1):
+                    for be in (0, 1):
+                        if al * dB + be * nB == ob:
+                            alpha, beta = al, be
+                if alpha is None:
+                    good = False
+                    break
+                tgt = ca + alpha * d + beta * sgn * nrm
+                if not (0 <= tgt < n_pad):
+                    good = False
+                    break
+                cv = cell_vertex[tgt]
+                if cv >= 0:
+                    if cv != v:
+                        good = False
+                        break
+                    n_match += 1
+                else:
+                    trial[tgt] = v
+            if not good:
+                continue
+            # the interior side of the anchor conflicts (A's own grid
+            # vertices differ from the quad's), so the first conflict-
+            # free side is the outward one; require at least the two
+            # anchor vertices to match to avoid drifting placements:
+            if n_match >= 2:
+                for t, v in trial.items():
+                    cell_vertex[t] = v
+                placed = True
+                break
+        if placed:
+            return any(cell_vertex[p + o] == j for o in nbr_off)
+    return False
+
+
+def _assemble_canvas(
+    data, mesh, canvas, margin, cell_vertex, owner_cell,
+    all_cells, all_verts, i_e, j_e, p_e, nbr_off, offsets,
+):
+    """Build the StructuredData arrays + refresh maps from the layout."""
+    Hc, Wc = canvas
+    n_pad = Hc * Wc
+    K = 8
+    n_raw = data.n_nodes
+
+    # --- slot of every directed edge at the owner cell (vectorized) ---
+    slot_e = np.full(len(i_e), -1, dtype=np.int64)
+    for k, o in enumerate(nbr_off):
+        tgt = p_e + o
+        hit = (slot_e < 0) & (cell_vertex[tgt] == j_e)
+        slot_e[hit] = k
+    if (slot_e < 0).any():
+        raise MultiblockError("internal: unresolved edge after ring pass")
+
+    # --- static arrays at owner cells ---
+    cij = np.zeros((n_pad, K, 2))
+    mij = np.zeros((n_pad, K))
+    mask = np.zeros((n_pad, K))
+    cij[p_e, slot_e] = data.cij
+    mij[p_e, slot_e] = data.mij
+    mask[p_e, slot_e] = 1.0
+
+    cii = np.zeros((n_pad, 2))
+    lumped = np.ones(n_pad)
+    n_nbrs = np.ones(n_pad)
+    node_mask = np.zeros(n_pad)
+    positions = np.zeros((n_pad, 2))
+    node_to_vertex = np.full(n_pad, -1, dtype=np.int64)
+
+    oc = owner_cell
+    node_mask[oc] = 1.0
+    lumped[oc] = data.lumped_mass
+    cii[oc] = data.cii
+    positions[oc] = data.positions
+    deg = data.indptr[1:] - data.indptr[:-1]
+    n_nbrs[oc] = np.maximum(deg, 1)
+    node_to_vertex[oc] = np.arange(n_raw)
+    vertex_to_node = oc.copy()
+
+    # --- node refresh map: every non-owner value cell <- owner ---
+    nonowner = all_cells != oc[all_verts]
+    ghost = all_cells[nonowner]
+    gverts = all_verts[nonowner]
+    ring_mask = cell_vertex >= 0
+    ring_mask[all_cells] = False
+    ring_cells = np.flatnonzero(ring_mask)
+    ring_verts = cell_vertex[ring_cells]
+    g_dst = np.concatenate([ghost, ring_cells])
+    g_vsrc = np.concatenate([gverts, ring_verts])
+    g_src = oc[g_vsrc]
+    gmap_node = (g_dst.astype(np.int32), g_src.astype(np.int32))
+
+    # static node values at ghost cells (host-side refresh) so that
+    # neighbor reads of lumped mass etc. are valid without runtime work:
+    for arr in (lumped, n_nbrs, cii, positions):
+        arr[g_dst] = arr[g_src]
+
+    # --- edge refresh map -------------------------------------------------
+    # ghost cell g hosting v: slot s holds the edge value (v -> w) where
+    # w = cell_vertex[g + o_s]; source = owner(v)'s slot for that edge.
+    # Vectorized: look up (v, w) pairs in the sorted directed-edge list.
+    ekey = i_e * (n_pad + 1) + 0  # placeholder to define dtype
+    ekey = i_e * n_raw + j_e
+    eorder = np.argsort(ekey, kind="stable")
+    ekey_s = ekey[eorder]
+    slot_s = slot_e[eorder]
+
+    gcell = np.repeat(g_dst, K)
+    gvert = np.repeat(g_vsrc, K)
+    gslot = np.tile(np.arange(K, dtype=np.int64), len(g_dst))
+    tgt = gcell + nbr_off[gslot]
+    ok = (tgt >= 0) & (tgt < n_pad)
+    w = np.where(ok, cell_vertex[np.clip(tgt, 0, n_pad - 1)], -1)
+    ok &= w >= 0
+    key = gvert * n_raw + np.where(ok, w, 0)
+    pos = np.searchsorted(ekey_s, key)
+    pos = np.clip(pos, 0, len(ekey_s) - 1)
+    ok &= ekey_s[pos] == key
+    src_slot = slot_s[pos]
+    e_dst = (gslot[ok] * n_pad + gcell[ok]).astype(np.int32)
+    e_src = (src_slot[ok] * n_pad + oc[gvert[ok]]).astype(np.int32)
+    gmap_edge = (e_dst, e_src)
+
+    # fill static edge arrays at ghost cells (host-side gmap application)
+    # so the transpose-roll construction of cij_t / cmax is exact at
+    # reader rows adjacent to interfaces:
+    for arr in (cij, mij, mask):
+        flat = np.moveaxis(arr, 1, 0).reshape((K * n_pad,) + arr.shape[2:])
+        flat[e_dst] = flat[e_src]
+        arr[:] = np.moveaxis(
+            flat.reshape((K, n_pad) + arr.shape[2:]), 0, 1
+        )
+
+    sd = _finalize_structured(
+        data, mesh, 2, K, offsets, canvas, (margin, 0), n_pad,
+        None, None, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
+        positions, node_to_vertex, vertex_to_node, None,
+        np.ones(n_raw, dtype=bool), ghost_bands=(None, None),
+        slab_spec=None, axis0_periodic=False,
+    )
+    value_mask = node_mask.copy()
+    value_mask[g_dst] = 1.0
+    sd.value_mask = value_mask
+    sd.gmap_node = gmap_node
+    sd.gmap_edge = gmap_edge
+    sd.edge_map = (
+        np.arange(len(i_e), dtype=np.int64),
+        (p_e * K + slot_e).astype(np.int64),
+    )
+    return sd

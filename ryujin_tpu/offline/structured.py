@@ -104,11 +104,28 @@ class StructuredData:
     # edge into them is masked:
     slab_spec: Optional[Tuple[int, int, int]] = None
 
+    # Multi-block refresh maps (offline/multiblock.py): gather/scatter
+    # index pairs (dst, src) copying owner values into cross-block ghost
+    # cells.  gmap_node indexes canvas cells (node arrays [..., n]);
+    # gmap_edge indexes the flattened device edge layout k * n_pad + cell
+    # (edge arrays [..., K, n]), realizing the reader-frame slot
+    # permutation at block interfaces:
+    gmap_node: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    gmap_edge: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    # CSR edge -> host (cell * K + slot) map (multi-block pack_edge_values):
+    edge_map: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
 
 def pack_edge_values(sd: StructuredData, data: SparseOfflineData,
                      mesh: Mesh, values: np.ndarray) -> np.ndarray:
     """Pack CSR-aligned per-edge values [nnz, ...] into [n_pad, K, ...]."""
     out = np.zeros((sd.n_pad, sd.max_degree) + values.shape[1:], values.dtype)
+    if sd.edge_map is not None:  # multi-block canvas (offline/multiblock.py)
+        src, dst = sd.edge_map
+        out.reshape((sd.n_pad * sd.max_degree,) + values.shape[1:])[dst] = (
+            values[src]
+        )
+        return out
     real = np.flatnonzero(sd.node_to_vertex >= 0)
     # reconstruct the edge scatter exactly as pack_structured does:
     rows = sd.node_to_vertex[real]
@@ -169,7 +186,7 @@ def pack_structured(
     mesh: Mesh,
     pad_minor: int = 128,
     pad_major: int = 8,
-    margin: int = 8,
+    margin=8,
     slabs: int = 1,
 ) -> StructuredData:
     """Pack onto the lattice canvas recorded in mesh.structured_index.
@@ -177,6 +194,12 @@ def pack_structured(
     Canvas axis order is (slowest ... fastest) = reversed lattice dims, i.e.
     2D canvas is [ny, nx] with x fastest — matching the row-major vertex
     numbering of the lattice generators.
+
+    margin: masked band width for the leading canvas axes — an int, or a
+    per-leading-axis tuple (slowest first).  The 2D row-tiled Pallas
+    kernels need TH(=8)-row y margins; the 3D z-slab kernels only need
+    TD(=8) planes on z and >=1 row on y (solver/pallas_step.py
+    pallas_default_margin), which cuts 3D canvas padding substantially.
 
     slabs > 1 decomposes canvas axis 0 into `slabs` uniform ghost-banded
     slabs (StructuredData.slab_spec) so the canvas can be sharded over a
@@ -186,6 +209,11 @@ def pack_structured(
     if mesh.structured_index is None or mesh.structured_shape is None:
         raise ValueError("mesh carries no lattice structure")
     dim = data.dim
+    margins_in = (
+        tuple(margin) if isinstance(margin, (tuple, list))
+        else (margin,) * max(dim - 1, 0)
+    )
+    assert len(margins_in) >= dim - 1
     si = np.asarray(mesh.structured_index)  # [n_raw, dim], (ix, iy[, iz])
     lat_shape = tuple(mesh.structured_shape)  # (nx, ny[, nz])
 
@@ -219,11 +247,12 @@ def pack_structured(
         size = int(logical[d])
         off = 0
         gh = None
-        if dim > 1 and axis < dim - 1 and margin:
-            off = margin
-            size = size + 2 * margin
+        m_ax = margins_in[axis] if axis < dim - 1 else 0
+        if dim > 1 and axis < dim - 1 and m_ax:
+            off = m_ax
+            size = size + 2 * m_ax
             if periodic[d]:
-                gh = (margin, int(logical[d]))
+                gh = (m_ax, int(logical[d]))
         if not periodic[d] or gh is not None:
             size = _round_up(size, pads[axis] if dim > 1 else pad_minor)
         elif periodic[d] and not (dim > 1 and axis < dim - 1):
@@ -247,7 +276,7 @@ def pack_structured(
             Ls = L // slabs
         else:
             Ls = _round_up(-(-L // slabs), pad_major)
-        g = margin
+        g = margins_in[0]
         slab_spec = (slabs, Ls, g)
         canvas[0] = slabs * (Ls + 2 * g)
         offs[0] = g

@@ -126,7 +126,7 @@ def _stencil_from_ell(ell: EllData, dtype=jnp.float64) -> Stencil:
     meta_fields=("shape", "offsets", "ghosts", "slab_spec"),
     data_fields=(
         "cij", "mij", "mask", "cii", "m_lumped", "m_lumped_inv",
-        "n_nbrs", "node_mask", "measure_inv",
+        "n_nbrs", "node_mask", "measure_inv", "gmap_node", "gmap_edge",
     ),
 )
 @dataclasses.dataclass(frozen=True)
@@ -158,6 +158,11 @@ class StructuredStencil:
     node_mask: jax.Array  # [n]
     measure_inv: jax.Array  # scalar
     slab_spec: Optional[Tuple[int, int, int]] = None
+    # Multi-block cross-interface refresh maps (offline/multiblock.py):
+    # (dst, src) int32 index pairs — gmap_node over canvas cells, gmap_edge
+    # over the flattened [K * n] device edge layout:
+    gmap_node: Optional[Tuple[jax.Array, jax.Array]] = None
+    gmap_edge: Optional[Tuple[jax.Array, jax.Array]] = None
 
     @property
     def K(self) -> int:
@@ -168,12 +173,16 @@ class StructuredStencil:
         return (
             any(g is not None for g in self.ghosts)
             or self.slab_spec is not None
+            or self.gmap_node is not None
         )
 
     def refresh_ghosts(self, X: jax.Array) -> jax.Array:
         """Copy the wrapped real rows into the ghost bands of [..., n]."""
         if not self.have_ghosts:
             return X
+        if self.gmap_node is not None:
+            dst, src = self.gmap_node
+            X = X.at[..., dst].set(X[..., src])
         lead = X.shape[:-1]
         Xc = X.reshape(lead + self.shape)
         if self.slab_spec is not None:
@@ -221,9 +230,24 @@ class StructuredStencil:
         )
         return out.reshape(lead + (len(self.offsets),) + X.shape[-1:])
 
+    def refresh_edges(self, E: jax.Array) -> jax.Array:
+        """Refresh ghost values of an edge array [..., K, n].
+
+        Band/slab ghosts copy whole rows (uniform slot layout), so the
+        node refresh applies per slot.  Multi-block ghosts instead apply
+        the reader-frame slot permutation gmap_edge."""
+        if self.gmap_edge is not None:
+            dst, src = self.gmap_edge
+            K, n = E.shape[-2], E.shape[-1]
+            lead = E.shape[:-2]
+            Ef = E.reshape(lead + (K * n,))
+            Ef = Ef.at[..., dst].set(Ef[..., src])
+            return Ef.reshape(E.shape)
+        return self.refresh_ghosts(E)
+
     def transpose_edge(self, E: jax.Array) -> jax.Array:
         """[..., K, n] -> [..., K, n]: out[..., k, i] = E[..., K-1-k, i+off_k]."""
-        E = self.refresh_ghosts(E)
+        E = self.refresh_edges(E)
         K = E.shape[-2]
         lead = E.shape[:-2]
         Ec = E.reshape(lead + (K,) + self.shape)
@@ -254,6 +278,14 @@ class StructuredStencil:
             n_nbrs=_f(sd.n_nbrs, dtype),
             node_mask=_f(sd.node_mask, dtype),
             measure_inv=_f(1.0 / sd.measure_of_omega, dtype),
+            gmap_node=(
+                None if getattr(sd, "gmap_node", None) is None
+                else tuple(jnp.asarray(a) for a in sd.gmap_node)
+            ),
+            gmap_edge=(
+                None if getattr(sd, "gmap_edge", None) is None
+                else tuple(jnp.asarray(a) for a in sd.gmap_edge)
+            ),
         )
 
 
@@ -831,10 +863,14 @@ class HyperbolicModule:
         # Only the lattice stencil guarantees the k <-> K-1-k transposed
         # slot pairing d_from_lambda relies on; the generic ELL transpose
         # is an arbitrary permutation, so ELL keeps the two-direction
-        # evaluation:
-        self._sym_riemann = bool(
-            getattr(equation, "riemann_symmetric", False)
-        ) and isinstance(self._xla_stencil, StructuredStencil)
+        # evaluation.  Multi-block canvases (offline/multiblock.py) break
+        # the pairing at block interfaces (reader/owner frames may be
+        # rotated), so they too evaluate both directions:
+        self._sym_riemann = (
+            bool(getattr(equation, "riemann_symmetric", False))
+            and isinstance(self._xla_stencil, StructuredStencil)
+            and self._xla_stencil.gmap_edge is None
+        )
         self._bp = (
             _boundary_pair_data(self._xla_stencil, dtype)
             if self._sym_riemann

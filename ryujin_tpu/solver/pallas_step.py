@@ -45,6 +45,32 @@ from ..offline.structured import StructuredData
 from . import hyperbolic as hyp
 
 
+def pallas_default_margin(eq, dim: int):
+    """Canvas margins the Pallas kernels need for this equation/dim.
+
+    2D row tiles need TH(=8)-row y margins.  The 3D z-slab kernels
+    (available when the equation supports slot streaming) need TD(=8)
+    planes on z but only 1+ rows on y — (8, 2) cuts the 3D canvas pad
+    ratio from ~1.9 to ~1.5 on benchmark-sized boxes.  The 3D y-tiled
+    fallback kernels need full 8-row margins on both leading axes.
+    """
+    import os
+
+    if dim < 3:
+        return 8
+    streaming = (
+        hasattr(eq, "indicator_accum")
+        and hasattr(eq, "limiter_bounds_accum")
+        and not getattr(eq, "have_source_terms", False)
+        and not getattr(eq, "have_equilibrated_states", False)
+        and not getattr(eq, "have_high_order_flux", False)
+        and not getattr(eq, "limiter_needs_fluxes", False)
+    )
+    if streaming and os.environ.get("RYUJIN_SLAB3D", "1") != "0":
+        return (int(os.environ.get("RYUJIN_TILE_D", "8")), 2)
+    return 8
+
+
 class _TileView:
     """Neighbor access on halo'd VMEM windows for one canvas tile.
 
@@ -833,15 +859,37 @@ class PallasStepper:
         del tile
         import os
 
+        # second-generation 3D path: full-cross-section z-slab tiles +
+        # slot-streaming kernels (no [K, tile] stacks).  Euler-family
+        # equations only; RYUJIN_SLAB3D=0 falls back to the y-tiled
+        # stacked kernels.  Decided up front because the slab tiling has
+        # much weaker margin requirements (TD z-planes + 1 y-row instead
+        # of 8-row y margins), cf. pallas_default_margin.
+        self.stream_capable = (
+            hasattr(eq, "indicator_accum")
+            and hasattr(eq, "limiter_bounds_accum")
+            and not getattr(eq, "have_source_terms", False)
+            and not getattr(eq, "have_equilibrated_states", False)
+            and not getattr(eq, "have_high_order_flux", False)
+            and not getattr(eq, "limiter_needs_fluxes", False)
+        )
+        self.slab3d = (
+            sd.dim == 3
+            and self.stream_capable
+            and os.environ.get("RYUJIN_SLAB3D", "1") != "0"
+        )
+
         TH = int(os.environ.get("RYUJIN_TILE_H", "8"))
         TW = self.W
-        if self.H % TH:
+        if self.H % (8 if self.slab3d else TH):
             raise ValueError(f"canvas height {self.H} not a multiple of {TH}")
-        if sd.margins[-2] < TH and self.H // TH > 1:
+        if not self.slab3d and sd.margins[-2] < TH and self.H // TH > 1:
             raise ValueError(
                 "pallas backend needs >=8-row canvas margins "
                 "(pack_structured(margin=8))"
             )
+        if self.slab3d and sd.margins[-2] < 1:
+            raise ValueError("3D slab pallas needs >=1-row y margins")
         self.TH, self.TW = TH, TW
         if self.dim == 3:
             TD = int(os.environ.get("RYUJIN_TILE_D", "8"))
@@ -849,8 +897,11 @@ class PallasStepper:
                 raise ValueError(
                     f"canvas depth {self.D} not a multiple of {TD}"
                 )
-            if sd.margins[0] < 1:
-                raise ValueError("3D pallas needs masked z margins")
+            if sd.margins[0] < (TD if self.slab3d else 1):
+                raise ValueError(
+                    "3D pallas needs masked z margins (>= TD planes for "
+                    "the z-slab kernels; pack_structured margin=(TD, 1+))"
+                )
             self.TD = TD
             self.tile = (TD, TH, TW)
         else:
@@ -920,9 +971,20 @@ class PallasStepper:
             getattr(sd, "ghosts", ()) or (None,) * len(canvas)
         )
         self.slab_spec = getattr(sd, "slab_spec", None)
+        # multi-block cross-interface refresh maps (offline/multiblock.py):
+        gm_n = getattr(sd, "gmap_node", None)
+        gm_e = getattr(sd, "gmap_edge", None)
+        self.gmap_node = (
+            None if gm_n is None else tuple(jnp.asarray(a) for a in gm_n)
+        )
+        self.gmap_edge = (
+            None if gm_e is None else tuple(jnp.asarray(a) for a in gm_e)
+        )
+        self.multiblock = self.gmap_edge is not None
         self._have_ghosts = (
             any(g is not None for g in self.ghost_bands)
             or self.slab_spec is not None
+            or self.gmap_node is not None
         )
 
         # interior tile-row range (tiles containing real nodes); the masked
@@ -933,7 +995,10 @@ class PallasStepper:
         )
         r0, r1 = int(rows_with_nodes[0]), int(rows_with_nodes[-1]) + 1
         self.tile_rows = (r0 // self.TH, (r1 - 1) // self.TH + 1)
-        if self.tile_rows[0] < 1 or self.tile_rows[1] * self.TH + self.TH > H:
+        if not self.slab3d and (
+            self.tile_rows[0] < 1
+            or self.tile_rows[1] * self.TH + self.TH > H
+        ):
             raise ValueError(
                 "pallas backend needs >=8-row masked canvas margins "
                 "(pack_structured(margin=8))"
@@ -951,30 +1016,12 @@ class PallasStepper:
                 or self.tile_planes[1] * self.TD + 1 > self.D
             ):
                 raise ValueError(
-                    "3D pallas needs >=1 masked z-margin plane "
-                    "(pack_structured(margin=8))"
+                    "3D pallas needs z margins >= TD planes "
+                    "(pack_structured(margin=(TD, 1+)))"
                 )
         else:
             self.z_planes = None
             self.tile_planes = None
-
-        # second-generation 3D path: full-cross-section z-slab tiles +
-        # slot-streaming kernels (no [K, tile] stacks).  Euler-family
-        # equations only; RYUJIN_SLAB3D=0 falls back to the y-tiled
-        # stacked kernels.
-        self.stream_capable = (
-            hasattr(eq, "indicator_accum")
-            and hasattr(eq, "limiter_bounds_accum")
-            and not getattr(eq, "have_source_terms", False)
-            and not getattr(eq, "have_equilibrated_states", False)
-            and not getattr(eq, "have_high_order_flux", False)
-            and not getattr(eq, "limiter_needs_fluxes", False)
-        )
-        self.slab3d = (
-            self.dim == 3
-            and self.stream_capable
-            and os.environ.get("RYUJIN_SLAB3D", "1") != "0"
-        )
 
     # -- helpers ----------------------------------------------------------
     def _d_win_sym(self, w_lam, cmax_t, mask, tv):
@@ -1125,6 +1172,10 @@ class PallasStepper:
         update_ghost_rows_{start,finish} (sparse_matrix_simd.h:651-771)."""
         if not self._have_ghosts or X.shape[0] == 0:
             return X
+        if self.gmap_node is not None:
+            dst, src = self.gmap_node
+            Xf = X.reshape(X.shape[0], -1)
+            X = Xf.at[:, dst].set(Xf[:, src]).reshape(X.shape)
         if self.slab_spec is not None:
             # cyclic roll along the slab axis — a collective-permute when
             # that axis is sharded over the device mesh
@@ -1150,6 +1201,18 @@ class PallasStepper:
             X = jax.lax.dynamic_update_slice_in_dim(X, top, 0, a)
             X = jax.lax.dynamic_update_slice_in_dim(X, bot, g + P, a)
         return X
+
+    def _refresh_edge(self, E):
+        """Refresh ghost values of an edge canvas [K, *canvas].
+
+        Band/slab ghosts copy whole rows (uniform slot layout, per-plane
+        node refresh); multi-block ghosts apply the reader-frame slot
+        permutation gmap_edge over the flattened [K * n] layout."""
+        if self.gmap_edge is not None:
+            dst, src = self.gmap_edge
+            Ef = E.reshape(-1)
+            return Ef.at[dst].set(Ef[src]).reshape(E.shape)
+        return self._refresh(E)
 
     def _call(self, tiled_call, compute, ins, scalars, out_init, common):
         """Dispatch one fused kernel — directly, or per-device under
@@ -1346,7 +1409,10 @@ class PallasStepper:
         dtype = self.dtype
         canvas = self.canvas
         D, H, W = canvas
-        sym = bool(getattr(eq, "riemann_symmetric", False))
+        sym = (
+            bool(getattr(eq, "riemann_symmetric", False))
+            and not self.multiblock  # interface frames break k<->K-1-k
+        )
         K_e = K // 2 if sym else K
         import os as _os
 
@@ -1374,7 +1440,7 @@ class PallasStepper:
         if sym and self.lambda_fixup is not None:
             e = self.lambda_fixup(e, Uc.reshape(C, -1), precc.reshape(PP, -1))
             e = e.reshape((K_e,) + canvas)
-        e = self._refresh(e)
+        e = self._refresh_edge(e)
         alpha = self._refresh(alpha)
 
         # ---- d + tau reduction (XLA, one fusion) ------------------------
@@ -1626,7 +1692,7 @@ class PallasStepper:
             common,
         )
         ok = jnp.min(okp) > 0.5
-        l_ij = self._refresh(l_ij)
+        l_ij = self._refresh_edge(l_ij)
 
         # ---- PK4/PK5: symmetrized limited updates -----------------------
         U_cur = U_low
@@ -1679,7 +1745,7 @@ class PallasStepper:
                 (U_cur,) = outs
             else:
                 U_cur, l_ij = outs
-                l_ij = self._refresh(l_ij)
+                l_ij = self._refresh_edge(l_ij)
 
         return U_cur.reshape(C, -1), tau, ok
 
@@ -1770,7 +1836,10 @@ class PallasStepper:
             )
             return [e, alpha[None]]
 
-        sym = bool(getattr(eq, "riemann_symmetric", False))
+        sym = (
+            bool(getattr(eq, "riemann_symmetric", False))
+            and not self.multiblock  # interface frames break k<->K-1-k
+        )
         K_e = K // 2 if sym else K
         import os as _os_s
 
@@ -1793,7 +1862,7 @@ class PallasStepper:
         if sym and self.lambda_fixup is not None:
             # coupling-boundary-pair correction (few slots, XLA scatter)
             e = self.lambda_fixup(e, U, prec).reshape((K_e,) + canvas)
-        e = self._refresh(e)
+        e = self._refresh_edge(e)
         alpha = self._refresh(alpha)
 
         # ---- d + tau reduction (XLA, one fusion) ------------------------
@@ -1877,13 +1946,21 @@ class PallasStepper:
             return U_low.reshape(C, -1), tau, ok
 
         # ---- PK3: P + first limiter pass --------------------------------
+        # The derived mask (node_mask_i * value_mask_j) over-approximates
+        # the edge set; on single-block canvases the extras all carry
+        # c_ij = m_ij = 0 AND a zero transposed wavespeed, so d and hence
+        # P vanish on them.  On MULTI-BLOCK canvases a fake canvas
+        # adjacency can face a ghost row whose transposed e-slot holds an
+        # unrelated real edge (reader-frame slot permutation), giving
+        # d > 0 and spurious P — so those canvases read the exact mask:
         def pk3(wins, scal, tv):
-            (w_cij, w_cmax, w_mij, w_cii, w_node, w_U, w_prec, w_e,
-             w_alpha, w_F, w_Ulow, w_bounds, w_sU, w_sP) = wins
+            (w_cij, w_cmax, w_mij, w_cii, w_node, w_mask, w_U, w_prec,
+             w_e, w_alpha, w_F, w_Ulow, w_bounds, w_sU, w_sP) = wins
             tau_s = scal[0]
             w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
-            sa = self._sa(tv, w_cij, None, w_mij, w_cii, w_node,
-                          mask_arr=self._derived_mask(w_node, tv))
+            sa = self._sa(tv, w_cij, w_mask, w_mij, w_cii, w_node,
+                          mask_arr=(None if w_mask is not None else
+                                    self._derived_mask(w_node, tv)))
             Ut, prect = tv.center(w_U), tv.center(w_prec)
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
             if sym:
@@ -1922,7 +1999,9 @@ class PallasStepper:
             tiled_call, pk3,
             [(ga.g_cij, False), (ga.g_cmax if sym else None, False),
              (ga.g_mij, False),
-             (ga.g_cii, False), ga.g_node, Uc, precc, e,
+             (ga.g_cii, False), ga.g_node,
+             (ga.g_mask if self.multiblock else None, False),
+             Uc, precc, e,
              alpha, F, (U_low, False), (bounds, False), sUc, sPc],
             [tau] + [w_vec[s] for s in range(S)],
             # P is center-read only -> uninitialized; l is halo-read in
@@ -1932,7 +2011,7 @@ class PallasStepper:
             common,
         )
         ok = jnp.min(okp) > 0.5
-        l_ij = self._refresh(l_ij)
+        l_ij = self._refresh_edge(l_ij)
 
         # ---- PK4/PK5: symmetrized limited updates -----------------------
         U_cur = U_low
@@ -1968,6 +2047,6 @@ class PallasStepper:
                 (U_cur,) = outs
             else:
                 U_cur, l_ij = outs
-                l_ij = self._refresh(l_ij)
+                l_ij = self._refresh_edge(l_ij)
 
         return U_cur.reshape(C, -1), tau, ok

@@ -1,0 +1,102 @@
+"""TPU throughput probe for the multi-block canvas fast path.
+
+Runs the fused Pallas kernels on a block-decomposed geometry (default:
+the transfinite C-type airfoil, the reference's transonic benchmark
+geometry, geometry_airfoil.h) and reports MQ/s.
+
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_multiblock.py
+
+Envs: GEOM (airfoil|disk|annulus), R (refinement), STEPS, WARMUP, BE.
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.equations.euler_initial_states import make_initial_state
+    from ryujin_tpu.offline import assembly, geometry, multiblock
+    from ryujin_tpu.postprocess.error import interpolate_nodal
+    from ryujin_tpu.solver.hyperbolic import HyperbolicModule
+    from ryujin_tpu.solver.integrator import TimeIntegrator
+
+    geom = os.environ.get("GEOM", "airfoil")
+    refinement = int(os.environ.get("R", "5"))
+    n_steps = int(os.environ.get("STEPS", "20"))
+    warmup = int(os.environ.get("WARMUP", "500"))
+    backend = os.environ.get("BE", "pallas")
+    dtype = jnp.float32
+
+    eq = Euler(dim=2)
+    t0 = time.perf_counter()
+    if geom == "airfoil":
+        mesh = geometry.airfoil(refinement=refinement)
+        # subsonic-ish freestream at Mach 0.72 like the reference's
+        # transonic setup (airfoil runs use dynamic farfield BCs):
+        init = make_initial_state(
+            eq, "uniform", primitive_state=(1.4, 0.85, 1.0)
+        )
+    elif geom == "disk":
+        mesh = geometry.disk(refinement=refinement)
+        init = make_initial_state(
+            eq, "uniform", primitive_state=(1.4, 3.0, 1.0)
+        )
+    else:
+        mesh = geometry.annulus(refinement=refinement)
+        init = make_initial_state(
+            eq, "uniform", primitive_state=(1.4, 3.0, 1.0)
+        )
+    data = assembly.assemble(mesh)
+    t_asm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    blocks = multiblock.decompose(mesh)
+    packed = multiblock.pack_multiblock(data, mesh, blocks=blocks)
+    print(
+        f"{geom}: {packed.n_nodes} nodes, {len(blocks)} blocks, canvas "
+        f"{packed.shape} (pad ratio {packed.n_pad / packed.n_nodes:.2f}), "
+        f"assembly {t_asm:.1f}s decompose+pack "
+        f"{time.perf_counter() - t0:.1f}s",
+        flush=True,
+    )
+
+    hm = HyperbolicModule(eq, packed, init, dtype=dtype, backend=backend)
+    ti = TimeIntegrator(
+        hm, scheme="erk 33", cfl_min=0.45, cfl_max=0.9,
+        cfl_recovery_strategy="bang bang control",
+    )
+    U = interpolate_nodal(init, packed, eq, 0.0, dtype)
+
+    t0 = time.perf_counter()
+    U, _, t, tau, nr, _ = ti.advance(U, 0.0, n_steps=max(warmup, 2))
+    print(
+        f"warmup {max(warmup, 2)} steps to t={float(t):.4f} "
+        f"({time.perf_counter() - t0:.1f}s, tau={float(tau):.3e}, "
+        f"restarts {int(nr)})",
+        flush=True,
+    )
+
+    mqs = 0.0
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = ti.advance(U, t, n_steps=n_steps)
+        float(out[2])
+        wall = time.perf_counter() - t0
+        mqs = packed.n_nodes * n_steps * 3 / wall / 1e6
+        print(f"rep {rep}: {wall:.3f}s  {mqs:.1f} MQ/s", flush=True)
+
+    Uh = np.asarray(out[0])[:, np.asarray(packed.node_mask) > 0]
+    print("finite:", np.isfinite(Uh).all(), "rho range:",
+          Uh[0].min(), Uh[0].max(), flush=True)
+    print(json.dumps({"metric": f"euler2d_{geom}_multiblock", "mqs": mqs}))
+
+
+if __name__ == "__main__":
+    main()

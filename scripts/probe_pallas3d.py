@@ -47,7 +47,9 @@ def main():
         dim=3,
     )
     data = assembly.assemble(mesh)
-    margin = int(os.environ.get("MARGIN", "8"))
+    margin = json.loads(os.environ.get("MARGIN", "[8, 2]"))
+    if isinstance(margin, list):
+        margin = tuple(margin)
     padm = int(os.environ.get("PADM", "8"))
     packed = structured.pack_structured(
         data, mesh, margin=margin, pad_major=padm

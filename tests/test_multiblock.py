@@ -1,0 +1,110 @@
+"""Multi-block canvas packing (offline/multiblock.py).
+
+The reference's block-built geometries (annulus: geometry_annulus.h, disk:
+geometry_disk.h, airfoil: geometry_airfoil.h, cylinder blocks:
+geometry_cylinder.h:62-144) are quilts of logically-structured patches.
+These tests check that the automatic block decomposition + multi-block
+canvas packing reproduces the padded-ELL reference path bit-for-bit
+(cross-interface ghost refresh incl. the reader-frame slot permutation),
+and that the fused Pallas kernels (interpret mode) agree on multi-block
+canvases.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ryujin_tpu.equations.euler import Euler
+from ryujin_tpu.equations.euler_initial_states import make_initial_state
+from ryujin_tpu.offline import assembly, ell, geometry, multiblock
+from ryujin_tpu.postprocess.error import interpolate_nodal
+from ryujin_tpu.solver.hyperbolic import HyperbolicModule
+from ryujin_tpu.solver.integrator import TimeIntegrator
+
+
+def _bumped_state(eq, packed, init, dtype):
+    """Uniform Mach-3 flow with a density/energy bump (limiter active)."""
+    U = interpolate_nodal(init, packed, eq, 0.0, dtype)
+    pos = np.asarray(packed.positions)
+    bump = 1.0 + 0.2 * np.exp(-10.0 * (pos**2).sum(1))
+    U = U.at[0].mul(jnp.asarray(bump, dtype))
+    U = U.at[3].mul(jnp.asarray(bump, dtype))
+    return U
+
+
+def _advance(eq, packed, init, dtype, n_steps, backend="xla"):
+    hm = HyperbolicModule(eq, packed, init, dtype=dtype, backend=backend)
+    ti = TimeIntegrator(
+        hm, scheme="erk 33", cfl_min=0.45, cfl_max=0.9,
+        cfl_recovery_strategy="none",
+    )
+    U0 = _bumped_state(eq, packed, init, dtype)
+    U, _, t, tau, _, _ = ti.advance(U0, 0.0, n_steps=n_steps)
+    return np.asarray(U), float(t), float(tau)
+
+
+@pytest.mark.parametrize(
+    "geom,make",
+    [
+        ("annulus", lambda: geometry.annulus(refinement=0)),
+        ("disk", lambda: geometry.disk(refinement=1)),
+    ],
+)
+def test_multiblock_matches_ell(geom, make):
+    """Multi-block canvas == padded ELL on the same mesh (1e-12)."""
+    mesh = make()
+    data = assembly.assemble(mesh)
+    sd = multiblock.pack_multiblock(data, mesh, pad_minor=8, pad_major=8)
+    el = ell.pack(data)
+    assert sd.n_nodes == el.n_nodes
+    assert sd.gmap_node is not None and len(sd.gmap_node[0]) > 0
+
+    eq = Euler(dim=2)
+    init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
+    dtype = jnp.float64
+    Us, ts, taus = _advance(eq, sd, init, dtype, 3)
+    Ue, te, taue = _advance(eq, el, init, dtype, 3)
+    assert abs(taus - taue) < 1e-14 * max(1.0, abs(taue))
+    A = Us[:, np.asarray(sd.vertex_to_node)]
+    B = Ue[:, np.asarray(el.vertex_to_node)]
+    assert np.isfinite(A).all()
+    np.testing.assert_allclose(A, B, rtol=0.0, atol=1e-12)
+
+
+def test_multiblock_pallas_interpret_matches_xla():
+    """Fused kernels with cross-block ghost refresh == XLA (disk mesh)."""
+    mesh = geometry.disk(refinement=1)
+    data = assembly.assemble(mesh)
+    sd = multiblock.pack_multiblock(data, mesh, pad_minor=8, pad_major=8)
+    eq = Euler(dim=2)
+    init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
+    dtype = jnp.float64
+    U_x, t_x, tau_x = _advance(eq, sd, init, dtype, 2, backend="xla")
+    U_p, t_p, tau_p = _advance(eq, sd, init, dtype, 2,
+                               backend="pallas_interpret")
+    assert abs(tau_x - tau_p) < 1e-14 * max(1.0, abs(tau_x))
+    real = np.asarray(sd.node_mask) > 0
+    np.testing.assert_allclose(
+        U_p[:, real], U_x[:, real], rtol=0.0, atol=1e-12
+    )
+
+
+def test_extraordinary_vertices_fall_back():
+    """The reference-style cylinder block construction has degree-12
+    vertices (>8 stencil slots) — unembeddable by design; packing must
+    raise so the driver falls back to padded ELL."""
+    mesh = geometry.cylinder(refinement=1, variant="blocks")
+    data = assembly.assemble(mesh)
+    with pytest.raises(multiblock.MultiblockError):
+        multiblock.pack_multiblock(data, mesh, pad_minor=8, pad_major=8)
+
+
+def test_airfoil_multiblock_packs():
+    """The transfinite C-type airfoil quilt embeds on a multi-block canvas."""
+    mesh = geometry.airfoil(refinement=0)
+    data = assembly.assemble(mesh)
+    sd = multiblock.pack_multiblock(data, mesh, pad_minor=8, pad_major=8)
+    assert sd.n_nodes == int((~data.is_constrained).sum())
+    # every directed edge resolved: owner-row mask count equals nnz
+    # (ghost rows carry gmap-copied mask entries on top)
+    assert int(sd.mask[sd.node_mask > 0].sum()) == len(data.indices)
