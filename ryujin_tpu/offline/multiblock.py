@@ -215,6 +215,136 @@ def decompose(mesh: Mesh) -> List[Block]:
     return blocks
 
 
+def _crop(grid: np.ndarray) -> np.ndarray:
+    """Trim empty border rows/cols of a block grid."""
+    occ = grid >= 0
+    rows = np.flatnonzero(occ.any(axis=1))
+    cols = np.flatnonzero(occ.any(axis=0))
+    return grid[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1]
+
+
+def _cropped_area(grid: np.ndarray) -> int:
+    occ = grid >= 0
+    rows = np.flatnonzero(occ.any(axis=1))
+    cols = np.flatnonzero(occ.any(axis=0))
+    if len(rows) == 0:
+        return 0
+    return int((rows[-1] - rows[0] + 1) * (cols[-1] - cols[0] + 1))
+
+
+def split_sparse_blocks(blocks: List[Block], min_fill: float = 0.85,
+                        max_splits: int = 24) -> List[Block]:
+    """Guillotine-split ragged block grids to tighten their bounding boxes.
+
+    The BFS decomposition can merge several patches of a quilt into one
+    block whose bounding box is mostly empty (e.g. the airfoil's C-mesh
+    absorbed into an L-shaped union — pad ratio > 2).  Splitting along a
+    row/column (the cut line is DUPLICATED so each half contains its
+    interface vertices; the halves then stitch through the ordinary
+    ghost-ring machinery) lets the shelf layout pack the pieces tightly.
+    Cuts are greedy: the candidate (axis, line) minimizing the children's
+    cropped area, accepted while it saves >= 10%.
+    """
+    work = [_crop(b.grid) for b in blocks if (b.grid >= 0).any()]
+    out: List[np.ndarray] = []
+    splits = 0
+    while work:
+        g = work.pop()
+        if not (g >= 0).any():
+            continue
+        g = _crop(g)
+        H, W = g.shape
+        occ_frac = float((g >= 0).mean())
+        if (
+            splits >= max_splits
+            or occ_frac >= min_fill
+            or min(H, W) < 17
+        ):
+            out.append(g)
+            continue
+        best = None
+        for axis in (0, 1):
+            n = g.shape[axis]
+            for cut in np.unique(
+                np.linspace(8, n - 9, 15).astype(int)
+            ):
+                if axis == 0:
+                    a, b2 = g[: cut + 1], g[cut:]
+                else:
+                    a, b2 = g[:, : cut + 1], g[:, cut:]
+                area = _cropped_area(a) + _cropped_area(b2)
+                if best is None or area < best[0]:
+                    best = (area, axis, int(cut))
+        if best is not None and best[0] <= 0.9 * H * W:
+            _, axis, cut = best
+            if axis == 0:
+                work.append(g[: cut + 1])
+                work.append(g[cut:])
+            else:
+                work.append(g[:, : cut + 1])
+                work.append(g[:, cut:])
+            splits += 1
+        else:
+            out.append(g)
+    return [
+        Block(grid=_crop(g), cells=np.empty(0, np.int64)) for g in out
+    ]
+
+
+def _shelf_layout(blocks, margin: int, pad_minor: int, pad_major: int,
+                  stack: bool = False):
+    """Shelf-pack the block grids onto one canvas.
+
+    Each block consumes (h + 2) x (w + 2) cells (1-cell ghost ring).
+    Rings of side-by-side blocks may abut (distinct cells), so a block's
+    horizontal stride is w + 2 starting at x = 1.  Several candidate
+    canvas widths (pad_minor multiples) are tried with a height-sorted
+    first-fit shelf pack; the minimum-area layout wins — e.g. the
+    airfoil's one wide + one narrow block pack side by side instead of
+    leaving half the canvas masked.
+
+    Returns (y_off, x_off, (Hc, Wc)) with y_off/x_off the canvas position
+    of each block's grid[0, 0].
+    """
+    sizes = [(b.grid.shape[0], b.grid.shape[1]) for b in blocks]
+    wmin = _round_up(max(w for _, w in sizes) + 2, pad_minor)
+    wsum = _round_up(sum(w + 2 for _, w in sizes), pad_minor)
+    if stack:
+        candidates = [wmin]
+    else:
+        candidates = sorted(
+            {min(wmin + j * pad_minor, wsum) for j in range(0, 33, 2)}
+        )
+
+    order = sorted(range(len(blocks)), key=lambda i: -sizes[i][0])
+    best = None
+    for Wc in candidates:
+        shelves = []  # [y, height, x_used]
+        pos = [None] * len(blocks)
+        y = margin
+        for i in order:
+            h, w = sizes[i]
+            placed = False
+            for s in ([] if stack else shelves):
+                if s[2] + w + 2 <= Wc and h + 2 <= s[1]:
+                    pos[i] = (s[0] + 1, s[2] + 1)
+                    s[2] += w + 2
+                    placed = True
+                    break
+            if not placed:
+                shelves.append([y, h + 2, w + 2])
+                pos[i] = (y + 1, 1)
+                y += h + 2
+        Hc = _round_up(y + margin, pad_major)
+        area = Hc * Wc
+        if best is None or area < best[0]:
+            best = (area, pos, (Hc, Wc))
+    _, pos, canvas = best
+    y_off = [p[0] for p in pos]
+    x_off = [p[1] for p in pos]
+    return y_off, x_off, canvas
+
+
 class _EdgeCellLookup:
     """(i, j) vertex pair -> one mesh cell containing both (sorted keys)."""
 
@@ -245,12 +375,15 @@ def pack_multiblock(
     pad_major: int = 8,
     margin: int = 8,
     blocks: Optional[List[Block]] = None,
+    layout: str = "shelf",
 ) -> StructuredData:
     """Pack a block-decomposable 2D mesh onto a multi-block canvas.
 
     Raises MultiblockError when a stencil row cannot be embedded in its
     canvas 8-neighborhood (extraordinary corner) — callers fall back to
-    ELL.
+    ELL.  The shelf layout may (rarely) make two blocks' ghost rings
+    collide at corners; packing then retries with single-column stacking
+    before giving up.
     """
     if data.dim != 2:
         raise MultiblockError("multi-block packing is 2D only")
@@ -260,26 +393,35 @@ def pack_multiblock(
             "(periodic/hanging)"
         )
     if blocks is None:
-        blocks = decompose(mesh)
+        blocks = split_sparse_blocks(decompose(mesh))
+    if layout == "shelf":
+        try:
+            return pack_multiblock(
+                data, mesh, pad_minor, pad_major, margin, blocks,
+                layout="shelf-once",
+            )
+        except MultiblockError:
+            return pack_multiblock(
+                data, mesh, pad_minor, pad_major, margin, blocks,
+                layout="stack",
+            )
 
     K = 8
     offsets = lattice_offsets(2)
     n_raw = data.n_nodes
 
     # ------------------------------------------------------------------
-    # Canvas layout: blocks stacked along axis 0 (y), each with a 1-cell
-    # ghost ring; global masked margin bands top/bottom for the Pallas
-    # halo windows.
+    # Canvas layout: blocks shelf-packed (side by side within row bands,
+    # shelves stacked along axis 0), each block with a 1-cell ghost ring;
+    # global masked margin bands top/bottom for the Pallas halo windows.
+    # The canvas width is chosen among pad_minor multiples to minimize
+    # total area (a lone narrow block in a wide canvas wastes rows).
     # ------------------------------------------------------------------
-    Wmax = max(b.grid.shape[1] for b in blocks)
-    Wc = _round_up(Wmax + 2, pad_minor)
-    y_off = []
-    y = margin
-    for b in blocks:
-        y_off.append(y + 1)  # first grid row (ring row above at y_off - 1)
-        y += b.grid.shape[0] + 2
-    Hc = _round_up(y + margin, pad_major)
-    canvas = (Hc, Wc)
+    y_off, x_off, canvas = _shelf_layout(
+        blocks, margin, pad_minor, pad_major,
+        stack=(layout == "stack"),
+    )
+    Hc, Wc = canvas
     n_pad = Hc * Wc
 
     # flat canvas offsets of the K lattice offsets (dy, dx):
@@ -294,7 +436,7 @@ def pack_multiblock(
     for b, blk in enumerate(blocks):
         yy, xx = np.nonzero(blk.grid >= 0)
         v = blk.grid[yy, xx]
-        cell = (y_off[b] + yy) * Wc + (1 + xx)
+        cell = (y_off[b] + yy) * Wc + (x_off[b] + xx)
         cell_vertex[cell] = v
         first = owner_cell[v] < 0
         owner_cell[v[first]] = cell[first]
@@ -334,9 +476,11 @@ def pack_multiblock(
                 best, best_n = cell, score
         owner_cell[v] = best
 
-    block_of_cell = np.full(len(mesh.cells), -1, dtype=np.int64)
-    for b, blk in enumerate(blocks):
-        block_of_cell[blk.cells] = b
+    # blocks containing each vertex (for shared-cell frame lookups):
+    vertex_blocks: List[List[int]] = [[] for _ in range(n_raw)]
+    for b in range(len(blocks)):
+        for v in occ_verts[b]:
+            vertex_blocks[v].append(b)
 
     # CSR directed edges
     indptr, indices = data.indptr, data.indices
@@ -373,7 +517,7 @@ def pack_multiblock(
                     progress = True
                     continue
                 if _place_via_shared_cell(
-                    i, j, p, eclook, block_of_cell, in_block, mesh,
+                    i, j, p, eclook, vertex_blocks, in_block, mesh,
                     cell_vertex, nbr_off, Wc, n_pad,
                 ):
                     progress = True
@@ -423,7 +567,7 @@ def pack_multiblock(
 
 
 def _place_via_shared_cell(
-    i, j, p, eclook, block_of_cell, in_block, mesh, cell_vertex, nbr_off,
+    i, j, p, eclook, vertex_blocks, in_block, mesh, cell_vertex, nbr_off,
     Wc, n_pad,
 ):
     """Place the vertices of the mesh cell shared by (i, j) on ring cells
@@ -431,13 +575,20 @@ def _place_via_shared_cell(
     q_cell = eclook.get(i, j)
     if q_cell is None:
         return False
-    B = int(block_of_cell[q_cell])
-    if B < 0:
-        return False
     qvs = [int(v) for v in mesh.cells[q_cell]]
-    pb = in_block[B]
-    if any(v not in pb for v in qvs):
-        return False
+    for B in vertex_blocks[qvs[0]]:
+        pb = in_block[B]
+        if all(v in pb for v in qvs):
+            if _place_in_frame(
+                qvs, pb, p, cell_vertex, nbr_off, Wc, n_pad
+            ) and any(cell_vertex[p + o] == j for o in nbr_off):
+                return True
+    return False
+
+
+def _place_in_frame(qvs, pb, p, cell_vertex, nbr_off, Wc, n_pad):
+    """Map the quad `qvs` (placed in block frame `pb`) onto ring cells
+    around canvas cell p via an anchor edge already placed near p."""
 
     def near(v):
         """Cell at or adjacent to p currently holding v (else None)."""
@@ -511,7 +662,7 @@ def _place_via_shared_cell(
                 placed = True
                 break
         if placed:
-            return any(cell_vertex[p + o] == j for o in nbr_off)
+            return True
     return False
 
 
