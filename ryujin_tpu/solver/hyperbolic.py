@@ -993,6 +993,7 @@ class HyperbolicModule:
             return self._pallas.step(
                 U_old, prec_old, stage_U, stage_prec, stage_weights,
                 tau, cfl, tau_cap, compute_tau, stencil,
+                init_prec=self.initial_precomputed,
             )
 
         eq = self.eq

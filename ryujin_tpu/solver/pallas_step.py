@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -67,8 +68,18 @@ def pallas_default_margin(eq, dim: int):
         and not getattr(eq, "limiter_needs_fluxes", False)
     )
     if streaming and os.environ.get("RYUJIN_SLAB3D", "1") != "0":
-        return (int(os.environ.get("RYUJIN_TILE_D", "8")), 2)
+        return (_tile_d_default(), 2)
     return 8
+
+
+def _tile_d_default() -> int:
+    """z-slab tile depth TD, shared by margin sizing and the kernels.
+
+    TD=2 keeps the z margins (and hence the canvas pad ratio) minimal at
+    the cost of a (TD+2)/TD = 2x halo reload of the streamed windows;
+    TD=8 amortizes the reload to 1.25x but pads the canvas with 8-plane
+    z margins (pad 1.26 vs 1.54 on the benchmark box)."""
+    return int(os.environ.get("RYUJIN_TILE_D", "2"))
 
 
 class _TileView:
@@ -892,7 +903,9 @@ class PallasStepper:
             raise ValueError("3D slab pallas needs >=1-row y margins")
         self.TH, self.TW = TH, TW
         if self.dim == 3:
-            TD = int(os.environ.get("RYUJIN_TILE_D", "8"))
+            TD = _tile_d_default() if self.slab3d else int(
+                os.environ.get("RYUJIN_TILE_D", "8")
+            )
             if self.D % TD:
                 raise ValueError(
                     f"canvas depth {self.D} not a multiple of {TD}"
@@ -1412,11 +1425,12 @@ class PallasStepper:
         sym = (
             bool(getattr(eq, "riemann_symmetric", False))
             and not self.multiblock  # interface frames break k<->K-1-k
+            and os.environ.get("RYUJIN_NO_SYM") != "1"  # A/B knob
         )
         K_e = K // 2 if sym else K
         import os as _os
 
-        TD = int(_os.environ.get("RYUJIN_TILE_D", "2"))
+        TD = _tile_d_default()
         z0, z1 = self.z_planes
         common = dict(
             offsets=self.offsets, D=D, H=H, W=W, TD=TD,
@@ -1602,7 +1616,9 @@ class PallasStepper:
         F = self._refresh(F)
 
         ok = jnp.asarray(True)
-        if p.limiter_iterations == 0:
+        if p.limiter_iterations == 0 or _os.environ.get(
+            "RYUJIN_PK_ABLATE"
+        ) == "pk2":
             return U_low.reshape(C, -1), tau, ok
 
         # ---- PK3: P + first limiter pass --------------------------------
@@ -1693,6 +1709,8 @@ class PallasStepper:
         )
         ok = jnp.min(okp) > 0.5
         l_ij = self._refresh_edge(l_ij)
+        if _os.environ.get("RYUJIN_PK_ABLATE") == "pk3":
+            return U_low.reshape(C, -1), tau, ok
 
         # ---- PK4/PK5: symmetrized limited updates -----------------------
         U_cur = U_low
@@ -1751,7 +1769,7 @@ class PallasStepper:
 
     # -- the five kernels ---------------------------------------------------
     def step(self, U, prec, stage_U, stage_prec, stage_weights, tau, cfl,
-             tau_cap, compute_tau, stencil):
+             tau_cap, compute_tau, stencil, init_prec=None):
         """Same contract as HyperbolicModule.step (node-last flat arrays)."""
         eq, p = self.eq, self.params
         ga = stencil if isinstance(stencil, PallasArrays) else self.arrays
@@ -1762,6 +1780,7 @@ class PallasStepper:
         K = self.K
         S = stage_U.shape[0]
         dtype = self.dtype
+        IP = init_prec.shape[0] if init_prec is not None else 0
 
         Uc = U.reshape((C,) + canvas)
         precc = prec.reshape((PP,) + canvas)
@@ -1782,6 +1801,15 @@ class PallasStepper:
         precc = self._refresh(precc)
         sUc = self._refresh(sUc)
         sPc = self._refresh(sPc)
+        # bathymetry-style initial precomputes are a static per-mesh
+        # canvas; threaded as an extra halo window into PK2/PK3 (the
+        # reference reads them inside the step 4/5 flux contributions,
+        # shallow_water/hyperbolic_system.h:481-575)
+        ipc = (
+            self._refresh(init_prec.reshape((IP,) + canvas).astype(dtype))
+            if IP
+            else None
+        )
 
         if self.dim == 3 and self.slab3d:
             return self._step_slab(
@@ -1839,6 +1867,7 @@ class PallasStepper:
         sym = (
             bool(getattr(eq, "riemann_symmetric", False))
             and not self.multiblock  # interface frames break k<->K-1-k
+            and os.environ.get("RYUJIN_NO_SYM") != "1"  # A/B knob
         )
         K_e = K // 2 if sym else K
         import os as _os_s
@@ -1902,14 +1931,21 @@ class PallasStepper:
         # ---- PK2: low-order + F + bounds --------------------------------
         n_b = eq.n_bounds
 
+        # nodal sources (Manning friction) read m_ij in step 4
+        # (hyperbolic_module.template.h:686,816-820):
+        need_mij = bool(getattr(eq, "have_source_terms", False))
+
         def pk2(wins, scal, tv):
             (w_cij, w_mask, w_cmax, w_cii, w_node, w_U, w_prec, w_e,
-             w_alpha, w_sU, w_sP) = wins
+             w_alpha, w_sU, w_sP, w_ip, w_mij) = wins
             tau_s = scal[0]
             w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
-            sa = self._sa(tv, w_cij, w_mask, None, w_cii, w_node)
+            sa = self._sa(tv, w_cij, w_mask, w_mij if need_mij else None,
+                          w_cii, w_node)
             Ut, prect = tv.center(w_U), tv.center(w_prec)
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
+            ip_t = tv.center(w_ip) if IP else None
+            ip_j = tv.nbr(w_ip) if IP else None
             if sym:
                 dt_ = self._d_win_sym(w_e, tv.center(w_cmax), sa.mask, tv)
             else:
@@ -1924,7 +1960,7 @@ class PallasStepper:
                     kw["stage_fl"] = self._stage_flux_fns(w_sU, tv, S, C)
             U_low, F, bounds = hyp.phase_low_order(
                 eq, p, sa, Ut, prect, U_j, prec_j, dt_, alpha_t, alpha_j,
-                tau_s, sU, sP, sUj, sPj, w_arr, None, None, **kw,
+                tau_s, sU, sP, sUj, sPj, w_arr, ip_t, ip_j, **kw,
             )
             return [U_low, F, bounds]
 
@@ -1932,7 +1968,8 @@ class PallasStepper:
             tiled_call, pk2,
             [(ga.g_cij, False), (ga.g_mask, False),
              (ga.g_cmax if sym else None, False), (ga.g_cii, False),
-             (ga.g_node, False), Uc, precc, e, alpha, sUc, sPc],
+             (ga.g_node, False), Uc, precc, e, alpha, sUc, sPc, ipc,
+             (ga.g_mij if need_mij else None, False)],
             [tau] + [w_vec[s] for s in range(S)],
             # F is halo-read in PK3 -> needs valid (zero) margins; bounds
             # are only ever read at the center tile -> uninitialized:
@@ -1942,7 +1979,9 @@ class PallasStepper:
         F = self._refresh(F)
 
         ok = jnp.asarray(True)
-        if p.limiter_iterations == 0:
+        if p.limiter_iterations == 0 or _os.environ.get(
+            "RYUJIN_PK_ABLATE"
+        ) == "pk2":
             return U_low.reshape(C, -1), tau, ok
 
         # ---- PK3: P + first limiter pass --------------------------------
@@ -1955,7 +1994,7 @@ class PallasStepper:
         # d > 0 and spurious P — so those canvases read the exact mask:
         def pk3(wins, scal, tv):
             (w_cij, w_cmax, w_mij, w_cii, w_node, w_mask, w_U, w_prec,
-             w_e, w_alpha, w_F, w_Ulow, w_bounds, w_sU, w_sP) = wins
+             w_e, w_alpha, w_F, w_Ulow, w_bounds, w_sU, w_sP, w_ip) = wins
             tau_s = scal[0]
             w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
             sa = self._sa(tv, w_cij, w_mask, w_mij, w_cii, w_node,
@@ -1974,6 +2013,8 @@ class PallasStepper:
             m_j = tv.nbr(w_node)[0]  # lumped mass neighbors
             U_low_t = tv.center(w_Ulow)
             bounds_t = tv.center(w_bounds)
+            ip_t = tv.center(w_ip) if IP else None
+            ip_j = tv.nbr(w_ip) if IP else None
             sU, sP, sUj, sPj = self._stage_views(tv, w_sU, w_sP, S, C, PP)
             kw = {}
             if getattr(eq, "hoist_node_flux", False):
@@ -1983,7 +2024,7 @@ class PallasStepper:
             P, l, success = hyp.phase_p_l1(
                 eq, p, sa, Ut, prect, U_j, prec_j, dt_, alpha_t, alpha_j,
                 tau_s, Ft, F_j, m_j, U_low_t, bounds_t,
-                sU, sP, sUj, sPj, w_arr, None, None, **kw,
+                sU, sP, sUj, sPj, w_arr, ip_t, ip_j, **kw,
             )
             okp = jnp.min(
                 jnp.where(
@@ -2002,7 +2043,7 @@ class PallasStepper:
              (ga.g_cii, False), ga.g_node,
              (ga.g_mask if self.multiblock else None, False),
              Uc, precc, e,
-             alpha, F, (U_low, False), (bounds, False), sUc, sPc],
+             alpha, F, (U_low, False), (bounds, False), sUc, sPc, ipc],
             [tau] + [w_vec[s] for s in range(S)],
             # P is center-read only -> uninitialized; l is halo-read in
             # PK4 (transposed) -> zero margins; okp margins enter the
@@ -2012,6 +2053,9 @@ class PallasStepper:
         )
         ok = jnp.min(okp) > 0.5
         l_ij = self._refresh_edge(l_ij)
+        if _os.environ.get("RYUJIN_PK_ABLATE") == "pk3":
+            # `ok` consumes PK3's okp output, keeping the call alive
+            return U_low.reshape(C, -1), tau, ok
 
         # ---- PK4/PK5: symmetrized limited updates -----------------------
         U_cur = U_low

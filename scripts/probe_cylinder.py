@@ -39,7 +39,11 @@ def main():
     t0 = time.perf_counter()
     mesh = geometry.cylinder(refinement=refinement, dim=dim)
     data = assembly.assemble(mesh)
-    packed = structured.pack_structured(data, mesh)
+    from ryujin_tpu.solver.pallas_step import pallas_default_margin
+
+    packed = structured.pack_structured(
+        data, mesh, margin=pallas_default_margin(eq, dim)
+    )
     print(
         f"mesh: {packed.n_nodes} nodes, canvas {packed.shape} "
         f"(pad ratio {packed.n_pad / packed.n_nodes:.2f}), "
