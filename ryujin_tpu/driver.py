@@ -188,11 +188,14 @@ class TimeLoop:
 
         backend = config.backend
         if backend == "auto":
+            from .solver.pallas_step import pallas_supports
+
             backend = (
                 "pallas"
                 if (
                     on_tpu_f32
                     and isinstance(self.packed, structured.StructuredData)
+                    and pallas_supports(self.packed)
                 )
                 else "xla"
             )

@@ -72,6 +72,21 @@ def pallas_default_margin(eq, dim: int):
     return 8
 
 
+def pallas_supports(packed) -> bool:
+    """True if the canvas can run the Mosaic-COMPILED kernels.
+
+    The halo-window DMAs slice the lane (minor) canvas axis, and Mosaic
+    requires lane slices aligned to the (8, 128) f32 tiling — so the
+    minor axis must be a multiple of 128.  Non-periodic canvases are
+    always padded to 128 (pack_structured pad_minor); periodic-x
+    canvases are exactly the period wide (the lane-roll wrap IS the
+    periodic identification), so small periodic meshes (period % 128
+    != 0) must run the XLA fallback on hardware.  Interpret mode has no
+    such constraint."""
+    shape = getattr(packed, "shape", None)
+    return shape is not None and shape[-1] % 128 == 0
+
+
 def _tile_d_default() -> int:
     """z-slab tile depth TD, shared by margin sizing and the kernels.
 
@@ -892,6 +907,13 @@ class PallasStepper:
 
         TH = int(os.environ.get("RYUJIN_TILE_H", "8"))
         TW = self.W
+        if not self.interpret and self.W % 128:
+            raise ValueError(
+                f"canvas minor axis {self.W} not lane-aligned (128): the "
+                "compiled kernels' halo-window DMAs require it (periodic-x "
+                "meshes need a period that is a multiple of 128); use the "
+                "XLA backend (cf. pallas_supports)"
+            )
         if self.H % (8 if self.slab3d else TH):
             raise ValueError(f"canvas height {self.H} not a multiple of {TH}")
         if not self.slab3d and sd.margins[-2] < TH and self.H // TH > 1:

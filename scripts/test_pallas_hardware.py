@@ -36,14 +36,20 @@ def main() -> int:
 
     failures = 0
 
-    def compare(tag, mesh, eq, init, bump_center=None, steps=3):
+    def compare(tag, mesh, eq, init, bump_center=None, steps=3,
+                bathymetry=None):
         nonlocal failures
         data = assembly.assemble(mesh)
         packed = structured.pack_structured(data, mesh)
+        ip = None
+        if bathymetry is not None:
+            pos = jnp.asarray(packed.positions.T, jnp.float32)
+            ip = bathymetry(pos)[None]
         res = {}
         for be in ("xla", "pallas"):
             hm = HyperbolicModule(
-                eq, packed, init, dtype=jnp.float32, backend=be
+                eq, packed, init, dtype=jnp.float32, backend=be,
+                initial_precomputed=ip,
             )
             ti = TimeIntegrator(hm, "erk 33", cfl_min=0.3, cfl_max=0.3,
                                 cfl_recovery_strategy="none")
@@ -81,11 +87,13 @@ def main() -> int:
         ),
         bump_center=(1.0, 0.5),
     )
-    # 2D fully periodic vortex (ghost bands):
+    # 2D fully periodic vortex (ghost bands).  refinement 7 -> period
+    # 128: the compiled kernels require a lane-aligned minor axis
+    # (pallas_supports); smaller periodic meshes run the XLA fallback.
     compare(
         "2d periodic",
         geometry.rectangular_domain(
-            [-5, -5], [5, 5], [1, 1], refinement=5,
+            [-5, -5], [5, 5], [1, 1], refinement=7,
             boundary_conditions=[Boundary.periodic] * 4,
         ),
         Euler(dim=2),
@@ -107,6 +115,28 @@ def main() -> int:
             primitive_state=(1.4, 1.0, 0.2, 0.1, 1.0),
         ),
         bump_center=(0.5, 0.5, 0.5),
+    )
+    # 2D shallow water w/ bathymetry + Manning friction: exercises the
+    # initial-precomputed and m_ij kernel windows (sources, equilibrated
+    # states, affine shift) under Mosaic:
+    from ryujin_tpu.equations import shallow_water_initial_states as sw
+    from ryujin_tpu.equations.shallow_water import (
+        ShallowWater, ShallowWaterParams,
+    )
+
+    sw_eq = ShallowWater(dim=2, params=ShallowWaterParams(
+        gravity=9.81, manning_friction_coefficient=0.02,
+    ))
+    sw_init = sw.make_initial_state(sw_eq, "circular dam break")
+    compare(
+        "2d shallow water",
+        geometry.rectangular_domain(
+            [-5, -5], [5, 5], [1, 1], refinement=5,
+            boundary_conditions=[Boundary.do_nothing] * 4,
+        ),
+        sw_eq,
+        sw_init.state,
+        bathymetry=sw_init.bathymetry,
     )
     print("hardware pallas:", "PASS" if failures == 0 else "FAIL")
     return 1 if failures else 0
