@@ -646,6 +646,29 @@ class Euler:
         s_min = jnp.maximum((1.0 - r_i) * s_min, s_min - entropy_relaxation)
         return jnp.stack([rho_min, rho_max, s_min], axis=0)
 
+    def limiter_psi0(self, bounds, U):
+        """Node-local (rho, rho^gamma, rho_e, psi) at t = 0.
+
+        The limiter is invoked once per stencil slot with the SAME base
+        state U (the reference's per-edge loop likewise re-derives these
+        per edge, euler/limiter.template.h:177-221); hoisting the t = 0
+        evaluation across the K slot calls removes K-1 transcendental
+        pows per node, and `limiter_limit` composes its first left-state
+        evaluation from (psi0, psi_r0) instead of a third pow."""
+        dtype = U.dtype
+        g = self.params.gamma
+        eps = jnp.finfo(dtype).eps
+        relax_small = 1.0 + self.params.vacuum_state_relaxation_small * eps
+        s_min = bounds[2]
+        rho = self.density(U)
+        rho_gamma = jnp.power(rho, g)
+        m = self.momentum(U)
+        # rho * rho_e in expanded (divide-free) form; the t = 0
+        # coefficient of the quadratic polynomial used by limiter_limit:
+        ae = rho * self.total_energy(U) - 0.5 * jnp.sum(m * m, 0)
+        psi = relax_small * ae - s_min * rho_gamma * rho
+        return rho, rho_gamma, ae, psi
+
     def limiter_limit(
         self,
         bounds,
@@ -655,10 +678,13 @@ class Euler:
         newton_tol: float = 1.0e-10,
         t_min=0.0,
         t_max=1.0,
+        psi0=None,
     ):
         """Convex limiter (euler/limiter.template.h:15-327).
 
         bounds [3, ...], U [C, ...], P [C, ...].  Returns (l, success).
+        psi0, if given, is `limiter_psi0(bounds, U)` hoisted by the
+        caller; valid only with t_min == 0 (checked).
         """
         dtype = U.dtype
         g = self.params.gamma
@@ -691,16 +717,39 @@ class Euler:
         t_r = jnp.clip(t_r, t_min, t_max)
 
         # -- specific entropy limiting via quadratic Newton (:143-291)
-        def psi_of(t):
-            U_t = U + t[None] * P
-            rho = self.density(U_t)
-            rho_gamma = jnp.power(rho, g)
-            rho_e = self.internal_energy(U_t)
-            return rho, rho_gamma, rho_e, (
-                relax_small * rho * rho_e - s_min * rho * rho_gamma
-            )
+        #
+        # rho*rho_e along the limit line is an exact quadratic polynomial
+        # in t (rho_t E_t - 0.5|m_t|^2 with affine U_t = U + t P), so
+        # each psi evaluation costs one transcendental pow (rho_t^gamma)
+        # plus a few fmas -- no divide and no re-derived internal energy.
+        # The reference re-evaluates rho_e and its gradient per Newton
+        # point instead (euler/limiter.template.h:177-291); the values
+        # are algebraically identical.
+        E_U = self.total_energy(U)
+        E_P = self.total_energy(P)
+        m_U = self.momentum(U)
+        m_P = self.momentum(P)
+        if psi0 is not None:
+            ae = psi0[2]
+        else:
+            ae = rho_U * E_U - 0.5 * jnp.sum(m_U * m_U, 0)
+        be = rho_U * E_P + rho_P * E_U - jnp.sum(m_U * m_P, 0)
+        ce = rho_P * E_P - 0.5 * jnp.sum(m_P * m_P, 0)
 
-        rho_r0, rho_r_gamma0, rho_e_r0, psi_r0 = psi_of(t_r)
+        def psi_eval(t):
+            rho_t = rho_U + t * rho_P
+            rho_g = jnp.power(rho_t, g)
+            psi = relax_small * (ae + t * (be + t * ce)) \
+                - s_min * rho_g * rho_t
+            return rho_t, rho_g, psi
+
+        def dpsi_eval(t, rho_g):
+            # d(rho*rho_e)/dt - s_min (gamma+1) rho^gamma drho; like the
+            # reference, the small relaxation factor is dropped from the
+            # derivative (limiter.template.h:243-263).
+            return (be + 2.0 * ce * t) - gp1 * s_min * rho_g * rho_P
+
+        rho_r0, rho_r_gamma0, psi_r0 = psi_eval(t_r)
         lower_bound_r = (1.0 - relax) * s_min * rho_r0 * rho_r_gamma0
 
         def skip_newton(_):
@@ -712,37 +761,41 @@ class Euler:
             ok = success & (psi_r0 - lower_bound_r >= 0.0)
             return t_r, ok.astype(t_r.dtype)
 
+        use_psi0 = (
+            psi0 is not None
+            and isinstance(t_min, float)
+            and t_min == 0.0
+        )
+
         def full_newton(_):
             t_l = jnp.full_like(t_r, t_min)
             t_r_ = t_r
             psi_r = psi_r0
-            rho_r, rho_r_gamma, rho_e_r = rho_r0, rho_r_gamma0, rho_e_r0
+            rho_r, rho_r_gamma = rho_r0, rho_r_gamma0
             succ = success
             for n in range(newton_iterations):
                 if n > 0:
-                    rho_r, rho_r_gamma, rho_e_r, psi_r = psi_of(t_r_)
+                    rho_r, rho_r_gamma, psi_r = psi_eval(t_r_)
                 # accept right state where psi_r > 0:
-                t_l = jnp.where(psi_r > 0.0, t_r_, t_l)
+                pr_pos = psi_r > 0.0
+                t_l = jnp.where(pr_pos, t_r_, t_l)
 
-                rho_l, rho_l_gamma, rho_e_l, psi_l = psi_of(t_l)
+                if n == 0 and use_psi0:
+                    # t_l is t_r (just evaluated) or 0 (hoisted psi0):
+                    # compose instead of a fresh pow — bit-identical to
+                    # psi_eval(t_l) at these points.
+                    rho_l = jnp.where(pr_pos, rho_r, psi0[0])
+                    rho_l_gamma = jnp.where(pr_pos, rho_r_gamma, psi0[1])
+                    psi_l = jnp.where(pr_pos, psi_r, psi0[3])
+                else:
+                    rho_l, rho_l_gamma, psi_l = psi_eval(t_l)
 
                 if n == 0:
                     lower_bound = (1.0 - relax) * s_min * rho_l * rho_l_gamma
                     succ = succ & (psi_l - lower_bound >= 0.0)
 
-                drho = rho_P
-                drho_e_l = jnp.sum(
-                    self.internal_energy_derivative(U + t_l[None] * P) * P, 0
-                )
-                drho_e_r = jnp.sum(
-                    self.internal_energy_derivative(U + t_r_[None] * P) * P, 0
-                )
-                dpsi_l = (
-                    rho_l * drho_e_l + (rho_e_l - gp1 * s_min * rho_l_gamma) * drho
-                )
-                dpsi_r = (
-                    rho_r * drho_e_r + (rho_e_r - gp1 * s_min * rho_r_gamma) * drho
-                )
+                dpsi_l = dpsi_eval(t_l, rho_l_gamma)
+                dpsi_r = dpsi_eval(t_r_, rho_r_gamma)
 
                 nl, nr = quadratic_newton_step(
                     t_l, t_r_, psi_l, psi_r, dpsi_l, dpsi_r, sign=-1.0

@@ -728,12 +728,17 @@ def phase_p_l1(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
     P = P + b_ij[None] * F_j - b_ji[None] * F[:, None]
     P = P * (tau * sa.m_lumped_inv * sa.n_nbrs)[None, None]
 
+    psi0 = (
+        eq.limiter_psi0(bounds[:, None], U_low[:, None])
+        if hasattr(eq, "limiter_psi0") else None
+    )
     l, success = eq.limiter_limit(
         bounds[:, None],
         U_low[:, None],
         P,
         newton_iterations=p.limiter_newton_max_iterations,
         newton_tol=p.limiter_newton_tolerance,
+        **({"psi0": psi0} if psi0 is not None else {}),
     )
     return P, l, success
 
@@ -752,12 +757,17 @@ def phase_update(eq, p, sa, U_cur, bounds, P, l, l_T, last: bool):
     U_next = U_cur + lam_i * jnp.sum(l_sym[None] * P * sa.mask[None], axis=1)
     if last:
         return U_next, None
+    psi0 = (
+        eq.limiter_psi0(bounds[:, None], U_next[:, None])
+        if hasattr(eq, "limiter_psi0") else None
+    )
     l2, _ = eq.limiter_limit(
         bounds[:, None],
         U_next[:, None],
         (1.0 - l_sym)[None] * P,
         newton_iterations=p.limiter_newton_max_iterations,
         newton_tol=p.limiter_newton_tolerance,
+        **({"psi0": psi0} if psi0 is not None else {}),
     )
     return U_next, (1.0 - l_sym) * l2
 

@@ -1675,6 +1675,10 @@ class PallasStepper:
             P_slots = []
             l_slots = []
             ok_acc = jnp.ones(tile, dtype)
+            psi0_t = (
+                eq.limiter_psi0(bounds_t, U_low_t)
+                if hasattr(eq, "limiter_psi0") else None
+            )
             for k, off in enumerate(self.offsets):
                 (U_jk, prec_jk, c_k, mask_k, d_k, alpha_jk,
                  f_jk) = slot_inputs(tv, sl, k, off)
@@ -1704,6 +1708,7 @@ class PallasStepper:
                     bounds_t, U_low_t, P_k,
                     newton_iterations=p.limiter_newton_max_iterations,
                     newton_tol=p.limiter_newton_tolerance,
+                    **({"psi0": psi0_t} if psi0_t is not None else {}),
                 )
                 ok_acc = jnp.minimum(
                     ok_acc,
@@ -1763,12 +1768,17 @@ class PallasStepper:
                 if last:
                     return [U_next]
                 l_new = []
+                psi0_n = (
+                    eq.limiter_psi0(bounds_t, U_next)
+                    if hasattr(eq, "limiter_psi0") else None
+                )
                 for k in range(K):
                     one_m = 1.0 - l_sym_slots[k]
                     l2_k, _ = eq.limiter_limit(
                         bounds_t, U_next, one_m[None] * P_t[:, k],
                         newton_iterations=p.limiter_newton_max_iterations,
                         newton_tol=p.limiter_newton_tolerance,
+                        **({"psi0": psi0_n} if psi0_n is not None else {}),
                     )
                     l_new.append(one_m * l2_k)
                 return [U_next, jnp.stack(l_new, axis=0)]
