@@ -359,7 +359,16 @@ class TimeLoop:
         self._open_logfile(resume=cfg.resume)
 
         if cfg.resume:
-            U_np, t, cycle, extra = read_checkpoint(cfg.basename, self.mesh)
+            U_np, t, cycle, extra, restored = read_checkpoint(
+                cfg.basename, self.mesh
+            )
+            if restored is not None:
+                # the checkpoint was written on an adapted mesh: rebuild
+                # everything on it (read_checkpoint -> prepare_compute_
+                # kernels, time_loop.template.h:440-533); the packed state
+                # layout is deterministic per mesh, so U loads verbatim
+                self.mesh = restored
+                self._prepare_compute_kernels()
             U = jnp.asarray(U_np, self.dtype)
             self.quantities.load_state(extra)
         else:

@@ -95,6 +95,50 @@ def test_amr_random_adaptation(tmp_path):
     assert np.isfinite(result["L2"])
 
 
+def test_amr_checkpoint_resume_composes(tmp_path):
+    """A checkpoint written AFTER a mesh adaptation must resume: the mesh
+    is serialized into the checkpoint and rebuilt on load (the analog of
+    triangulation.save / load in time_loop.template.h:537-611, 440-533).
+    The resumed run must reproduce the unresumed run exactly."""
+    import dataclasses
+
+    def cfg_for(name, final_time, resume=False):
+        cfg = _vortex_amr_config(tmp_path, "random adaptation")
+        cfg.time_loop.basename = str(tmp_path / name)
+        cfg.time_loop.final_time = final_time
+        cfg.time_loop.timer_granularity = 0.4
+        cfg.time_loop.enable_checkpointing = True
+        cfg.time_loop.resume = resume
+        cfg.discretization.mesh_refinement = 3
+        cfg.mesh_adaptor.adaptation_time_points = [0.4]
+        return cfg
+
+    # part 1: run to t=0.8 (adaptation at 0.4, checkpoint at 0.8 on the
+    # ADAPTED mesh), then resume to t=1.2
+    loop_a = TimeLoop(cfg_for("ckpt", 0.8))
+    loop_a.run(quiet=True)
+    assert loop_a.mesh.hanging is not None  # the mesh really adapted
+    n_adapted = loop_a.packed.n_nodes
+
+    loop_b = TimeLoop(cfg_for("ckpt", 1.2, resume=True))
+    assert loop_b.packed.n_nodes != n_adapted  # config mesh differs
+    result_b = loop_b.run(quiet=True)
+    assert loop_b.packed.n_nodes == n_adapted  # rebuilt on restored mesh
+
+    # reference: one unresumed run to t=1.2
+    loop_c = TimeLoop(cfg_for("ref", 1.2))
+    result_c = loop_c.run(quiet=True)
+
+    assert loop_b.packed.n_nodes == loop_c.packed.n_nodes
+    n = loop_c.packed.n_nodes
+    np.testing.assert_allclose(
+        np.asarray(result_b["U"])[:, :n],
+        np.asarray(result_c["U"])[:, :n],
+        rtol=0, atol=1e-12,
+    )
+    assert abs(result_b["L2"] - result_c["L2"]) < 1e-12
+
+
 def test_mesh_adaptor_time_points():
     ma = MeshAdaptor(adaptation_time_points=[1.0, 1.5])
     ma.prepare(0.0)
