@@ -11,6 +11,15 @@ from __future__ import annotations
 import numpy as np
 
 
+def _backend_for(xq):
+    """numpy for host inputs, jax.numpy for jax arrays and tracers."""
+    if isinstance(xq, (np.ndarray, np.generic, float, int, list, tuple)):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
 class CubicSpline:
     """Natural cubic spline through (x_i, y_i); x strictly increasing."""
 
@@ -44,9 +53,13 @@ class CubicSpline:
         self.x, self.y, self.h, self.M = x, y, h, M
 
     def __call__(self, xq):
-        """Evaluate the spline (traceable; clamps to the data range)."""
-        import jax.numpy as jnp
+        """Evaluate the spline (traceable; clamps to the data range).
 
+        Dispatches on the input: plain numpy stays on the host (mesh
+        generation calls this per boundary vertex — device round-trips
+        would dominate offline time), jax arrays/tracers stay traceable
+        (device-side EOS evaluation)."""
+        jnp = _backend_for(xq)
         x, y, h, M = (jnp.asarray(v) for v in (self.x, self.y, self.h,
                                                self.M))
         xq = jnp.clip(xq, self.x[0], self.x[-1])
@@ -63,8 +76,7 @@ class CubicSpline:
         )
 
     def derivative(self, xq):
-        import jax.numpy as jnp
-
+        jnp = _backend_for(xq)
         x, y, h, M = (jnp.asarray(v) for v in (self.x, self.y, self.h,
                                                self.M))
         xq = jnp.clip(xq, self.x[0], self.x[-1])

@@ -38,32 +38,30 @@ def main():
     eq = Euler(dim=2)
     t0 = time.perf_counter()
     if geom == "airfoil":
-        mesh = geometry.airfoil(refinement=refinement)
         # subsonic-ish freestream at Mach 0.72 like the reference's
         # transonic setup (airfoil runs use dynamic farfield BCs):
         init = make_initial_state(
             eq, "uniform", primitive_state=(1.4, 0.85, 1.0)
         )
-    elif geom == "disk":
-        mesh = geometry.disk(refinement=refinement)
-        init = make_initial_state(
-            eq, "uniform", primitive_state=(1.4, 3.0, 1.0)
-        )
     else:
-        mesh = geometry.annulus(refinement=refinement)
         init = make_initial_state(
             eq, "uniform", primitive_state=(1.4, 3.0, 1.0)
         )
-    data = assembly.assemble(mesh)
-    t_asm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    blocks = multiblock.decompose(mesh)
-    packed = multiblock.pack_multiblock(data, mesh, blocks=blocks)
+
+    def build():
+        mesh = getattr(geometry, geom)(refinement=refinement)
+        data = assembly.assemble(mesh)
+        blocks = multiblock.decompose(mesh)
+        packed = multiblock.pack_multiblock(data, mesh, blocks=blocks)
+        return packed, len(blocks)
+
+    from _probe_cache import cached
+
+    packed, n_blocks = cached(f"mb_{geom}_r{refinement}", build)
     print(
-        f"{geom}: {packed.n_nodes} nodes, {len(blocks)} blocks, canvas "
+        f"{geom}: {packed.n_nodes} nodes, {n_blocks} blocks, canvas "
         f"{packed.shape} (pad ratio {packed.n_pad / packed.n_nodes:.2f}), "
-        f"assembly {t_asm:.1f}s decompose+pack "
-        f"{time.perf_counter() - t0:.1f}s",
+        f"build {time.perf_counter() - t0:.1f}s",
         flush=True,
     )
 
@@ -82,6 +80,36 @@ def main():
         f"restarts {int(nr)})",
         flush=True,
     )
+
+    if os.environ.get("ABLATE") == "1":
+        # per-phase breakdown x sym/nosym (cf. probe_ablate.py)
+        for nosym in (None, "1"):
+            if nosym is None:
+                os.environ.pop("RYUJIN_NO_SYM", None)
+            else:
+                os.environ["RYUJIN_NO_SYM"] = nosym
+            for abl in ("pk1", "pk2", "pk3", ""):
+                if abl:
+                    os.environ["RYUJIN_PK_ABLATE"] = abl
+                else:
+                    os.environ.pop("RYUJIN_PK_ABLATE", None)
+                hm_v = HyperbolicModule(
+                    eq, packed, init, dtype=dtype, backend=backend
+                )
+                ti_v = TimeIntegrator(
+                    hm_v, scheme="erk 33", cfl_min=0.45, cfl_max=0.9,
+                    cfl_recovery_strategy="bang bang control",
+                )
+                out = ti_v.advance(U, t, n_steps=2)
+                float(out[2])
+                t0 = time.perf_counter()
+                out = ti_v.advance(U, t, n_steps=n_steps)
+                float(out[2])
+                wall = time.perf_counter() - t0
+                ms = wall / (n_steps * 3) * 1e3
+                tag = ("nosym " if nosym else "") + (abl or "full")
+                print(f"{tag:12s} {ms:8.3f} ms/substep", flush=True)
+        return
 
     mqs = 0.0
     for rep in range(3):
