@@ -780,4 +780,83 @@ def _assemble_canvas(
         np.arange(len(i_e), dtype=np.int64),
         (p_e * K + slot_e).astype(np.int64),
     )
+
+    # --- symmetric-Riemann interface fixup list ---------------------------
+    # The lattice k <-> K-1-k transposed-slot pairing (one Riemann solve
+    # per undirected edge, hyperbolic.py phase_e_alpha half=True) breaks
+    # at block interfaces: the transpose route of a slot k >= K/2 edge
+    # reads slot K-1-k of canvas cell q = p + off_k, and at an interface
+    # that entry may refresh from an owner slot >= K/2 (uncomputed under
+    # the half-slot evaluation) or resolve to nothing at all.  Rather
+    # than enumerate break modes, trace the route of EVERY owner directed
+    # edge at a slot k >= K/2 on the host and record each mismatch as a
+    # fixup: the solver evaluates those edges in both directions (the
+    # reference's d_ij = max(d_ij, d_ji),
+    # hyperbolic_module.template.h:461-490) and scatters the
+    # cmax-normalized result straight into the half lambda canvas at the
+    # route's read entry (K-1-k, q) — each such entry has exactly ONE
+    # consumer (the broken route itself: q is a ghost/masked cell, and
+    # the route's (k', q) |-> (k, p) correspondence is bijective), so
+    # the downstream d reconstruction (kernel _d_win_sym / the XLA roll
+    # transpose) needs no other change and block interiors keep the
+    # half-slot evaluation at full speed.
+    K2 = K // 2
+    edge_at = np.full(K * n_pad, -1, dtype=np.int64)  # owner rows
+    edge_at[slot_e * n_pad + p_e] = np.arange(len(i_e))
+    gsrc = np.full(K * n_pad, -1, dtype=np.int64)  # ghost refresh map
+    gsrc[e_dst.astype(np.int64)] = e_src.astype(np.int64)
+    sel = np.flatnonzero(slot_e >= K2)
+    q_s = p_e[sel] + nbr_off[slot_e[sel]]
+    in_rng = (q_s >= 0) & (q_s < n_pad)
+    f_s = (K - 1 - slot_e[sel]) * n_pad + np.clip(q_s, 0, n_pad - 1)
+    # effective source entry: the owner row itself, or one ghost hop
+    own_hit = edge_at[f_s] >= 0
+    eff = np.where(own_hit, f_s, gsrc[f_s])
+    e2 = edge_at[np.clip(eff, 0, K * n_pad - 1)]
+    valid = in_rng & (eff >= 0) & (e2 >= 0)
+    computed = valid & (eff // n_pad < K2)  # half pass fills slots < K2
+    matches = valid & (i_e[np.clip(e2, 0, None)] == j_e[sel]) \
+        & (j_e[np.clip(e2, 0, None)] == i_e[sel])
+    bad = ~(computed & matches)
+    fix = sel[bad]
+    dst = f_s[bad]  # the route's read entry in the HALF canvas layout
+    if (edge_at[dst] >= 0).any():
+        # a fixed entry would shadow a real owner edge (cannot happen for
+        # ghost-ring-separated blocks; guard for exotic packings): the
+        # half-slot evaluation is unsafe here — no fixup list, the solver
+        # falls back to the two-direction evaluation
+        sd.sym_fixup = None
+        return sd
+    order = np.argsort(dst, kind="stable")  # sorted-scatter hint
+    fix, dst = fix[order], dst[order]
+    if len(fix):
+        # reverse CSR entry of each fixup edge (exists: symmetric pattern)
+        key_rev = j_e[fix] * n_raw + i_e[fix]
+        rpos = np.searchsorted(ekey_s, key_rev)
+        assert (ekey_s[rpos] == key_rev).all()
+        rev = eorder[rpos]
+        c_f = np.asarray(data.cij)[fix]
+        c_r = np.asarray(data.cij)[rev]
+        # the consumer reconstructs d = lam_entry * cmax[k, p]; cmax is
+        # built from the ghost-filled static cij (exact at interfaces):
+        inv_cmax = 1.0 / np.maximum(
+            np.linalg.norm(c_f, axis=1), np.linalg.norm(c_r, axis=1)
+        )
+        sd.sym_fixup = {
+            "dst": dst.astype(np.int64),
+            "i": oc[i_e[fix]].astype(np.int64),
+            "j": oc[j_e[fix]].astype(np.int64),
+            "c_f": c_f,
+            "c_r": c_r,
+            "inv_cmax": inv_cmax,
+        }
+    else:
+        sd.sym_fixup = {
+            "dst": np.zeros(0, np.int64),
+            "i": np.zeros(0, np.int64),
+            "j": np.zeros(0, np.int64),
+            "c_f": np.zeros((0, 2)),
+            "c_r": np.zeros((0, 2)),
+            "inv_cmax": np.zeros(0),
+        }
     return sd

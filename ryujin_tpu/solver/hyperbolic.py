@@ -50,6 +50,15 @@ def _f(x, dtype):
     return jnp.asarray(x, dtype=dtype)
 
 
+def _sorted_map(m):
+    """(dst, src) index pair sorted by dst, as device arrays — lets the
+    ghost-refresh scatters claim unique_indices + indices_are_sorted
+    (TPU scatter is substantially cheaper with both hints)."""
+    dst, src = (np.asarray(a) for a in m)
+    o = np.argsort(dst, kind="stable")
+    return (jnp.asarray(dst[o]), jnp.asarray(src[o]))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Stencil:
@@ -123,7 +132,7 @@ def _stencil_from_ell(ell: EllData, dtype=jnp.float64) -> Stencil:
 
 @partial(
     jax.tree_util.register_dataclass,
-    meta_fields=("shape", "offsets", "ghosts", "slab_spec"),
+    meta_fields=("shape", "offsets", "ghosts", "slab_spec", "minor_wrap"),
     data_fields=(
         "cij", "mij", "mask", "cii", "m_lumped", "m_lumped_inv",
         "n_nbrs", "node_mask", "measure_inv", "gmap_node", "gmap_edge",
@@ -163,6 +172,9 @@ class StructuredStencil:
     # over the flattened [K * n] device edge layout:
     gmap_node: Optional[Tuple[jax.Array, jax.Array]] = None
     gmap_edge: Optional[Tuple[jax.Array, jax.Array]] = None
+    # Periodic minor axis padded to a lane-aligned width: (P, W) — ghost
+    # col P <- col 0, ghost col W-1 <- col P-1 (StructuredData.minor_wrap):
+    minor_wrap: Optional[Tuple[int, int]] = None
 
     @property
     def K(self) -> int:
@@ -174,6 +186,7 @@ class StructuredStencil:
             any(g is not None for g in self.ghosts)
             or self.slab_spec is not None
             or self.gmap_node is not None
+            or self.minor_wrap is not None
         )
 
     def refresh_ghosts(self, X: jax.Array) -> jax.Array:
@@ -182,7 +195,9 @@ class StructuredStencil:
             return X
         if self.gmap_node is not None:
             dst, src = self.gmap_node
-            X = X.at[..., dst].set(X[..., src])
+            X = X.at[..., dst].set(
+                X[..., src], unique_indices=True, indices_are_sorted=True
+            )
         lead = X.shape[:-1]
         Xc = X.reshape(lead + self.shape)
         if self.slab_spec is not None:
@@ -212,6 +227,15 @@ class StructuredStencil:
             bot = jax.lax.slice_in_dim(Xc, g, 2 * g, axis=a)
             Xc = jax.lax.dynamic_update_slice_in_dim(Xc, top, 0, a)
             Xc = jax.lax.dynamic_update_slice_in_dim(Xc, bot, g + P, a)
+        if self.minor_wrap is not None:
+            # periodic minor axis on a padded canvas: two ghost columns
+            # realize the identification (last, for corner completeness)
+            P, W = self.minor_wrap
+            a = Xc.ndim - 1
+            c0 = jax.lax.slice_in_dim(Xc, 0, 1, axis=a)
+            Xc = jax.lax.dynamic_update_slice_in_dim(Xc, c0, P, a)
+            cP = jax.lax.slice_in_dim(Xc, P - 1, P, axis=a)
+            Xc = jax.lax.dynamic_update_slice_in_dim(Xc, cP, W - 1, a)
         return Xc.reshape(X.shape)
 
     def _shift(self, Xc: jax.Array, off) -> jax.Array:
@@ -241,7 +265,9 @@ class StructuredStencil:
             K, n = E.shape[-2], E.shape[-1]
             lead = E.shape[:-2]
             Ef = E.reshape(lead + (K * n,))
-            Ef = Ef.at[..., dst].set(Ef[..., src])
+            Ef = Ef.at[..., dst].set(
+                Ef[..., src], unique_indices=True, indices_are_sorted=True
+            )
             return Ef.reshape(E.shape)
         return self.refresh_ghosts(E)
 
@@ -280,12 +306,13 @@ class StructuredStencil:
             measure_inv=_f(1.0 / sd.measure_of_omega, dtype),
             gmap_node=(
                 None if getattr(sd, "gmap_node", None) is None
-                else tuple(jnp.asarray(a) for a in sd.gmap_node)
+                else _sorted_map(sd.gmap_node)
             ),
             gmap_edge=(
                 None if getattr(sd, "gmap_edge", None) is None
-                else tuple(jnp.asarray(a) for a in sd.gmap_edge)
+                else _sorted_map(sd.gmap_edge)
             ),
+            minor_wrap=getattr(sd, "minor_wrap", None),
         )
 
 
@@ -390,6 +417,23 @@ def _boundary_pair_data(st, dtype):
         midx = np.stack(np.unravel_index(nn, shape), axis=1)  # [m, nd]
         midx = (midx + offs[kk]) % np.asarray(shape)[None]
         jj = np.ravel_multi_index(tuple(midx.T), shape)
+        if st.gmap_node is not None:
+            # multi-block: a neighbor may be a ghost cell; remap to its
+            # owner so U reads see real (non-refreshed) values
+            dst, src = (np.asarray(a) for a in st.gmap_node)
+            own = np.arange(int(np.prod(shape)), dtype=np.int64)
+            own[dst] = src
+            jj = own[jj]
+        if st.minor_wrap is not None:
+            # padded periodic minor axis: neighbors at the two ghost
+            # columns remap to their owner columns (col P -> 0,
+            # col W-1 -> P-1) so U reads see real values
+            P, W = st.minor_wrap
+            midx_j = np.stack(np.unravel_index(jj, shape), axis=1)
+            mx = midx_j[:, -1]
+            mx = np.where(mx == P, 0, np.where(mx == W - 1, P - 1, mx))
+            midx_j[:, -1] = mx
+            jj = np.ravel_multi_index(tuple(midx_j.T), shape)
     c_f = cij[:, kk, nn]
     c_r = cT[:, kk, nn]
     nf = np.linalg.norm(c_f, axis=0)
@@ -752,7 +796,12 @@ def phase_update(eq, p, sa, U_cur, bounds, P, l, l_T, last: bool):
     next-pass l' = (1 - l_sym) l2 implementing the reference shortcut
     (hyperbolic_module.template.h:1163-1170).
     """
-    l_sym = jnp.minimum(l, l_T)
+    # where() (not multiplication by the mask) so garbage at masked slots
+    # of the transposed-edge read — e.g. NaN from ghost rows whose inputs
+    # are never refreshed — cannot poison the update (NaN * 0 == NaN):
+    l_sym = jnp.where(
+        sa.mask > 0, jnp.minimum(l, l_T), jnp.zeros_like(l)
+    )
     lam_i = (1.0 / sa.n_nbrs)[None]
     U_next = U_cur + lam_i * jnp.sum(l_sym[None] * P * sa.mask[None], axis=1)
     if last:
@@ -874,20 +923,77 @@ class HyperbolicModule:
         # slot pairing d_from_lambda relies on; the generic ELL transpose
         # is an arbitrary permutation, so ELL keeps the two-direction
         # evaluation.  Multi-block canvases (offline/multiblock.py) break
-        # the pairing at block interfaces (reader/owner frames may be
-        # rotated), so they too evaluate both directions:
-        self._sym_riemann = (
-            bool(getattr(equation, "riemann_symmetric", False))
-            and isinstance(self._xla_stencil, StructuredStencil)
-            and self._xla_stencil.gmap_edge is None
+        # the pairing at the O(interface) directed edges that cross a
+        # block interface; those are corrected by `_interface_fixup`
+        # (sd.sym_fixup, evaluated two-directionally in XLA) while the
+        # block interiors keep the half-slot evaluation:
+        # Multi-block half-slot evaluation is OFF by default: measured on
+        # the airfoil C-mesh (scripts/probe_multiblock.py ABLATE=1), the
+        # multi-block PK1 is window-DMA-bound, so halving the Riemann
+        # solves buys nothing while the glue (half refresh + interface
+        # fixup + transpose rolls) costs ~1%: 6.42 vs 6.34 ms/substep.
+        # The machinery stays available (RYUJIN_SYM_MB=1) and tested
+        # (tests/test_multiblock.py runs both paths).
+        import os as _os
+
+        sym_mb_enabled = _os.environ.get("RYUJIN_SYM_MB") == "1"
+        sym = bool(getattr(equation, "riemann_symmetric", False))
+        is_canvas = isinstance(self._xla_stencil, StructuredStencil)
+        multiblock = is_canvas and self._xla_stencil.gmap_edge is not None
+        sym_fix = getattr(ell, "sym_fixup", None)
+        self._sym_riemann = sym and is_canvas and not multiblock
+        self._sym_mb = (
+            sym and multiblock and sym_fix is not None and sym_mb_enabled
         )
         self._bp = (
             _boundary_pair_data(self._xla_stencil, dtype)
-            if self._sym_riemann
+            if (self._sym_riemann or self._sym_mb)
             else None
         )
+        self._if = None
+        self._gmap_half = None
+        if self._sym_mb:
+            tiny = float(np.finfo(np.dtype(dtype)).tiny)
+            c_f = np.asarray(sym_fix["c_f"], np.dtype(dtype))
+            c_r = np.asarray(sym_fix["c_r"], np.dtype(dtype))
+            nf = np.sqrt(np.sum(c_f * c_f, axis=1))
+            nr = np.sqrt(np.sum(c_r * c_r, axis=1))
+            icm = np.asarray(sym_fix["inv_cmax"], np.dtype(dtype))
+            # the scatter value is cmax-normalized so the downstream
+            # d = lam_entry * cmax reconstruction recovers the exact
+            # two-direction max(lam |c_f|, lam |c_r|):
+            self._if = {
+                "dst": jnp.asarray(sym_fix["dst"], jnp.int32),
+                "i": jnp.asarray(sym_fix["i"], jnp.int32),
+                "j": jnp.asarray(sym_fix["j"], jnp.int32),
+                "n_f": jnp.asarray(
+                    (c_f / np.maximum(nf, tiny)[:, None]).T, dtype
+                ),
+                "n_r": jnp.asarray(
+                    (c_r / np.maximum(nr, tiny)[:, None]).T, dtype
+                ),
+                "w_f": jnp.asarray(nf * icm, dtype),
+                "w_r": jnp.asarray(nr * icm, dtype),
+            }
+            # half-canvas ghost refresh: gmap_edge entries whose dst AND
+            # src slots are < K/2 (the flat k * n + cell indices are the
+            # same in the [K/2, n] layout); entries with an uncomputed
+            # source slot are exactly the broken routes the fixup covers
+            dst, src = (np.asarray(a) for a in self._xla_stencil.gmap_edge)
+            n_flat = ell.n_pad
+            K2n = (self._xla_stencil.K // 2) * n_flat
+            keep = (dst < K2n) & (src < K2n)
+            hd, hs = dst[keep], src[keep]
+            o = np.argsort(hd, kind="stable")
+            self._gmap_half = (
+                jnp.asarray(hd[o], jnp.int32), jnp.asarray(hs[o], jnp.int32)
+            )
         if self._pallas is not None:
             self._pallas.lambda_fixup = self._lambda_fixup
+            self._pallas.interface_fixup = (
+                self._interface_fixup if self._sym_mb else None
+            )
+            self._pallas.gmap_edge_half = self._gmap_half
 
     def _lambda_fixup(self, lam, Up, prec):
         """Correct the half-slot lambda at coupling boundary pairs:
@@ -917,6 +1023,60 @@ class HyperbolicModule:
         val = jnp.maximum(cur * bp["w_fwd"], lam_rev * bp["w_rev"])
         lam_f = lam_f.at[bp["k"], bp["i"]].set(val)
         return lam_f.reshape(shape)
+
+    def _refresh_half(self, lam):
+        """Ghost refresh of the HALF lambda canvas [K/2, n]: the
+        gmap_edge entries whose destination and source slots both live in
+        the computed half (multi-block canvases); sorted unique scatter."""
+        if self._gmap_half is None:
+            return lam
+        dst, src = self._gmap_half
+        shape = lam.shape
+        lam_f = lam.reshape(-1)
+        return lam_f.at[dst].set(
+            lam_f[src], unique_indices=True, indices_are_sorted=True
+        ).reshape(shape)
+
+    def _interface_fixup(self, lam_half, Up, prec):
+        """Evaluate the O(interface) multi-block fixup edges in both
+        directions and scatter the cmax-normalized result
+        max(lam_f |c_f|, lam_r |c_r|) / cmax into the HALF lambda canvas
+        at each broken route's read entry (offline/multiblock.py
+        sym_fixup).  The downstream d = lam * cmax reconstruction
+        (transpose rolls in XLA, _d_win_sym in the kernels) then recovers
+        the reference's two-direction d_ij = max(d_ij, d_ji)
+        (hyperbolic_module.template.h:461-490) at exactly those slots
+        while block interiors keep the one-solve-per-undirected-edge
+        evaluation."""
+        f = self._if
+        if f is None or f["dst"].shape[0] == 0:
+            return lam_half
+        eq, p = self.eq, self.params
+        shape = lam_half.shape
+        lam_flat = lam_half.reshape(-1)
+        U_i, U_j = Up[:, f["i"]], Up[:, f["j"]]
+        prec_i, prec_j = prec[:, f["i"]], prec[:, f["j"]]
+        kw = {}
+        if hasattr(eq, "riemann_precompute"):
+            pa_i = eq.riemann_precompute(U_i)
+            pa_j = eq.riemann_precompute(U_j)
+            kw = {"pa_i": pa_i, "pa_j": pa_j}
+        lam_f = eq.riemann_lambda_max(
+            U_i, U_j, f["n_f"], prec_i=prec_i, prec_j=prec_j,
+            newton_iterations=p.riemann_newton_max_iterations,
+            newton_tol=p.riemann_newton_tolerance, **kw,
+        )
+        if kw:
+            kw = {"pa_i": kw["pa_j"], "pa_j": kw["pa_i"]}
+        lam_r = eq.riemann_lambda_max(
+            U_j, U_i, f["n_r"], prec_i=prec_j, prec_j=prec_i,
+            newton_iterations=p.riemann_newton_max_iterations,
+            newton_tol=p.riemann_newton_tolerance, **kw,
+        )
+        val = jnp.maximum(lam_f * f["w_f"], lam_r * f["w_r"])
+        return lam_flat.at[f["dst"]].set(
+            val, unique_indices=True, indices_are_sorted=True
+        ).reshape(shape)
 
     # ------------------------------------------------------------------
     # Step 1: boundary conditions + precomputation
@@ -1028,7 +1188,34 @@ class HyperbolicModule:
         )
 
         # ---- steps 2/3: d_ij (forward + transposed max), alpha, tau_max --
-        if self._sym_riemann:
+        if self._sym_mb:
+            # multi-block half-slot evaluation: interiors pair via the
+            # canvas transpose; interface-crossing broken routes read the
+            # two-direction fixup values scattered into the half canvas
+            # (ghost entries with exactly one consumer each), so the
+            # transpose-roll d reconstruction below needs no other change
+            lam, alpha = phase_e_alpha(
+                eq, p, st, U_old, prec_old, U_j, prec_j, half=True
+            )
+            lam = self._lambda_fixup(lam, U_old, prec_old)
+            lam = self._refresh_half(lam)
+            lam = self._interface_fixup(lam, U_old, prec_old)
+            K = st.mask.shape[0]
+            K2 = K // 2
+            # refresh-free transpose rolls (the half canvas's ghost
+            # entries are already valid after _refresh_half + fixup):
+            lam_c = lam.reshape((K2,) + st.shape)
+            lam_T = jnp.stack([
+                st._shift(lam_c[K - 1 - k], off)
+                for k, off in list(enumerate(st.offsets))[K2:]
+            ]).reshape((K - K2,) + lam.shape[1:])
+            lam_full = jnp.concatenate([lam, lam_T], axis=0)
+            norm = jnp.sqrt(jnp.sum(st.cij * st.cij, axis=0))
+            cmax = jnp.maximum(norm, st.transpose_edge(norm))
+            d = jnp.where(
+                st.mask > 0, lam_full * cmax, jnp.zeros_like(lam_full)
+            )
+        elif self._sym_riemann:
             lam, alpha = phase_e_alpha(
                 eq, p, st, U_old, prec_old, U_j, prec_j, half=True
             )

@@ -87,6 +87,15 @@ def pallas_supports(packed) -> bool:
     return shape is not None and shape[-1] % 128 == 0
 
 
+def _sorted_map(m):
+    """(dst, src) index pair sorted by dst, as device arrays — lets the
+    ghost-refresh scatters claim unique_indices + indices_are_sorted
+    (TPU scatter is substantially cheaper with both hints)."""
+    dst, src = (np.asarray(a) for a in m)
+    o = np.argsort(dst, kind="stable")
+    return (jnp.asarray(dst[o]), jnp.asarray(src[o]))
+
+
 def _tile_d_default() -> int:
     """z-slab tile depth TD, shared by margin sizing and the kernels.
 
@@ -992,8 +1001,12 @@ class PallasStepper:
         )
 
         # set by HyperbolicModule when the equation's Riemann solve is
-        # symmetric (lambda fixup at coupling boundary pairs):
+        # symmetric (lambda fixup at coupling boundary pairs; interface
+        # fixup + half-canvas refresh map for the multi-block half-slot
+        # path):
         self.lambda_fixup = None
+        self.interface_fixup = None
+        self.gmap_edge_half = None
 
         # multi-chip: set by parallel.sharding.shard_pallas_module —
         # kernels then run per-device under shard_map over the slab axis
@@ -1006,20 +1019,19 @@ class PallasStepper:
             getattr(sd, "ghosts", ()) or (None,) * len(canvas)
         )
         self.slab_spec = getattr(sd, "slab_spec", None)
-        # multi-block cross-interface refresh maps (offline/multiblock.py):
+        # multi-block cross-interface refresh maps (offline/multiblock.py),
+        # dst-sorted so the refresh scatters can claim sorted+unique:
         gm_n = getattr(sd, "gmap_node", None)
         gm_e = getattr(sd, "gmap_edge", None)
-        self.gmap_node = (
-            None if gm_n is None else tuple(jnp.asarray(a) for a in gm_n)
-        )
-        self.gmap_edge = (
-            None if gm_e is None else tuple(jnp.asarray(a) for a in gm_e)
-        )
+        self.gmap_node = None if gm_n is None else _sorted_map(gm_n)
+        self.gmap_edge = None if gm_e is None else _sorted_map(gm_e)
         self.multiblock = self.gmap_edge is not None
+        self.minor_wrap = getattr(sd, "minor_wrap", None)
         self._have_ghosts = (
             any(g is not None for g in self.ghost_bands)
             or self.slab_spec is not None
             or self.gmap_node is not None
+            or self.minor_wrap is not None
         )
 
         # interior tile-row range (tiles containing real nodes); the masked
@@ -1210,7 +1222,9 @@ class PallasStepper:
         if self.gmap_node is not None:
             dst, src = self.gmap_node
             Xf = X.reshape(X.shape[0], -1)
-            X = Xf.at[:, dst].set(Xf[:, src]).reshape(X.shape)
+            X = Xf.at[:, dst].set(
+                Xf[:, src], unique_indices=True, indices_are_sorted=True
+            ).reshape(X.shape)
         if self.slab_spec is not None:
             # cyclic roll along the slab axis — a collective-permute when
             # that axis is sharded over the device mesh
@@ -1235,6 +1249,15 @@ class PallasStepper:
             bot = jax.lax.slice_in_dim(X, g, 2 * g, axis=a)
             X = jax.lax.dynamic_update_slice_in_dim(X, top, 0, a)
             X = jax.lax.dynamic_update_slice_in_dim(X, bot, g + P, a)
+        if self.minor_wrap is not None:
+            # periodic minor axis on a padded canvas: two ghost columns
+            # realize the identification (offline/structured.py)
+            P, W = self.minor_wrap
+            a = X.ndim - 1
+            c0 = jax.lax.slice_in_dim(X, 0, 1, axis=a)
+            X = jax.lax.dynamic_update_slice_in_dim(X, c0, P, a)
+            cP = jax.lax.slice_in_dim(X, P - 1, P, axis=a)
+            X = jax.lax.dynamic_update_slice_in_dim(X, cP, W - 1, a)
         return X
 
     def _refresh_edge(self, E):
@@ -1246,8 +1269,23 @@ class PallasStepper:
         if self.gmap_edge is not None:
             dst, src = self.gmap_edge
             Ef = E.reshape(-1)
-            return Ef.at[dst].set(Ef[src]).reshape(E.shape)
+            return Ef.at[dst].set(
+                Ef[src], unique_indices=True, indices_are_sorted=True
+            ).reshape(E.shape)
         return self._refresh(E)
+
+    def _refresh_edge_half(self, E):
+        """Ghost refresh of the HALF lambda canvas [K/2, *canvas]
+        (multi-block symmetric path): only the gmap_edge entries whose
+        destination and source slots both live in the computed half;
+        broken routes are covered by interface_fixup instead."""
+        if self.gmap_edge_half is None:
+            return self._refresh(E)
+        dst, src = self.gmap_edge_half
+        Ef = E.reshape(-1)
+        return Ef.at[dst].set(
+            Ef[src], unique_indices=True, indices_are_sorted=True
+        ).reshape(E.shape)
 
     def _call(self, tiled_call, compute, ins, scalars, out_init, common):
         """Dispatch one fused kernel — directly, or per-device under
@@ -1496,13 +1534,19 @@ class PallasStepper:
                 for k, off in enumerate(self.offsets)
             ])
             d = hyp.d_from_e(ga.g_mask, e, e_T)
-        sa_flat = _SA(
-            cij=None, cij_t=None, mij=None, mask=None, cii=None,
-            m_lumped=ga.m_lumped_flat, m_lumped_inv=None, n_nbrs=None,
-            node_mask=ga.node_mask_flat, measure_inv=self.measure_inv,
-        )
-        tau_max = hyp.tau_max_from_d(sa_flat, d.reshape(K, -1), cfl, tau_cap)
-        tau = jnp.where(compute_tau, tau_max, tau).astype(dtype)
+        if _os.environ.get("RYUJIN_TAU_ABLATE") == "1":
+            # measurement aid: skip the d/tau XLA fusion (keeps e alive)
+            tau = (tau + 0.0 * jnp.sum(e[:, 0, 0, :1])).astype(dtype)
+        else:
+            sa_flat = _SA(
+                cij=None, cij_t=None, mij=None, mask=None, cii=None,
+                m_lumped=ga.m_lumped_flat, m_lumped_inv=None, n_nbrs=None,
+                node_mask=ga.node_mask_flat, measure_inv=self.measure_inv,
+            )
+            tau_max = hyp.tau_max_from_d(
+                sa_flat, d.reshape(K, -1), cfl, tau_cap
+            )
+            tau = jnp.where(compute_tau, tau_max, tau).astype(dtype)
 
         if _os.environ.get("RYUJIN_PK_ABLATE") == "pk1":
             return (Uc + 0.0 * tau).reshape(C, -1), tau, jnp.asarray(True)
@@ -1892,16 +1936,26 @@ class PallasStepper:
             if getattr(eq, "hoist_node_flux", False):
                 kw["f_i"], kw["f_j"] = self._flux_win(w_U, tv)
             e, alpha = hyp.phase_e_alpha(
-                eq, p, sa, Ut, prect, U_j, prec_j, half=sym, **kw
+                eq, p, sa, Ut, prect, U_j, prec_j, half=sym or sym_mb, **kw
             )
             return [e, alpha[None]]
 
+        no_sym = os.environ.get("RYUJIN_NO_SYM") == "1"  # A/B knob
         sym = (
             bool(getattr(eq, "riemann_symmetric", False))
             and not self.multiblock  # interface frames break k<->K-1-k
-            and os.environ.get("RYUJIN_NO_SYM") != "1"  # A/B knob
+            and not no_sym
         )
-        K_e = K // 2 if sym else K
+        # multi-block half-slot path: interiors pair via the canvas
+        # transpose; the O(interface) broken slots are corrected by the
+        # two-direction XLA fixup (hyperbolic.py _interface_fixup):
+        sym_mb = (
+            bool(getattr(eq, "riemann_symmetric", False))
+            and self.multiblock
+            and self.interface_fixup is not None
+            and not no_sym
+        )
+        K_e = K // 2 if (sym or sym_mb) else K
         import os as _os_s
 
         _stream_env = _os_s.environ.get("RYUJIN_STREAM")
@@ -1909,7 +1963,9 @@ class PallasStepper:
             _stream_env == "1" if _stream_env is not None else self.dim == 3
         )
         pk1_fn = (
-            (lambda wins, scal, tv: self._pk1_stream(wins, scal, tv, sym))
+            (lambda wins, scal, tv: self._pk1_stream(
+                wins, scal, tv, sym or sym_mb
+            ))
             if stream
             else pk1
         )
@@ -1920,15 +1976,25 @@ class PallasStepper:
             [K_e, zeros(1)],  # e uninit: consumers mask the halo read
             common,
         )
-        if sym and self.lambda_fixup is not None:
+        if (sym or sym_mb) and self.lambda_fixup is not None:
             # coupling-boundary-pair correction (few slots, XLA scatter)
             e = self.lambda_fixup(e, U, prec).reshape((K_e,) + canvas)
-        e = self._refresh_edge(e)
+        if sym_mb:
+            # multi-block half canvas: ghost refresh (computed-slot
+            # sources only) + the cmax-normalized two-direction fixup at
+            # broken transpose routes (hyperbolic.py _interface_fixup) —
+            # downstream, the sym d reconstruction applies unchanged
+            e = self._refresh_edge_half(e)
+            e = self.interface_fixup(
+                e.reshape(K_e, -1), U, prec
+            ).reshape((K_e,) + canvas)
+        else:
+            e = self._refresh_edge(e)
         alpha = self._refresh(alpha)
 
         # ---- d + tau reduction (XLA, one fusion) ------------------------
         caxes = tuple(range(len(canvas)))
-        if sym:
+        if sym or sym_mb:
             lam_T = jnp.stack([
                 jnp.roll(e[K - 1 - k], tuple(-o for o in off), axis=caxes)
                 for k, off in list(enumerate(self.offsets))[K_e:]
@@ -1978,7 +2044,7 @@ class PallasStepper:
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
             ip_t = tv.center(w_ip) if IP else None
             ip_j = tv.nbr(w_ip) if IP else None
-            if sym:
+            if sym or sym_mb:
                 dt_ = self._d_win_sym(w_e, tv.center(w_cmax), sa.mask, tv)
             else:
                 dt_ = self._d_win(w_e, sa.mask, tv)
@@ -1999,8 +2065,10 @@ class PallasStepper:
         U_low, F, bounds = self._call(
             tiled_call, pk2,
             [(ga.g_cij, False), (ga.g_mask, False),
-             (ga.g_cmax if sym else None, False), (ga.g_cii, False),
-             (ga.g_node, False), Uc, precc, e, alpha, sUc, sPc, ipc,
+             (ga.g_cmax if (sym or sym_mb) else None, False),
+             (ga.g_cii, False),
+             (ga.g_node, False), Uc, precc, e,
+             alpha, sUc, sPc, ipc,
              (ga.g_mij if need_mij else None, False)],
             [tau] + [w_vec[s] for s in range(S)],
             # F is halo-read in PK3 -> needs valid (zero) margins; bounds
@@ -2034,7 +2102,7 @@ class PallasStepper:
                                     self._derived_mask(w_node, tv)))
             Ut, prect = tv.center(w_U), tv.center(w_prec)
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
-            if sym:
+            if sym or sym_mb:
                 dt_ = self._d_win_sym(w_e, tv.center(w_cmax), sa.mask, tv)
             else:
                 dt_ = self._d_win(w_e, sa.mask, tv)
@@ -2070,7 +2138,8 @@ class PallasStepper:
 
         P, l_ij, okp = self._call(
             tiled_call, pk3,
-            [(ga.g_cij, False), (ga.g_cmax if sym else None, False),
+            [(ga.g_cij, False),
+             (ga.g_cmax if (sym or sym_mb) else None, False),
              (ga.g_mij, False),
              (ga.g_cii, False), ga.g_node,
              (ga.g_mask if self.multiblock else None, False),
@@ -2096,9 +2165,13 @@ class PallasStepper:
             last = it + 1 == n_iter
 
             def pk_up(wins, scal, tv, last=last):
-                w_node, w_Ucur, w_bounds, w_P, w_l = wins
-                sa = self._sa(tv, None, None, None, None, w_node,
-                              mask_arr=self._derived_mask(w_node, tv))
+                w_node, w_mask, w_Ucur, w_bounds, w_P, w_l = wins
+                # multi-block canvases read the exact mask: a false canvas
+                # adjacency into a ghost row could otherwise select NaN
+                # through the l_T transpose (see phase_update's where):
+                sa = self._sa(tv, None, w_mask, None, None, w_node,
+                              mask_arr=(None if w_mask is not None else
+                                        self._derived_mask(w_node, tv)))
                 U_t = tv.center(w_Ucur)
                 bounds_t = tv.center(w_bounds)
                 P_t = tv.center(w_P).reshape((C, K) + self.tile)
@@ -2114,6 +2187,7 @@ class PallasStepper:
             outs = self._call(
                 tiled_call, pk_up,
                 [ga.g_node,
+                 (ga.g_mask if self.multiblock else None, False),
                  (U_cur, False), (bounds, False), (P, False), l_ij],
                 [],
                 [Uc] if last else [Uc, zeros(K)],

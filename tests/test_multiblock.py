@@ -43,6 +43,7 @@ def _advance(eq, packed, init, dtype, n_steps, backend="xla"):
     return np.asarray(U), float(t), float(tau)
 
 
+@pytest.mark.parametrize("sym_mb", ["0", "1"])
 @pytest.mark.parametrize(
     "geom,make",
     [
@@ -50,8 +51,13 @@ def _advance(eq, packed, init, dtype, n_steps, backend="xla"):
         ("disk", lambda: geometry.disk(refinement=1)),
     ],
 )
-def test_multiblock_matches_ell(geom, make):
-    """Multi-block canvas == padded ELL on the same mesh (1e-12)."""
+def test_multiblock_matches_ell(geom, make, sym_mb, monkeypatch):
+    """Multi-block canvas == padded ELL on the same mesh (1e-12).
+
+    Runs both the default two-direction evaluation and the env-gated
+    half-slot path (RYUJIN_SYM_MB=1: one Riemann solve per undirected
+    edge in block interiors + the O(interface) sym_fixup)."""
+    monkeypatch.setenv("RYUJIN_SYM_MB", sym_mb)
     mesh = make()
     data = assembly.assemble(mesh)
     sd = multiblock.pack_multiblock(data, mesh, pad_minor=8, pad_major=8)
@@ -71,8 +77,11 @@ def test_multiblock_matches_ell(geom, make):
     np.testing.assert_allclose(A, B, rtol=0.0, atol=1e-12)
 
 
-def test_multiblock_pallas_interpret_matches_xla():
-    """Fused kernels with cross-block ghost refresh == XLA (disk mesh)."""
+@pytest.mark.parametrize("sym_mb", ["0", "1"])
+def test_multiblock_pallas_interpret_matches_xla(sym_mb, monkeypatch):
+    """Fused kernels with cross-block ghost refresh == XLA (disk mesh),
+    on both the two-direction default and the RYUJIN_SYM_MB=1 path."""
+    monkeypatch.setenv("RYUJIN_SYM_MB", sym_mb)
     mesh = geometry.disk(refinement=1)
     data = assembly.assemble(mesh)
     sd = multiblock.pack_multiblock(data, mesh, pad_minor=8, pad_major=8)
