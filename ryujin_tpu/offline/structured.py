@@ -13,10 +13,14 @@ stride-uniform rows; the lattice makes every row uniform by construction.
 Lattice positions without a node (removed cells, padding added for TPU tile
 alignment) are masked: their edge masks are zero and their states are held
 at a safe constant.  Canvas dims of non-periodic axes are padded to TPU
-friendly multiples.  The periodic minor (x) axis keeps its exact period so
-that the wrap-around of the shift *is* the periodic identification;
-periodic leading axes get ghost bands instead (see StructuredData.ghosts)
-so that neither the shifts nor the Pallas halo windows ever wrap.
+friendly multiples.  A periodic minor (x) axis whose period is a multiple
+of 128 keeps its exact width — the wrap-around of the shift *is* the
+periodic identification; otherwise it is padded to a lane-aligned width
+with two ghost columns realizing the identification on the padded canvas
+(StructuredData.minor_wrap), keeping the compiled Pallas kernels
+available.  Periodic leading axes get ghost bands instead (see
+StructuredData.ghosts) so that neither the shifts nor the Pallas halo
+windows ever wrap.
 """
 
 from __future__ import annotations
@@ -114,6 +118,22 @@ class StructuredData:
     gmap_edge: Optional[Tuple[np.ndarray, np.ndarray]] = None
     # CSR edge -> host (cell * K + slot) map (multi-block pack_edge_values):
     edge_map: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    # Multi-block symmetric-Riemann interface fixup (offline/multiblock.py
+    # _assemble_canvas): the O(interface) directed edges whose canvas
+    # transposed-slot pairing breaks at block interfaces, to be evaluated
+    # in both directions and scattered into the assembled d canvas
+    # (solver/hyperbolic.py _interface_fixup).  Keys: dst (flat K*n slot),
+    # i, j (canvas cells), c_f, c_r ([m, dim] forward/reverse c_ij):
+    sym_fixup: Optional[Dict[str, np.ndarray]] = None
+    # Periodic MINOR axis whose period P is not lane-aligned: the axis is
+    # padded to W (a multiple of 128) and carries two ghost columns so the
+    # minor-axis roll/lane-roll wrap still realizes the periodic
+    # identification on the padded canvas: col P <- col 0 (the dx=+1
+    # neighbor of col P-1) and col W-1 <- col P-1 (the dx=-1 neighbor of
+    # col 0 after the roll wraps).  (P, W); None when the period is
+    # already a multiple of 128 (the wrap alone is the identification)
+    # or the axis is not periodic:
+    minor_wrap: Optional[Tuple[int, int]] = None
 
 
 def pack_edge_values(sd: StructuredData, data: SparseOfflineData,
@@ -242,6 +262,7 @@ def pack_structured(
     canvas = []
     offs = []
     ghost_bands: List[Optional[Tuple[int, int]]] = []
+    minor_wrap: Optional[Tuple[int, int]] = None
     for axis in range(dim):  # canvas axis 0 = lattice dim (dim-1)
         d = dim - 1 - axis
         size = int(logical[d])
@@ -256,7 +277,18 @@ def pack_structured(
         if not periodic[d] or gh is not None:
             size = _round_up(size, pads[axis] if dim > 1 else pad_minor)
         elif periodic[d] and not (dim > 1 and axis < dim - 1):
-            pass  # periodic minor axis keeps its exact period
+            # periodic minor axis: a period that is already lane-aligned
+            # keeps its exact width (the lane-roll wrap IS the periodic
+            # identification); otherwise pad to a multiple of 128 and
+            # carry two ghost columns realizing the identification on the
+            # padded canvas (StructuredData.minor_wrap) so the compiled
+            # Pallas kernels stay available (pallas_supports)
+            if dim > 1 and size % pad_minor:
+                W = _round_up(size, pad_minor)
+                if W < size + 2:  # ghost cols P and W-1 must not collide
+                    W = _round_up(size + 2, pad_minor)
+                minor_wrap = (size, W)
+                size = W
         canvas.append(size)
         offs.append(off)
         ghost_bands.append(gh)
@@ -333,6 +365,7 @@ def pack_structured(
             periodic, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
             positions, node_to_vertex, vertex_to_node, flat, real,
             ghost_bands, slab_spec, bool(periodic[dim - 1]),
+            minor_wrap=minor_wrap,
         )
 
     # edges, vectorized: source row i repeated deg times
@@ -375,6 +408,7 @@ def pack_structured(
         periodic, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
         positions, node_to_vertex, vertex_to_node, flat, real,
         ghost_bands, slab_spec, bool(periodic[dim - 1]),
+        minor_wrap=minor_wrap,
     )
 
 
@@ -396,6 +430,22 @@ def _fill_ghosts(arr: np.ndarray, canvas, ghost_bands) -> None:
         a[tuple(dst)] = a[tuple(src)]
 
 
+def _fill_minor_wrap(arr: np.ndarray, canvas, minor_wrap) -> None:
+    """Fill the two periodic minor-axis ghost columns, in place.
+
+    col P <- col 0 and col W-1 <- col P-1 (StructuredData.minor_wrap);
+    uniform slot layout, so the same copy serves node and edge arrays."""
+    P, W = minor_wrap
+    a = arr.reshape(canvas + arr.shape[1:])
+    ax = len(canvas) - 1
+    sl = [slice(None)] * a.ndim
+    dst, src = list(sl), list(sl)
+    dst[ax], src[ax] = P, 0
+    a[tuple(dst)] = a[tuple(src)]
+    dst[ax], src[ax] = W - 1, P - 1
+    a[tuple(dst)] = a[tuple(src)]
+
+
 def _fill_slab_ghosts(arr: np.ndarray, canvas, slab_spec) -> None:
     """Fill the slab ghost bands of canvas axis 0 with the wrapped real
     edge rows of the cyclically adjacent slabs, in place."""
@@ -410,7 +460,7 @@ def _finalize_structured(
     data, mesh, dim, K, offsets, canvas, margins, n_pad, logical, periodic,
     cij, mij, mask, cii, lumped, n_nbrs, node_mask, positions,
     node_to_vertex, vertex_to_node, flat, real, ghost_bands=(),
-    slab_spec=None, axis0_periodic=False,
+    slab_spec=None, axis0_periodic=False, minor_wrap=None,
 ):
     del mesh, logical, periodic, flat
     value_mask = node_mask.copy()
@@ -432,6 +482,12 @@ def _finalize_structured(
             vm = value_mask.reshape((n_sl, A) + canvas[1:])
             vm[0, :g] = 0.0
             vm[-1, g + Ls : g + Ls + g] = 0.0
+    if minor_wrap is not None:
+        # last, so the ghost columns pick up the band/slab-filled rows of
+        # their owner columns (corner completeness):
+        for arr in (cij, mij, mask, cii, lumped, n_nbrs, positions,
+                    value_mask):
+            _fill_minor_wrap(arr, canvas, minor_wrap)
     # boundary rounds in canvas numbering
     rounds: List[Dict[int, BoundaryGroup]] = []
     for rnd in data.boundary_rounds:
@@ -469,4 +525,5 @@ def _finalize_structured(
         ghosts=ghost_bands,
         value_mask=value_mask,
         slab_spec=slab_spec,
+        minor_wrap=minor_wrap,
     )

@@ -88,12 +88,27 @@ def main() -> int:
         bump_center=(1.0, 0.5),
     )
     # 2D fully periodic vortex (ghost bands).  refinement 7 -> period
-    # 128: the compiled kernels require a lane-aligned minor axis
-    # (pallas_supports); smaller periodic meshes run the XLA fallback.
+    # 128 (lane-aligned exact width, the wrap IS the identification):
     compare(
         "2d periodic",
         geometry.rectangular_domain(
             [-5, -5], [5, 5], [1, 1], refinement=7,
+            boundary_conditions=[Boundary.periodic] * 4,
+        ),
+        Euler(dim=2),
+        make_initial_state(
+            Euler(dim=2), "isentropic vortex", direction=[1, 1],
+            position=[0, 0],
+        ),
+    )
+    # 2D fully periodic vortex at a NON-lane-aligned period (refinement 6
+    # -> period 64): the minor axis is padded to 128 with the two
+    # minor_wrap ghost columns (offline/structured.py), so the compiled
+    # kernels stay available instead of bouncing to the XLA fallback:
+    compare(
+        "2d periodic unaligned (minor_wrap)",
+        geometry.rectangular_domain(
+            [-5, -5], [5, 5], [1, 1], refinement=6,
             boundary_conditions=[Boundary.periodic] * 4,
         ),
         Euler(dim=2),

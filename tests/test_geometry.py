@@ -245,8 +245,12 @@ def test_cylinder_ogrid_structured():
     assert (ids == Boundary.slip).sum() > 0
 
     packed = structured.pack_structured(data, mesh)
-    # periodic theta = minor canvas axis at its exact period (lane wrap):
-    assert packed.shape[-1] == 64
+    # periodic theta on the minor canvas axis: period 64 is not
+    # lane-aligned, so the axis is padded to 128 with the two ghost
+    # columns of minor_wrap realizing the identification — keeping the
+    # compiled Pallas kernels available (pallas_supports):
+    assert packed.shape[-1] == 128
+    assert packed.minor_wrap == (64, 128)
     assert packed.n_nodes == 64 * 17
 
 
