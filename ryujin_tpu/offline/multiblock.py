@@ -551,18 +551,31 @@ def pack_multiblock(
         p_e = owner_cell[i_e]
 
     bad = unresolved_mask()
+    ev_rows = None
     if bad.any():
-        k = int(bad.sum())
-        ex = [(int(a), int(b)) for a, b in zip(i_e[bad][:3], j_e[bad][:3])]
-        raise MultiblockError(
-            f"{k} stencil edges not embeddable (extraordinary corners), "
-            f"e.g. {ex}"
-        )
+        # Extraordinary vertices: rows whose full stencil cannot embed in
+        # their canvas 8-neighborhood (block corners of valence != 4).
+        # Their rows are computed OUTSIDE the canvas kernels on a small
+        # side ELL stencil (StructuredData.ev_side, solver/hyperbolic.py
+        # Sideband) — the reference's uniform CSR treats them for free
+        # (sparse_matrix_simd.h); here they cost O(#EV) XLA work per
+        # substep while the other 99.9% of rows keep canvas speed.  A
+        # mesh with MANY such rows is genuinely unstructured — fall back
+        # to ELL.
+        ev_rows = np.unique(i_e[bad])
+        if len(ev_rows) > max(64, n_raw // 64):
+            k = int(bad.sum())
+            ex = [(int(a), int(b))
+                  for a, b in zip(i_e[bad][:3], j_e[bad][:3])]
+            raise MultiblockError(
+                f"{k} stencil edges at {len(ev_rows)} rows not embeddable "
+                f"(not block-structured), e.g. {ex}"
+            )
 
     return _assemble_canvas(
         data, mesh, canvas, margin, cell_vertex, owner_cell,
         np.concatenate(occ_cells), np.concatenate(occ_verts),
-        i_e, j_e, p_e, nbr_off, offsets,
+        i_e, j_e, p_e, nbr_off, offsets, ev_rows=ev_rows,
     )
 
 
@@ -668,7 +681,7 @@ def _place_in_frame(qvs, pb, p, cell_vertex, nbr_off, Wc, n_pad):
 
 def _assemble_canvas(
     data, mesh, canvas, margin, cell_vertex, owner_cell,
-    all_cells, all_verts, i_e, j_e, p_e, nbr_off, offsets,
+    all_cells, all_verts, i_e, j_e, p_e, nbr_off, offsets, ev_rows=None,
 ):
     """Build the StructuredData arrays + refresh maps from the layout."""
     Hc, Wc = canvas
@@ -682,16 +695,22 @@ def _assemble_canvas(
         tgt = p_e + o
         hit = (slot_e < 0) & (cell_vertex[tgt] == j_e)
         slot_e[hit] = k
-    if (slot_e < 0).any():
+    is_ev_row = np.zeros(n_raw, dtype=bool)
+    if ev_rows is not None:
+        is_ev_row[ev_rows] = True
+    unres = slot_e < 0
+    if (unres & ~is_ev_row[i_e]).any():
         raise MultiblockError("internal: unresolved edge after ring pass")
+    res = ~unres
 
-    # --- static arrays at owner cells ---
+    # --- static arrays at owner cells (resolved edges only; EV rows'
+    # missing edges live in the side stencil, ev_side below) ---
     cij = np.zeros((n_pad, K, 2))
     mij = np.zeros((n_pad, K))
     mask = np.zeros((n_pad, K))
-    cij[p_e, slot_e] = data.cij
-    mij[p_e, slot_e] = data.mij
-    mask[p_e, slot_e] = 1.0
+    cij[p_e[res], slot_e[res]] = data.cij[res]
+    mij[p_e[res], slot_e[res]] = data.mij[res]
+    mask[p_e[res], slot_e[res]] = 1.0
 
     cii = np.zeros((n_pad, 2))
     lumped = np.ones(n_pad)
@@ -750,6 +769,8 @@ def _assemble_canvas(
     pos = np.clip(pos, 0, len(ekey_s) - 1)
     ok &= ekey_s[pos] == key
     src_slot = slot_s[pos]
+    ok &= src_slot >= 0  # EV-row edges without an owner slot: the side
+    #                      scatter (ev_side e_dst) provides those entries
     e_dst = (gslot[ok] * n_pad + gcell[ok]).astype(np.int32)
     e_src = (src_slot[ok] * n_pad + oc[gvert[ok]]).astype(np.int32)
     gmap_edge = (e_dst, e_src)
@@ -777,9 +798,88 @@ def _assemble_canvas(
     sd.gmap_node = gmap_node
     sd.gmap_edge = gmap_edge
     sd.edge_map = (
-        np.arange(len(i_e), dtype=np.int64),
-        (p_e * K + slot_e).astype(np.int64),
+        np.flatnonzero(res).astype(np.int64),
+        (p_e[res] * K + slot_e[res]).astype(np.int64),
     )
+
+    # --- extraordinary-vertex side stencil --------------------------------
+    # Rows whose stencil exceeds the canvas 8-neighborhood are computed
+    # on a tiny ELL stencil in XLA (solver/hyperbolic.py Sideband) and
+    # scattered back after each kernel phase.  Recorded here: the side
+    # ELL arrays (neighbor OWNER cells, so gathers always read real
+    # values), the transposed-edge gather entries into the flat [K * n]
+    # canvas edge layout, and the scatter targets where readers'
+    # transpose routes expect the side edges' values (their own owner
+    # slot when embedded, plus the route entry (K-1-k_j, oc[j] + off_kj)
+    # of every reader j — disjoint-by-frame, deduplicated, dst-sorted).
+    if ev_rows is not None and len(ev_rows):
+        R = np.asarray(ev_rows, dtype=np.int64)
+        r = len(R)
+        indptr = data.indptr
+        degR = (indptr[R + 1] - indptr[R]).astype(np.int64)
+        Ks = int(degR.max())
+        cols_v = np.tile(R[:, None], (1, Ks))
+        epos = np.zeros((r, Ks), np.int64)
+        smask = np.zeros((r, Ks))
+        for ri, row in enumerate(R):
+            a, b = int(indptr[row]), int(indptr[row + 1])
+            cols_v[ri, : b - a] = data.indices[a:b]
+            epos[ri, : b - a] = np.arange(a, b)
+            smask[ri, : b - a] = 1.0
+        live = smask.reshape(-1) > 0
+        side_cij = np.where(
+            smask[..., None] > 0, np.asarray(data.cij)[epos], 0.0
+        )
+        side_mij = np.asarray(data.mij)[epos] * smask
+        # reverse-edge canvas entries (edges INTO an EV always resolve):
+        ekey2 = i_e * n_raw + j_e
+        eord2 = np.argsort(ekey2, kind="stable")
+        ekey2_s = ekey2[eord2]
+        key_rev = (cols_v * n_raw + R[:, None]).reshape(-1)
+        rp = np.clip(np.searchsorted(ekey2_s, key_rev), 0, len(ekey2_s) - 1)
+        hit = (ekey2_s[rp] == key_rev) & live
+        if not hit[live].all():
+            raise MultiblockError("EV side row with asymmetric edge")
+        rev_e = eord2[rp]
+        rev_slot = np.where(live, slot_e[rev_e], 0)
+        if (live & (rev_slot < 0)).any():
+            raise MultiblockError(
+                "adjacent extraordinary vertices (reverse edge has no "
+                "canvas slot)"
+            )
+        j_cell = oc[cols_v.reshape(-1)]
+        trans = np.where(live, rev_slot * n_pad + j_cell, 0)
+        # scatter targets:
+        own_slot = np.where(live, slot_e[epos.reshape(-1)], -1)
+        own_cell = oc[np.tile(R[:, None], (1, Ks)).reshape(-1)]
+        dst_own = own_slot * n_pad + own_cell
+        route = (K - 1 - rev_slot) * n_pad + (j_cell + nbr_off[rev_slot])
+        eidx = np.arange(r * Ks)
+        d_all = np.concatenate(
+            [dst_own[live & (own_slot >= 0)], route[live]]
+        )
+        s_all = np.concatenate(
+            [eidx[live & (own_slot >= 0)], eidx[live]]
+        )
+        d_u, first = np.unique(d_all, return_index=True)
+        sd.ev_side = {
+            "rows": R,
+            "cells": oc[R].astype(np.int64),
+            "cols_cell": oc[cols_v].astype(np.int64),  # [r, Ks]
+            "cij": side_cij,  # [r, Ks, dim]
+            "mij": side_mij,  # [r, Ks]
+            "mask": smask,  # [r, Ks]
+            "cii": np.asarray(data.cii)[R],
+            "m_lumped": np.asarray(data.lumped_mass)[R],
+            "n_nbrs": degR,
+            "trans": trans.reshape(r, Ks),  # flat [K * n] entries
+            "edst": d_u.astype(np.int64),
+            "esrc": s_all[first].astype(np.int64),  # flat [r * Ks] index
+        }
+        # the half-slot symmetric path is not supported alongside EV
+        # side rows (untested interplay); keep the two-direction default
+        sd.sym_fixup = None
+        return sd
 
     # --- symmetric-Riemann interface fixup list ---------------------------
     # The lattice k <-> K-1-k transposed-slot pairing (one Riemann solve

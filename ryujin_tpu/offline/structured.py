@@ -125,6 +125,12 @@ class StructuredData:
     # (solver/hyperbolic.py _interface_fixup).  Keys: dst (flat K*n slot),
     # i, j (canvas cells), c_f, c_r ([m, dim] forward/reverse c_ij):
     sym_fixup: Optional[Dict[str, np.ndarray]] = None
+    # Extraordinary-vertex side stencil (offline/multiblock.py): rows
+    # whose stencil exceeds the canvas 8-neighborhood, computed on a tiny
+    # ELL stencil in XLA (solver/hyperbolic.py Sideband) and scattered
+    # back after each kernel phase.  Keys: rows, cells, cols_cell, cij,
+    # mij, mask, cii, m_lumped, n_nbrs, trans, edst, esrc:
+    ev_side: Optional[Dict[str, np.ndarray]] = None
     # Periodic MINOR axis whose period P is not lane-aligned: the axis is
     # padded to W (a multiple of 128) and carries two ghost columns so the
     # minor-axis roll/lane-roll wrap still realizes the periodic

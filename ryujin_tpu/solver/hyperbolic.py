@@ -481,6 +481,139 @@ def d_from_e(mask, e, e_T):
     return jnp.where(mask > 0, jnp.maximum(e, e_T), jnp.zeros_like(e))
 
 
+class Sideband:
+    """Extraordinary-vertex side rows of a multi-block canvas.
+
+    Rows whose stencil exceeds the canvas 8-neighborhood (valence != 4
+    block corners, StructuredData.ev_side) are recomputed here on a tiny
+    ELL stencil — one XLA evaluation of each phase over O(#EV) rows —
+    and scattered back into the canvas arrays after each kernel phase,
+    so every other row keeps the fused-kernel fast path.  The reference
+    handles such rows for free in its uniform CSR loop
+    (sparse_matrix_simd.h:63-297); this is the canvas rendition.
+
+    Gathers read OWNER cells (always-valid values, no refresh needed);
+    the transposed-edge gathers (`trans`) read regular reader rows of
+    the flat [K * n] canvas edge layout; the e/l scatter (`edst/esrc`)
+    writes each side edge's value to its owner slot (when embedded) and
+    to every reader's transpose-route entry (disjoint by the canvas
+    frame, deduplicated and dst-sorted at pack time)."""
+
+    def __init__(self, eq, params, sd, dtype,
+                 initial_precomputed=None):
+        ev = sd.ev_side
+        self.eq, self.p = eq, params
+        self.dtype = dtype
+        self.cells = jnp.asarray(ev["cells"], jnp.int32)  # [r]
+        self.cols = jnp.asarray(ev["cols_cell"].T, jnp.int32)  # [Ks, r]
+        self.trans = jnp.asarray(ev["trans"].T, jnp.int32)  # [Ks, r]
+        self.edst = jnp.asarray(ev["edst"], jnp.int32)
+        self.esrc = jnp.asarray(ev["esrc"], jnp.int32)  # into [r, Ks] flat
+        r = len(ev["rows"])
+        self.n_rows = r
+        mask = np.asarray(ev["mask"].T)  # [Ks, r]
+        m_l = np.asarray(ev["m_lumped"])
+        self.st = Stencil(
+            cols=self.cols,
+            cij=_f(np.transpose(ev["cij"], (2, 1, 0)), dtype),  # [dim,Ks,r]
+            mij=_f(ev["mij"].T, dtype),
+            mask=_f(mask, dtype),
+            trans=self.trans,  # unused (canvas-flat gathers done here)
+            cii=_f(ev["cii"].T, dtype),
+            m_lumped=_f(m_l, dtype),
+            m_lumped_inv=_f(1.0 / m_l, dtype),
+            n_nbrs=_f(np.maximum(ev["n_nbrs"], 1), dtype),
+            node_mask=_f(np.ones(r), dtype),
+            measure_inv=_f(1.0 / sd.measure_of_omega, dtype),
+        )
+        ip = initial_precomputed
+        if ip is None or ip.shape[0] == 0:
+            Ks = mask.shape[0]
+            self.ip = jnp.zeros((0, r), dtype)
+            self.ip_j = jnp.zeros((0, Ks, r), dtype)
+        else:
+            self.ip = ip[:, self.cells]
+            self.ip_j = ip[:, self.cols]
+
+    # -- gather helpers ----------------------------------------------------
+    def ctr(self, X):
+        return X[..., self.cells]
+
+    def nbr(self, X):
+        return X[..., self.cols]
+
+    def edge_T(self, E_flat):
+        """Transposed-edge gather from the flat [K * n] canvas layout."""
+        return E_flat[self.trans]
+
+    def scatter_edge(self, E, vals):
+        """Scatter side edge values [Ks, r] into the canvas edge array
+        [K, n] at every consumer entry (owner slots + reader routes)."""
+        shape = E.shape
+        Ef = E.reshape(-1)
+        v = vals.T.reshape(-1)[self.esrc]
+        return Ef.at[self.edst].set(
+            v, unique_indices=True, indices_are_sorted=True
+        ).reshape(shape)
+
+    # -- phases ------------------------------------------------------------
+    def e_alpha(self, U, prec):
+        U_j, prec_j = self.nbr(U), self.nbr(prec)
+        e, alpha = phase_e_alpha(
+            self.eq, self.p, self.st, self.ctr(U), self.ctr(prec),
+            U_j, prec_j,
+        )
+        return e, alpha
+
+    def d_side(self, e_side, e_canvas):
+        e_T = self.edge_T(e_canvas.reshape(-1))
+        return d_from_e(self.st.mask, e_side, e_T)
+
+    def tau_side(self, d, cfl, tau_cap):
+        return tau_max_from_d(self.st, d, cfl, tau_cap)
+
+    def low_order(self, U, prec, d, alpha, tau, stage_U, stage_prec,
+                  stage_weights):
+        S = stage_U.shape[0] if stage_U is not None else 0
+        st = self.st
+        sU = stage_U[:, :, self.cells] if S else stage_U
+        sP = stage_prec[:, :, self.cells] if S else stage_prec
+        sUj = (jnp.stack([self.nbr(stage_U[s]) for s in range(S)])
+               if S else None)
+        sPj = (jnp.stack([self.nbr(stage_prec[s]) for s in range(S)])
+               if S else None)
+        return phase_low_order(
+            self.eq, self.p, st, self.ctr(U), self.ctr(prec),
+            self.nbr(U), self.nbr(prec), d, self.ctr(alpha),
+            self.nbr(alpha), tau, sU, sP, sUj, sPj, stage_weights,
+            self.ip, self.ip_j,
+        )
+
+    def p_l1(self, U, prec, d, alpha, tau, F, m_lumped, U_low_side,
+             bounds_side, stage_U, stage_prec, stage_weights):
+        S = stage_U.shape[0] if stage_U is not None else 0
+        sU = stage_U[:, :, self.cells] if S else stage_U
+        sP = stage_prec[:, :, self.cells] if S else stage_prec
+        sUj = (jnp.stack([self.nbr(stage_U[s]) for s in range(S)])
+               if S else None)
+        sPj = (jnp.stack([self.nbr(stage_prec[s]) for s in range(S)])
+               if S else None)
+        return phase_p_l1(
+            self.eq, self.p, self.st, self.ctr(U), self.ctr(prec),
+            self.nbr(U), self.nbr(prec), d, self.ctr(alpha),
+            self.nbr(alpha), tau, self.ctr(F), self.nbr(F),
+            self.nbr(m_lumped), U_low_side, bounds_side,
+            sU, sP, sUj, sPj, stage_weights, self.ip, self.ip_j,
+        )
+
+    def update(self, U_side, bounds_side, P_side, l_side, l_canvas, last):
+        l_T = self.edge_T(l_canvas.reshape(-1))
+        return phase_update(
+            self.eq, self.p, self.st, U_side, bounds_side, P_side,
+            l_side, l_T, last,
+        )
+
+
 def tau_max_from_d(sa, d, cfl, tau_cap):
     """Step 3: tau_max = min_i cfl m_i / (-2 d_ii)  (reference :494-564)."""
     dtype = d.dtype
@@ -902,6 +1035,17 @@ class HyperbolicModule:
             )
         self.initial_precomputed = initial_precomputed
 
+        # extraordinary-vertex side rows (multi-block canvases with
+        # valence != 4 block corners, offline/multiblock.py ev_side):
+        self._sideband = None
+        if getattr(ell, "ev_side", None) is not None:
+            self._sideband = Sideband(
+                equation, params, ell, dtype,
+                initial_precomputed=self.initial_precomputed,
+            )
+        if self._pallas is not None:
+            self._pallas.sideband = self._sideband
+
         # Flatten boundary rounds into a static list:
         self.boundary: List[BoundaryCondition] = []
         for rnd in ell.boundary_rounds:
@@ -1223,8 +1367,22 @@ class HyperbolicModule:
             d = d_from_lambda(st, lam, st.mask)
         else:
             e, alpha = phase_e_alpha(eq, p, st, U_old, prec_old, U_j, prec_j)
+            if self._sideband is not None:
+                # extraordinary-vertex rows: full side evaluation, values
+                # scattered where readers' transpose routes expect them
+                sb = self._sideband
+                e_s, alpha_s = sb.e_alpha(U_old, prec_old)
+                e = sb.scatter_edge(e, e_s)
+                alpha = alpha.at[sb.cells].set(alpha_s)
             d = d_from_e(st.mask, e, st.transpose_edge(e))
         tau_max = tau_max_from_d(st, d, cfl, tau_cap)
+        if self._sideband is not None:
+            # canvas d_ii at EV rows misses the unembedded edges (tau too
+            # large there); the side rows contribute the exact minimum
+            d_s = sb.d_side(e_s, e)
+            tau_max = jnp.minimum(
+                tau_max, sb.tau_side(d_s, cfl, tau_cap)
+            )
         tau = jnp.where(compute_tau, tau_max, tau)
 
         # ---- step 4: low-order update, bounds, F_i ----------------------
@@ -1234,6 +1392,14 @@ class HyperbolicModule:
             stage_U, stage_prec, stage_U_j, stage_prec_j, stage_weights,
             self.initial_precomputed, init_prec_j,
         )
+        if self._sideband is not None:
+            Ul_s, F_s, b_s = sb.low_order(
+                U_old, prec_old, d_s, alpha, tau, stage_U, stage_prec,
+                stage_weights,
+            )
+            U_low = U_low.at[:, sb.cells].set(Ul_s)
+            F = F.at[:, sb.cells].set(F_s)
+            bounds = bounds.at[:, sb.cells].set(b_s)
 
         if p.limiter_iterations == 0:
             # With zero limiter iterations the reference performs the pure
@@ -1250,19 +1416,41 @@ class HyperbolicModule:
             stage_U, stage_prec, stage_U_j, stage_prec_j, stage_weights,
             self.initial_precomputed, init_prec_j,
         )
+        if self._sideband is not None:
+            P_s, l_s, succ_s = sb.p_l1(
+                U_old, prec_old, d_s, alpha, tau, F, st.m_lumped,
+                Ul_s, b_s, stage_U, stage_prec, stage_weights,
+            )
+            l_ij = sb.scatter_edge(l_ij, l_s)
+            # EV rows' partial canvas success is meaningless — the side
+            # success replaces it:
+            success = success.at[:, sb.cells].set(True)
         ok = jnp.all(
             (success | (st.mask == 0.0)) | (st.node_mask[None] == 0.0)
         )
+        if self._sideband is not None:
+            ok = ok & jnp.all(succ_s | (sb.st.mask == 0.0))
 
         # ---- steps 6/7: symmetrize l, high-order update ------------------
         U_new = U_low
+        U_side = Ul_s if self._sideband is not None else None
         n_iter = p.limiter_iterations
         for it in range(n_iter):
             last = it + 1 == n_iter
-            U_new, l_ij = phase_update(
+            U_next, l_next = phase_update(
                 eq, p, st, U_new, bounds, P, l_ij,
                 st.transpose_edge(l_ij), last,
             )
+            if self._sideband is not None:
+                # side pass reads the SAME-pass canvas l (transpose):
+                U_side, l_s_next = sb.update(
+                    U_side, b_s, P_s, l_s, l_ij, last
+                )
+                U_next = U_next.at[:, sb.cells].set(U_side)
+                if not last:
+                    l_next = sb.scatter_edge(l_next, l_s_next)
+                    l_s = l_s_next
+            U_new, l_ij = U_next, l_next
 
         return U_new, tau, ok
 

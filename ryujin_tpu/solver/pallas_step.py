@@ -1007,6 +1007,9 @@ class PallasStepper:
         self.lambda_fixup = None
         self.interface_fixup = None
         self.gmap_edge_half = None
+        # extraordinary-vertex side rows (hyperbolic.Sideband), applied
+        # as XLA glue between the kernels:
+        self.sideband = None
 
         # multi-chip: set by parallel.sharding.shard_pallas_module —
         # kernels then run per-device under shard_map over the slab axis
@@ -1989,6 +1992,18 @@ class PallasStepper:
                 e.reshape(K_e, -1), U, prec
             ).reshape((K_e,) + canvas)
         else:
+            sb = self.sideband
+            if sb is not None:
+                # extraordinary-vertex side rows (XLA, O(#EV)): scatter
+                # side edge values where readers' transpose routes expect
+                # them, BEFORE the ghost refresh (owner slots propagate)
+                e_s, alpha_s = sb.e_alpha(U, prec)
+                e = sb.scatter_edge(
+                    e.reshape(K, -1), e_s
+                ).reshape((K,) + canvas)
+                alpha = alpha.reshape(1, -1).at[0, sb.cells].set(
+                    alpha_s
+                ).reshape((1,) + canvas)
             e = self._refresh_edge(e)
         alpha = self._refresh(alpha)
 
@@ -2019,6 +2034,12 @@ class PallasStepper:
         tau_max = hyp.tau_max_from_d(
             sa_flat, d.reshape(K, -1), cfl, tau_cap
         )
+        if self.sideband is not None:
+            # canvas d_ii at EV rows misses the unembedded edges:
+            d_s = self.sideband.d_side(e_s, e.reshape(K, -1))
+            tau_max = jnp.minimum(
+                tau_max, self.sideband.tau_side(d_s, cfl, tau_cap)
+            )
         tau = jnp.where(compute_tau, tau_max, tau).astype(dtype)
 
         import os as _os
@@ -2076,6 +2097,21 @@ class PallasStepper:
             [Uc, zeros(C), n_b],
             common,
         )
+        sb = self.sideband
+        if sb is not None:
+            alpha_fl = alpha.reshape(-1)
+            Ul_s, F_s, b_s = sb.low_order(
+                U, prec, d_s, alpha_fl, tau, stage_U, stage_prec, w_vec
+            )
+            U_low = U_low.reshape(C, -1).at[:, sb.cells].set(
+                Ul_s
+            ).reshape((C,) + canvas)
+            F = F.reshape(C, -1).at[:, sb.cells].set(
+                F_s
+            ).reshape((C,) + canvas)
+            bounds = bounds.reshape(n_b, -1).at[:, sb.cells].set(
+                b_s
+            ).reshape((n_b,) + canvas)
         F = self._refresh(F)
 
         ok = jnp.asarray(True)
@@ -2152,7 +2188,22 @@ class PallasStepper:
             [C * K, zeros(K), jnp.ones((1,) + canvas, dtype)],
             common,
         )
+        if sb is not None:
+            P_s, l_s, succ_s = sb.p_l1(
+                U, prec, d_s, alpha_fl, tau,
+                F.reshape(C, -1), ga.m_lumped_flat,
+                Ul_s, b_s, stage_U, stage_prec, w_vec,
+            )
+            l_ij = sb.scatter_edge(
+                l_ij.reshape(K, -1), l_s
+            ).reshape((K,) + canvas)
+            # neutralize the EV rows' partial canvas success:
+            okp = okp.reshape(1, -1).at[0, sb.cells].set(
+                jnp.ones((), dtype)
+            ).reshape((1,) + canvas)
         ok = jnp.min(okp) > 0.5
+        if sb is not None:
+            ok = ok & jnp.all(succ_s | (sb.st.mask == 0.0))
         l_ij = self._refresh_edge(l_ij)
         if _os.environ.get("RYUJIN_PK_ABLATE") == "pk3":
             # `ok` consumes PK3's okp output, keeping the call alive
@@ -2160,6 +2211,7 @@ class PallasStepper:
 
         # ---- PK4/PK5: symmetrized limited updates -----------------------
         U_cur = U_low
+        U_side = Ul_s if sb is not None else None
         n_iter = p.limiter_iterations
         for it in range(n_iter):
             last = it + 1 == n_iter
@@ -2194,9 +2246,25 @@ class PallasStepper:
                 common,
             )
             if last:
-                (U_cur,) = outs
+                (U_next,) = outs
+                l_next = None
             else:
-                U_cur, l_ij = outs
-                l_ij = self._refresh_edge(l_ij)
+                U_next, l_next = outs
+            if sb is not None:
+                # side pass reads the SAME-pass canvas l (transpose):
+                U_side, l_s_next = sb.update(
+                    U_side, b_s, P_s, l_s, l_ij.reshape(K, -1), last
+                )
+                U_next = U_next.reshape(C, -1).at[:, sb.cells].set(
+                    U_side
+                ).reshape((C,) + canvas)
+                if not last:
+                    l_next = sb.scatter_edge(
+                        l_next.reshape(K, -1), l_s_next
+                    ).reshape((K,) + canvas)
+                    l_s = l_s_next
+            U_cur = U_next
+            if not last:
+                l_ij = self._refresh_edge(l_next)
 
         return U_cur.reshape(C, -1), tau, ok
