@@ -70,16 +70,54 @@ def main():
     substeps_per_step = 3  # erk 33
     mqs = n_dofs * n_steps * substeps_per_step / wall / 1e6
 
-    print(
-        json.dumps(
-            {
-                "metric": "euler2d_mach3_step_throughput",
-                "value": round(mqs, 3),
-                "unit": "MQ/s/chip",
-                "vs_baseline": round(mqs / BASELINE_MQS, 4),
-            }
-        )
-    )
+    # ---- flops/substep + MFU (reference metric definition is MQ/s,
+    # time_loop.template.h:1160-1214; MFU judges "fast" against the chip
+    # rather than the 100 MQ/s constant).  The fused Pallas kernels are
+    # opaque custom calls, so the flop count comes from XLA's cost
+    # analysis of the SAME substep on the "xla" backend — the useful
+    # algorithmic work both backends perform (transcendentals counted
+    # as 1 flop: a conservative lower bound).
+    rec = {
+        "metric": "euler2d_mach3_step_throughput",
+        "value": round(mqs, 3),
+        "unit": "MQ/s/chip",
+        "vs_baseline": round(mqs / BASELINE_MQS, 4),
+    }
+    if os.environ.get("BENCH_MFU", "1") != "0":
+        try:
+            hm_x = HyperbolicModule(eq, packed, init, dtype=dtype,
+                                    backend="xla")
+
+            def substep(Uf, tau):
+                Up, prec = hm_x.prepare_state_vector(Uf, 0.0)
+                return hm_x.step(
+                    Up, prec,
+                    jnp.zeros((0,) + Up.shape, dtype),
+                    jnp.zeros((0,) + prec.shape, dtype),
+                    jnp.zeros((0,), dtype),
+                    tau, jnp.asarray(0.9, dtype),
+                    jnp.asarray(jnp.inf, dtype), compute_tau=True,
+                )
+
+            cost = (
+                jax.jit(substep)
+                .lower(out[0], jnp.zeros((), dtype))
+                .compile()
+                .cost_analysis()
+            )
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0))
+            # v5e peak: 197 TFLOP/s bf16 -> 98.5 TFLOP/s f32
+            peak = float(os.environ.get("BENCH_PEAK_FLOPS", "98.5e12"))
+            fps = flops * mqs * 1e6 / n_dofs  # flops/substep * substeps/s
+            rec["flops_per_substep"] = round(flops, 0)
+            rec["flops_per_qdof"] = round(flops / n_dofs, 1)
+            rec["mfu"] = round(fps / peak, 4)
+        except Exception as exc:  # cost analysis is best-effort
+            rec["mfu_error"] = str(exc)[:120]
+
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

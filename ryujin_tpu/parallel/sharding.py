@@ -84,8 +84,13 @@ def shard_pallas_module(hm, device_mesh, axis_name=NODE_AXIS):
     ps.device_mesh = device_mesh
     ps.mesh_axis = axis_name
 
+    zmajor = bool(getattr(ps, "slab3d", False))
+
     def place(x):
-        if x.ndim >= 2:  # [planes, *canvas]: shard the leading canvas axis
+        if x.ndim >= 2 and zmajor:
+            # z-major [D, planes, H, W]: the slab axis IS axis 0
+            spec = P(axis_name, *([None] * (x.ndim - 1)))
+        elif x.ndim >= 2:  # [planes, *canvas]: slab axis at axis 1
             spec = P(None, axis_name, *([None] * (x.ndim - 2)))
         else:  # flat [n_pad]: row-major = slab-major, same placement
             spec = P(axis_name)

@@ -1046,18 +1046,62 @@ class HyperbolicModule:
         if self._pallas is not None:
             self._pallas.sideband = self._sideband
 
-        # Flatten boundary rounds into a static list:
+        # Flatten boundary rounds into a static list.  Indices are sorted
+        # so the per-substep BC scatters can claim sorted+unique (TPU
+        # scatter without the hints sorts/serializes on device — measured
+        # as a large share of prepare_state_vector on the 3D box):
         self.boundary: List[BoundaryCondition] = []
         for rnd in ell.boundary_rounds:
             for bc_id in sorted(rnd.keys()):
                 g = rnd[bc_id]
+                o = np.argsort(np.asarray(g.index), kind="stable")
                 self.boundary.append(
                     BoundaryCondition(
                         bc_id=int(bc_id),
-                        index=g.index,
-                        normal=g.normal.T,
-                        position=g.position.T,
+                        index=np.asarray(g.index)[o],
+                        normal=g.normal.T[:, o],
+                        position=g.position.T[:, o],
                     )
+                )
+
+        # Dense BC application for canvas stencils: even hinted TPU
+        # scatters run at ~60 M elem/s (a 3D box's ~30k boundary rows
+        # cost ~3 ms/substep, traced), while a full-canvas where-select
+        # is a handful of HBM passes (~0.1 ms).  Static per-(round, id)
+        # masks + a normal canvas; apply_boundary_conditions is pointwise
+        # in (U, normal, dirichlet), so evaluating it on the full canvas
+        # and where-selecting the group rows is bitwise-identical to the
+        # gather/transform/scatter route (the ELL backend keeps it).
+        self._bc_dense = None
+        if isinstance(self._xla_stencil, StructuredStencil):
+            rounds = []
+            needs_dirichlet = False
+            for rnd in ell.boundary_rounds:
+                groups = []
+                for bc_id in sorted(rnd.keys()):
+                    if bc_id == Boundary.do_nothing:
+                        continue
+                    g = rnd[bc_id]
+                    idx = np.asarray(g.index)
+                    m = np.zeros(ell.n_pad, dtype)
+                    m[idx] = 1.0
+                    nrm = np.zeros((g.normal.shape[1], ell.n_pad))
+                    nrm[:, idx] = g.normal.T
+                    groups.append((
+                        int(bc_id),
+                        jnp.asarray(m, dtype),
+                        jnp.asarray(nrm, dtype),
+                    ))
+                    if bc_id in (Boundary.dirichlet, Boundary.dynamic,
+                                 Boundary.dirichlet_momentum):
+                        needs_dirichlet = True
+                if groups:
+                    rounds.append(groups)
+            if rounds:
+                self._bc_dense = rounds
+                self._bc_needs_dirichlet = needs_dirichlet
+                self._positions = jnp.asarray(
+                    np.asarray(ell.positions).T, dtype
                 )
 
         # symmetric-Riemann setup: the list of directed slots whose
@@ -1094,6 +1138,20 @@ class HyperbolicModule:
             if (self._sym_riemann or self._sym_mb)
             else None
         )
+        # The boundary-pair fixup is a gather/scatter over the coupling
+        # set; TPU gather/scatter runs at ~60 M elem/s, so a LARGE set
+        # (a 3D box's whole 2D surface: ~160k slot pairs = ~8.5 ms per
+        # substep, traced) costs far more than the half-Riemann shortcut
+        # saves (~0.3 ms of Riemann in 3D).  Evaluate both directions
+        # instead when the set exceeds ~n/16 slot pairs — the 2D flagship
+        # (1D boundary, O(sqrt n) pairs) keeps the shortcut.
+        if (
+            self._sym_riemann
+            and self._bp is not None
+            and int(self._bp["k"].shape[0]) > max(1024, ell.n_pad // 16)
+        ):
+            self._sym_riemann = False
+            self._bp = None
         self._if = None
         self._gmap_half = None
         if self._sym_mb:
@@ -1138,6 +1196,10 @@ class HyperbolicModule:
                 self._interface_fixup if self._sym_mb else None
             )
             self._pallas.gmap_edge_half = self._gmap_half
+            # the kernels' half-slot path needs the fixup to be correct;
+            # when the coupling set is too large for it (above), they
+            # must evaluate both directions too:
+            self._pallas.sym_enabled = self._sym_riemann or self._sym_mb
 
     def _lambda_fixup(self, lam, Up, prec):
         """Correct the half-slot lambda at coupling boundary pairs:
@@ -1231,22 +1293,39 @@ class HyperbolicModule:
         eq = self.eq
         if stencil is None or not hasattr(stencil, "nbr"):
             stencil = self._xla_stencil
-        for bc in self.boundary:
-            if bc.bc_id == Boundary.do_nothing:
-                continue
-            idx = jnp.asarray(bc.index)
-            normal = _f(bc.normal, self.dtype)
-            U_b = U[:, idx]
-            dirichlet = None
-            if bc.bc_id in (
-                Boundary.dirichlet,
-                Boundary.dynamic,
-                Boundary.dirichlet_momentum,
-            ):
-                pos = _f(bc.position, self.dtype)
-                dirichlet = self.initial_state_fn(pos, t)
-            U_b = eq.apply_boundary_conditions(bc.bc_id, U_b, normal, dirichlet)
-            U = U.at[:, idx].set(U_b)
+        if self._bc_dense is not None:
+            dirichlet_full = (
+                self.initial_state_fn(self._positions, t)
+                if self._bc_needs_dirichlet
+                else None
+            )
+            for groups in self._bc_dense:
+                for bc_id, mask, normal in groups:
+                    U_b = eq.apply_boundary_conditions(
+                        bc_id, U, normal, dirichlet_full
+                    )
+                    U = jnp.where(mask[None] > 0, U_b, U)
+        else:
+            for bc in self.boundary:
+                if bc.bc_id == Boundary.do_nothing:
+                    continue
+                idx = jnp.asarray(bc.index)
+                normal = _f(bc.normal, self.dtype)
+                U_b = U[:, idx]
+                dirichlet = None
+                if bc.bc_id in (
+                    Boundary.dirichlet,
+                    Boundary.dynamic,
+                    Boundary.dirichlet_momentum,
+                ):
+                    pos = _f(bc.position, self.dtype)
+                    dirichlet = self.initial_state_fn(pos, t)
+                U_b = eq.apply_boundary_conditions(
+                    bc.bc_id, U_b, normal, dirichlet
+                )
+                U = U.at[:, idx].set(
+                    U_b, unique_indices=True, indices_are_sorted=True
+                )
 
         import inspect
 

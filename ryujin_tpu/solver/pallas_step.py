@@ -678,20 +678,28 @@ def _tiled_call_3d_slab(
     The second-generation 3D tiling: tiles span the full (H, W) cross
     section, so y-neighbors are sublane rolls (wrapping into the masked
     canvas margins) exactly like x-neighbors are lane rolls — no y halo,
-    no (3*TH)-row windows.  Halo inputs are DMA'd as [planes, TD+2, H, W]
-    windows whose z-slices are fully CONTIGUOUS per plane: one linear
-    transfer per plane instead of the row-fragmented [wz, 3*TH, W]
-    gathers of `_tiled_call_3d`, whose DMA overhead — not compute — was
-    measured to bound the first-generation kernels (~70 us/tile on
-    v5e with the per-slot math ablated to nothing).  Windows are
-    double-buffered across the 1D z grid (prefetch tile p+1 during
-    tile p).
+    no (3*TH)-row windows.
+
+    Z-MAJOR layout (third generation): every multi-plane array is stored
+    [D, planes, H, W], so a tile's halo window [wz, planes, H, W] and
+    every pipelined center block [TD, planes, H, W] are each ONE
+    contiguous HBM transfer.  The previous [planes, D, H, W] layout
+    fragmented the same transfers into `planes` (windows) and
+    `planes * TD` (center blocks) separate chunks, and the DMA engine's
+    per-chunk overhead — not bandwidth — bounded the kernels at ~2% of
+    HBM speed (scripts/probe_dma3d.py: 67.8 ms plane-major vs 1.07 ms
+    z-major for the identical logical transfer, a 63x difference; the
+    probe_pk1 "empty" ablation showed PK1 at 13.97/14.24 ms pure DMA).
+    Kernels normalize the loaded values back to the plane-major compute
+    convention with a vreg-level moveaxis (leading dims are untiled, so
+    this is register shuffling, not memory traffic).
 
     Compute must be slot-streaming (solver/pallas_step.py PallasStepper
     streaming kernels): with [K, tile] neighbor stacks the [TD, H, W]
     tiles would not fit VMEM.
 
-    See `_tiled_call` for the ins/out_init/scalars conventions.
+    See `_tiled_call` for the ins/out_init/scalars conventions; arrays
+    here are z-major [D, planes, H, W] (plane counts at axis 1).
     """
     tz0, tz1 = tile_planes
     assert tz0 * TD >= 1 and tz1 * TD + 1 <= D, (tile_planes, D, TD)
@@ -700,11 +708,11 @@ def _tiled_call_3d_slab(
     norm = [(a, True) if not isinstance(a, tuple) else a for a in ins]
     cent = [
         i for i, (a, h) in enumerate(norm)
-        if a is not None and a.shape[0] > 0 and not h
+        if a is not None and a.shape[1] > 0 and not h
     ]
     halo = [
         i for i, (a, h) in enumerate(norm)
-        if a is not None and a.shape[0] > 0 and h
+        if a is not None and a.shape[1] > 0 and h
     ]
     ins_c = [norm[i][0] for i in cent]
     ins_h = [norm[i][0] for i in halo]
@@ -731,7 +739,7 @@ def _tiled_call_3d_slab(
             sz = (q + tz0) * TD - 1
             for i in range(n_h):
                 pltpu.make_async_copy(
-                    h_refs[i].at[:, pl.ds(sz, wz)],
+                    h_refs[i].at[pl.ds(sz, wz)],
                     wins_h[i].at[into],
                     sems.at[into, i],
                 ).start()
@@ -740,7 +748,7 @@ def _tiled_call_3d_slab(
             sz = (q + tz0) * TD - 1
             for i in range(n_h):
                 pltpu.make_async_copy(
-                    h_refs[i].at[:, pl.ds(sz, wz)],
+                    h_refs[i].at[pl.ds(sz, wz)],
                     wins_h[i].at[into],
                     sems.at[into, i],
                 ).wait()
@@ -755,21 +763,46 @@ def _tiled_call_3d_slab(
 
         wait(p, slot)
 
+        # normalize to the plane-major compute convention: leading dims
+        # are untiled, so the moveaxis is vreg shuffling (no HBM traffic)
+        import os as _os
+
+        raw = _os.environ.get("RYUJIN_ZM_RAW") == "1"  # measurement aid
         wins = [None] * len(ins)
         for j, i in enumerate(cent):
-            wins[i] = c_refs[j]
+            x = c_refs[j][...]
+            wins[i] = x if raw else jnp.moveaxis(x, 0, 1)
         for j, i in enumerate(halo):
-            wins[i] = wins_h[j][slot]
+            x = wins_h[j][slot]
+            wins[i] = x if raw else jnp.moveaxis(x, 0, 1)
         scal = [r[0, 0] for r in sc_refs]
         tv = _TileView(offsets, 1, 0, H, W, False, False, H, W,
                        lz=1, TD=TD, wz=wz)
+        if raw:
+            # measurement aid: bypass compute, touch one plane of each win
+            acc = jnp.zeros((TD, H, W), dtype)
+            for wv in wins:
+                if wv is not None:
+                    acc = acc + (
+                        wv[:, 0] if wv.shape[0] == TD else wv[1 : 1 + TD, 0]
+                    )
+            outs = [
+                jnp.broadcast_to(
+                    acc[:, None],
+                    (TD, a if isinstance(a, int) else a.shape[1], H, W),
+                )
+                for a in out_init
+            ]
+            for oref, val in zip(out_refs, outs):
+                oref[...] = val
+            return
         outs = compute(wins, scal, tv)
         for oref, val in zip(out_refs, outs):
-            oref[...] = val
+            oref[...] = jnp.moveaxis(val, 0, 1)
 
     init_arrays = [a for a in out_init if not isinstance(a, int)]
     out_shape = [
-        jax.ShapeDtypeStruct((a, D, H, W), dtype)
+        jax.ShapeDtypeStruct((D, a, H, W), dtype)
         if isinstance(a, int)
         else jax.ShapeDtypeStruct(a.shape, a.dtype)
         for a in out_init
@@ -779,8 +812,8 @@ def _tiled_call_3d_slab(
                       memory_space=pltpu.SMEM)] * n_sc
         + [
             pl.BlockSpec(
-                (a.shape[0], TD, H, W),
-                lambda tz, _tz0=tz0: (0, tz + _tz0, 0, 0),
+                (TD, a.shape[1], H, W),
+                lambda tz, _tz0=tz0: (tz + _tz0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
             for a in ins_c
@@ -790,14 +823,14 @@ def _tiled_call_3d_slab(
     )
     out_specs = [
         pl.BlockSpec(
-            (a if isinstance(a, int) else a.shape[0], TD, H, W),
-            lambda tz, _tz0=tz0: (0, tz + _tz0, 0, 0),
+            (TD, a if isinstance(a, int) else a.shape[1], H, W),
+            lambda tz, _tz0=tz0: (tz + _tz0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
         for a in out_init
     ]
     scratch = [
-        pltpu.VMEM((2, a.shape[0], wz, H, W), dtype) for a in ins_h
+        pltpu.VMEM((2, wz, a.shape[1], H, W), dtype) for a in ins_h
     ] + [pltpu.SemaphoreType.DMA((2, max(n_h, 1)))]
     aliases = {}
     a_idx = 0
@@ -958,9 +991,12 @@ class PallasStepper:
         caxes = tuple(range(len(canvas)))
 
         def canv(x, planes):
-            return jnp.asarray(
-                np.ascontiguousarray(x).reshape((planes,) + canvas), dtype
-            )
+            a = np.ascontiguousarray(x).reshape((planes,) + canvas)
+            if self.slab3d:
+                # z-major [D, planes, H, W]: one contiguous chunk per
+                # kernel window / center block (_tiled_call_3d_slab)
+                a = np.ascontiguousarray(np.moveaxis(a, 0, 1))
+            return jnp.asarray(a, dtype)
 
         # static canvases (device-resident, built once):
         cij = np.moveaxis(
@@ -1007,6 +1043,8 @@ class PallasStepper:
         self.lambda_fixup = None
         self.interface_fixup = None
         self.gmap_edge_half = None
+        self.sym_enabled = True  # cleared by HyperbolicModule when the
+        #                          boundary-pair fixup set is too large
         # extraordinary-vertex side rows (hyperbolic.Sideband), applied
         # as XLA glue between the kernels:
         self.sideband = None
@@ -1263,6 +1301,45 @@ class PallasStepper:
             X = jax.lax.dynamic_update_slice_in_dim(X, cP, W - 1, a)
         return X
 
+    def _refresh_zm(self, X):
+        """Ghost refresh of a z-major canvas [D, planes, H, W] (the 3D
+        slab layout): canvas axes are array axes (0, 2, 3), planes sit at
+        axis 1.  Multi-block gmaps don't exist in 3D; bands, the slab
+        decomposition and the periodic minor wrap are handled like
+        `_refresh`."""
+        if not self._have_ghosts or X.shape[1] == 0:
+            return X
+        if self.slab_spec is not None:
+            n_sl, Ls, g = self.slab_spec
+            A = Ls + 2 * g
+            Xs = X.reshape((n_sl, A) + X.shape[1:])
+            top = jnp.roll(
+                jax.lax.slice_in_dim(Xs, Ls, Ls + g, axis=1), 1, axis=0
+            )
+            bot = jnp.roll(
+                jax.lax.slice_in_dim(Xs, g, 2 * g, axis=1), -1, axis=0
+            )
+            Xs = jax.lax.dynamic_update_slice_in_dim(Xs, top, 0, 1)
+            Xs = jax.lax.dynamic_update_slice_in_dim(Xs, bot, g + Ls, 1)
+            X = Xs.reshape(X.shape)
+        for ax, gh in enumerate(self.ghost_bands):
+            if gh is None:
+                continue
+            g, P = gh
+            a = 0 if ax == 0 else 1 + ax  # canvas axes (0, 2, 3)
+            top = jax.lax.slice_in_dim(X, P, P + g, axis=a)
+            bot = jax.lax.slice_in_dim(X, g, 2 * g, axis=a)
+            X = jax.lax.dynamic_update_slice_in_dim(X, top, 0, a)
+            X = jax.lax.dynamic_update_slice_in_dim(X, bot, g + P, a)
+        if self.minor_wrap is not None:
+            P, W = self.minor_wrap
+            a = X.ndim - 1
+            c0 = jax.lax.slice_in_dim(X, 0, 1, axis=a)
+            X = jax.lax.dynamic_update_slice_in_dim(X, c0, P, a)
+            cP = jax.lax.slice_in_dim(X, P - 1, P, axis=a)
+            X = jax.lax.dynamic_update_slice_in_dim(X, cP, W - 1, a)
+        return X
+
     def _refresh_edge(self, E):
         """Refresh ghost values of an edge canvas [K, *canvas].
 
@@ -1325,7 +1402,11 @@ class PallasStepper:
         arrs = tuple(v for v in vals if v is not None)
         init_arrays = tuple(a for a in out_init if not isinstance(a, int))
 
+        zmajor = self.dim == 3 and self.slab3d
+
         def cspec(x):
+            if zmajor:  # z-major [D, planes, H, W]: slab axis IS axis 0
+                return PartitionSpec(ax, *([None] * (x.ndim - 1)))
             return PartitionSpec(None, ax, *([None] * (x.ndim - 2)))
 
         def local_fn(arrs_l, scal_l, inits_l):
@@ -1351,7 +1432,11 @@ class PallasStepper:
                 tuple(cspec(a) for a in init_arrays),
             ),
             out_specs=tuple(
-                PartitionSpec(None, ax, *([None] * (len(self.canvas) - 1)))
+                PartitionSpec(ax, *([None] * len(self.canvas)))
+                if zmajor
+                else PartitionSpec(
+                    None, ax, *([None] * (len(self.canvas) - 1))
+                )
                 for _ in out_init
             ),
             check_vma=False,
@@ -1378,16 +1463,7 @@ class PallasStepper:
         prect = tvd.center(prec_win)
         node_c = tvd.center(node_win)
         nm_c = node_c[3]
-        cij_c = tv.center(w_cij).reshape((dim, K) + tile)
         tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
-
-        pa_win = pa_i = None
-        if hasattr(eq, "riemann_precompute"):
-            pa_win = jnp.stack(eq.riemann_precompute(U_win))
-            pa_i = tuple(tvd.center(pa_win))
-        f_win = eq.f(U_win)
-        f_pl = f_win.reshape((C * dim,) + f_win.shape[2:])
-        f_i = tvd.center(f_pl).reshape((C, dim) + tile)
 
         import os as _os
 
@@ -1397,6 +1473,16 @@ class PallasStepper:
             # measurement aid: windows DMA'd but untouched; zero outputs
             z = jnp.zeros((K2_,) + tile, dtype)
             return [z, nm_c[None] * 0.0]
+
+        cij_c = tv.center(w_cij).reshape((dim, K) + tile)
+        pa_win = pa_i = None
+        if hasattr(eq, "riemann_precompute"):
+            pa_win = jnp.stack(eq.riemann_precompute(U_win))
+            pa_i = tuple(tvd.center(pa_win))
+        f_win = eq.f(U_win)
+        f_pl = f_win.reshape((C * dim,) + f_win.shape[2:])
+        f_i = tvd.center(f_pl).reshape((C, dim) + tile)
+
         if "center" in _abl:
             # measurement aid: only center reads, no neighbor slots
             s = jnp.sum(Ut, 0) + jnp.sum(prect, 0) + pa_i[0]
@@ -1488,6 +1574,7 @@ class PallasStepper:
         sym = (
             bool(getattr(eq, "riemann_symmetric", False))
             and not self.multiblock  # interface frames break k<->K-1-k
+            and self.sym_enabled  # boundary-pair fixup set small enough
             and os.environ.get("RYUJIN_NO_SYM") != "1"  # A/B knob
         )
         K_e = K // 2 if sym else K
@@ -1502,52 +1589,87 @@ class PallasStepper:
         )
         tiled_call = _tiled_call_3d_slab
 
+        # z-major [D, planes, H, W] layout for every multi-plane canvas:
+        # windows and center blocks then transfer as single contiguous
+        # chunks (see _tiled_call_3d_slab).  Dynamic state enters
+        # plane-major [planes, D, H, W]; one XLA transpose each way.
+        def zm(X):
+            return jnp.moveaxis(X, 0, 1)
+
+        Uz = zm(Uc)
+        precz = zm(precc)
+        sUz = zm(sUc)
+
+        if _os.environ.get("RYUJIN_PK_ABLATE") == "pk0":
+            # measurement aid: NO kernels at all — times the substep
+            # scaffolding (prepare_state_vector, integrator scan, entry
+            # transposes) around the pallas calls
+            return (
+                (zm(Uz) + 0.0 * jnp.sum(precz[0, 0, 0, :1])).reshape(C, -1),
+                tau * 1.0,
+                jnp.asarray(True),
+            )
+
         def zeros(planes):
-            return jnp.zeros((planes,) + canvas, dtype)
+            return jnp.zeros((D, planes, H, W), dtype)
 
         # ---- PK1: e + alpha (shared streaming compute) ------------------
         e, alpha = self._call(
             tiled_call,
             lambda wins, scal, tv: self._pk1_stream(wins, scal, tv, sym),
-            [(ga.g_cij, False), ga.g_node, Uc, precc],
+            [(ga.g_cij, False), ga.g_node, Uz, precz],
             [],
             [K_e, zeros(1)],
             common,
         )
         if sym and self.lambda_fixup is not None:
-            e = self.lambda_fixup(e, Uc.reshape(C, -1), precc.reshape(PP, -1))
-            e = e.reshape((K_e,) + canvas)
-        e = self._refresh_edge(e)
-        alpha = self._refresh(alpha)
+            # the fixup scatters on the plane-major flat layout; round
+            # trip the (half) e canvas through two XLA transposes
+            e_pm = zm(e)
+            e_pm = self.lambda_fixup(
+                e_pm, Uc.reshape(C, -1), precc.reshape(PP, -1)
+            ).reshape((K_e,) + canvas)
+            e = zm(e_pm)
+        e = self._refresh_zm(e)
+        alpha = self._refresh_zm(alpha)
 
         # ---- d + tau reduction (XLA, one fusion) ------------------------
-        caxes = tuple(range(len(canvas)))
+        def roll_T(k, off):
+            # transposed-slot read: plane K-1-k of the off_k neighbor
+            return jnp.roll(
+                e[:, K - 1 - k], tuple(-o for o in off), axis=(0, 1, 2)
+            )
+
         if sym:
             lam_T = jnp.stack([
-                jnp.roll(e[K - 1 - k], tuple(-o for o in off), axis=caxes)
+                roll_T(k, off)
                 for k, off in list(enumerate(self.offsets))[K_e:]
-            ])
-            lam_full = jnp.concatenate([e, lam_T], axis=0)
+            ], axis=1)
+            lam_full = jnp.concatenate([e, lam_T], axis=1)
             d = jnp.where(
                 ga.g_mask > 0, lam_full * ga.g_cmax, jnp.zeros_like(lam_full)
             )
         else:
-            e_T = jnp.stack([
-                jnp.roll(e[K - 1 - k], tuple(-o for o in off), axis=caxes)
-                for k, off in enumerate(self.offsets)
-            ])
+            e_T = jnp.stack(
+                [roll_T(k, off) for k, off in enumerate(self.offsets)],
+                axis=1,
+            )
             d = hyp.d_from_e(ga.g_mask, e, e_T)
         if _os.environ.get("RYUJIN_TAU_ABLATE") == "1":
             # measurement aid: skip the d/tau XLA fusion (keeps e alive)
-            tau = (tau + 0.0 * jnp.sum(e[:, 0, 0, :1])).astype(dtype)
+            tau = (tau + 0.0 * jnp.sum(e[0, :, 0, :1])).astype(dtype)
         else:
-            sa_flat = _SA(
-                cij=None, cij_t=None, mij=None, mask=None, cii=None,
-                m_lumped=ga.m_lumped_flat, m_lumped_inv=None, n_nbrs=None,
-                node_mask=ga.node_mask_flat, measure_inv=self.measure_inv,
-            )
-            tau_max = hyp.tau_max_from_d(
-                sa_flat, d.reshape(K, -1), cfl, tau_cap
+            # tau_max = min_i cfl m_i / (-2 d_ii), z-major reduction
+            tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+            d_sum = -jnp.sum(d, axis=1)  # [D, H, W]
+            d_sum = jnp.minimum(d_sum, -1.0e6 * tiny)
+            tau_i = cfl * ga.m_lumped_flat / (-2.0 * d_sum.reshape(-1))
+            big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+            tau_max = jnp.minimum(
+                jnp.min(
+                    jnp.where(ga.node_mask_flat > 0, tau_i, big)
+                ),
+                tau_cap,
             )
             tau = jnp.where(compute_tau, tau_max, tau).astype(dtype)
 
@@ -1677,18 +1799,18 @@ class PallasStepper:
             tiled_call, pk2,
             [(ga.g_cij, False), (ga.g_mask, False),
              (ga.g_cmax if sym else None, False), (ga.g_cii, False),
-             (ga.g_node, False), Uc, precc, e, alpha, sUc],
+             (ga.g_node, False), Uz, precz, e, alpha, sUz],
             [tau] + [w_vec[s] for s in range(S)],
-            [Uc, zeros(C), n_b],
+            [Uz, zeros(C), n_b],
             common,
         )
-        F = self._refresh(F)
+        F = self._refresh_zm(F)
 
         ok = jnp.asarray(True)
         if p.limiter_iterations == 0 or _os.environ.get(
             "RYUJIN_PK_ABLATE"
         ) == "pk2":
-            return U_low.reshape(C, -1), tau, ok
+            return zm(U_low).reshape(C, -1), tau, ok
 
         # ---- PK3: P + first limiter pass --------------------------------
         def pk3(wins, scal, tv):
@@ -1775,16 +1897,16 @@ class PallasStepper:
             tiled_call, pk3,
             [(ga.g_cij, False), (ga.g_mask, False),
              (ga.g_cmax if sym else None, False), (ga.g_mij, False),
-             ga.g_node, Uc, precc, e, alpha, F,
-             (U_low, False), (bounds, False), sUc],
+             ga.g_node, Uz, precz, e, alpha, F,
+             (U_low, False), (bounds, False), sUz],
             [tau] + [w_vec[s] for s in range(S)],
-            [C * K, zeros(K), jnp.ones((1,) + canvas, dtype)],
+            [C * K, zeros(K), jnp.ones((D, 1, H, W), dtype)],
             common,
         )
         ok = jnp.min(okp) > 0.5
-        l_ij = self._refresh_edge(l_ij)
+        l_ij = self._refresh_zm(l_ij)
         if _os.environ.get("RYUJIN_PK_ABLATE") == "pk3":
-            return U_low.reshape(C, -1), tau, ok
+            return zm(U_low).reshape(C, -1), tau, ok
 
         # ---- PK4/PK5: symmetrized limited updates -----------------------
         U_cur = U_low
@@ -1835,16 +1957,16 @@ class PallasStepper:
                 [(ga.g_mask, False), ga.g_node,
                  (U_cur, False), (bounds, False), (P, False), l_ij],
                 [],
-                [Uc] if last else [Uc, zeros(K)],
+                [Uz] if last else [Uz, zeros(K)],
                 common,
             )
             if last:
                 (U_cur,) = outs
             else:
                 U_cur, l_ij = outs
-                l_ij = self._refresh_edge(l_ij)
+                l_ij = self._refresh_zm(l_ij)
 
-        return U_cur.reshape(C, -1), tau, ok
+        return zm(U_cur).reshape(C, -1), tau, ok
 
     # -- the five kernels ---------------------------------------------------
     def step(self, U, prec, stage_U, stage_prec, stage_weights, tau, cfl,
@@ -1947,6 +2069,7 @@ class PallasStepper:
         sym = (
             bool(getattr(eq, "riemann_symmetric", False))
             and not self.multiblock  # interface frames break k<->K-1-k
+            and self.sym_enabled  # boundary-pair fixup set small enough
             and not no_sym
         )
         # multi-block half-slot path: interiors pair via the canvas

@@ -47,7 +47,10 @@ def main():
         dim=3,
     )
     data = assembly.assemble(mesh)
-    margin = json.loads(os.environ.get("MARGIN", "[8, 2]"))
+    from ryujin_tpu.solver.pallas_step import pallas_default_margin
+
+    eqm = pallas_default_margin(eq, 3)  # (TD, 2) for the z-slab kernels
+    margin = json.loads(os.environ.get("MARGIN", json.dumps(list(eqm))))
     if isinstance(margin, list):
         margin = tuple(margin)
     padm = int(os.environ.get("PADM", "8"))
