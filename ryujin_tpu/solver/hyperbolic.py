@@ -34,6 +34,7 @@ the TimeIntegrator retries with cfl_min (bang-bang control).
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from functools import partial
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
@@ -610,7 +611,7 @@ class Sideband:
         l_T = self.edge_T(l_canvas.reshape(-1))
         return phase_update(
             self.eq, self.p, self.st, U_side, bounds_side, P_side,
-            l_side, l_T, last,
+            l_side, l_T, last, mask_lT=True,
         )
 
 
@@ -920,7 +921,8 @@ def phase_p_l1(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
     return P, l, success
 
 
-def phase_update(eq, p, sa, U_cur, bounds, P, l, l_T, last: bool):
+def phase_update(eq, p, sa, U_cur, bounds, P, l, l_T, last: bool,
+                 mask_lT: bool = False):
     """Steps 6/7: symmetrized limited high-order update.
 
     The diagonal column is skipped, matching the reference
@@ -928,13 +930,21 @@ def phase_update(eq, p, sa, U_cur, bounds, P, l, l_T, last: bool):
     gather of l (caller-provided).  When not `last`, also returns the
     next-pass l' = (1 - l_sym) l2 implementing the reference shortcut
     (hyperbolic_module.template.h:1163-1170).
+
+    mask_lT: where()-select the transposed read at masked slots.  Needed
+    when the canvas has rows whose inputs are never refreshed (multi-
+    block ghost rings, slab ghost bands, extraordinary-vertex rows):
+    their garbage can be NaN, and NaN * 0 == NaN would poison the update
+    through the masked slot.  Plain single-block canvases hold masked
+    rows at finite safe values, so they skip the extra select (it costs
+    a full [K, n] pass per limiter iteration).
     """
-    # where() (not multiplication by the mask) so garbage at masked slots
-    # of the transposed-edge read — e.g. NaN from ghost rows whose inputs
-    # are never refreshed — cannot poison the update (NaN * 0 == NaN):
-    l_sym = jnp.where(
-        sa.mask > 0, jnp.minimum(l, l_T), jnp.zeros_like(l)
-    )
+    if mask_lT:
+        l_sym = jnp.where(
+            sa.mask > 0, jnp.minimum(l, l_T), jnp.zeros_like(l)
+        )
+    else:
+        l_sym = jnp.minimum(l, l_T)
     lam_i = (1.0 / sa.n_nbrs)[None]
     U_next = U_cur + lam_i * jnp.sum(l_sym[None] * P * sa.mask[None], axis=1)
     if last:
@@ -1072,8 +1082,23 @@ class HyperbolicModule:
         # in (U, normal, dirichlet), so evaluating it on the full canvas
         # and where-selecting the group rows is bitwise-identical to the
         # gather/transform/scatter route (the ELL backend keeps it).
+        # Cost model: the scatter route is ~17 ns per scattered element;
+        # the dense route is ~3 full-canvas HBM passes per group.  A 2D
+        # flagship (1D boundary, ~6k rows on a 3.3M canvas) keeps the
+        # scatter; a 3D box (2D surface, ~30k rows on a 660k canvas)
+        # goes dense.
+        n_bc_rows = sum(
+            len(g.index)
+            for rnd in ell.boundary_rounds
+            for bc_id, g in rnd.items()
+            if bc_id != Boundary.do_nothing
+        )
+        _dense_env = _os.environ.get("RYUJIN_DENSE_BC")  # force for tests
         self._bc_dense = None
-        if isinstance(self._xla_stencil, StructuredStencil):
+        if isinstance(self._xla_stencil, StructuredStencil) and (
+            _dense_env == "1"
+            or (_dense_env != "0" and n_bc_rows > ell.n_pad // 32)
+        ):
             rounds = []
             needs_dirichlet = False
             for rnd in ell.boundary_rounds:
@@ -1122,8 +1147,6 @@ class HyperbolicModule:
         # fixup + transpose rolls) costs ~1%: 6.42 vs 6.34 ms/substep.
         # The machinery stays available (RYUJIN_SYM_MB=1) and tested
         # (tests/test_multiblock.py runs both paths).
-        import os as _os
-
         sym_mb_enabled = _os.environ.get("RYUJIN_SYM_MB") == "1"
         sym = bool(getattr(equation, "riemann_symmetric", False))
         is_canvas = isinstance(self._xla_stencil, StructuredStencil)
@@ -1519,6 +1542,9 @@ class HyperbolicModule:
             U_next, l_next = phase_update(
                 eq, p, st, U_new, bounds, P, l_ij,
                 st.transpose_edge(l_ij), last,
+                mask_lT=(getattr(st, "gmap_edge", None) is not None
+                         or getattr(st, "slab_spec", None) is not None
+                         or self._sideband is not None),
             )
             if self._sideband is not None:
                 # side pass reads the SAME-pass canvas l (transpose):

@@ -2353,7 +2353,9 @@ class PallasStepper:
                 l_t = tv.center(w_l)
                 l_T = tv.transpose_edge(w_l)
                 U_next, l_new = hyp.phase_update(
-                    eq, p, sa, U_t, bounds_t, P_t, l_t, l_T, last
+                    eq, p, sa, U_t, bounds_t, P_t, l_t, l_T, last,
+                    mask_lT=(self.multiblock or self.slab_spec is not None
+                             or self.sideband is not None),
                 )
                 if last:
                     return [U_next]

@@ -172,3 +172,42 @@ def test_pallas_cylinder_ogrid_matches_ell():
             err_msg=name,
         )
         assert abs(res[name][1] / res["ell"][1] - 1.0) < 1e-12, name
+
+
+def test_dense_boundary_conditions_match_scatter(monkeypatch):
+    """The dense (where-select) BC application used on large canvases
+    (solver/hyperbolic.py _bc_dense) is bitwise-identical to the
+    gather/transform/scatter route: apply_boundary_conditions is
+    pointwise in (U, normal, dirichlet).  Forced on via RYUJIN_DENSE_BC
+    so small test meshes cover the production big-canvas path; a step
+    mesh exercises dirichlet + slip + do_nothing and the multi-normal
+    corner rounds."""
+    from ryujin_tpu.offline.mesh import Boundary
+
+    eq = Euler(dim=2)
+    mesh = geometry.step(refinement=0)
+    data = assembly.assemble(mesh)
+    packed = structured.pack_structured(data, mesh)
+    init = make_initial_state(
+        eq, "uniform", primitive_state=(1.4, 3.0, 1.0)
+    )
+    res = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("RYUJIN_DENSE_BC", mode)
+        hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64)
+        assert (hm._bc_dense is not None) == (mode == "1")
+        ti = TimeIntegrator(hm, "erk 33", cfl_min=0.4, cfl_max=0.8,
+                            cfl_recovery_strategy="none")
+        U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+        pos = jnp.asarray(packed.positions.T, jnp.float64)
+        bump = 1.0 + 0.25 * jnp.exp(
+            -8.0 * jnp.sum((pos - jnp.asarray([[1.0], [0.5]])) ** 2, 0)
+        )
+        U = U.at[0].mul(bump).at[3].mul(bump)
+        out = ti.advance(U, 0.0, 3)
+        res[mode] = (np.asarray(out[0]), float(out[3]))
+    real = np.asarray(packed.node_mask) > 0
+    np.testing.assert_array_equal(
+        res["1"][0][:, real], res["0"][0][:, real]
+    )
+    assert res["1"][1] == res["0"][1]
