@@ -49,9 +49,19 @@ def main():
         )
 
     def build():
-        mesh = getattr(geometry, geom)(refinement=refinement)
+        if geom == "cylblocks":
+            # the reference-style cylinder block construction: 6
+            # valence-6 extraordinary vertices -> EV side rows
+            # (offline/multiblock.py ev_side)
+            mesh = geometry.cylinder(refinement=refinement,
+                                     variant="blocks")
+        else:
+            mesh = getattr(geometry, geom)(refinement=refinement)
         data = assembly.assemble(mesh)
-        blocks = multiblock.decompose(mesh)
+        # decompose + split_sparse_blocks = the driver's production path
+        # (passing raw decompose() output skips the guillotine splitter
+        # and inflates the airfoil pad ratio 1.21 -> 1.50)
+        blocks = multiblock.split_sparse_blocks(multiblock.decompose(mesh))
         packed = multiblock.pack_multiblock(data, mesh, blocks=blocks)
         return packed, len(blocks)
 
