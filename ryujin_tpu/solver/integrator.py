@@ -279,66 +279,59 @@ class TimeIntegrator:
 
     def _scheme_scan(self, stencil, Up, prec, t, cfl, tau_cap, scheme,
                      tau_in, compute_tau: bool):
-        """Run all substeps of the tableau via lax.scan.
+        """Run all substeps of the tableau, UNROLLED with static weights.
 
         Up/prec must be prepared.  Returns (U_prepared@t+eff*tau, prec,
         tau, ok).
+
+        The tableau weights are compile-time constants, so each substep
+        passes only its ACTIVE stage slots to hm.step — the fused kernels
+        then skip the dead stages' window DMAs and flux evaluations
+        entirely (e.g. erk33's first substep has no stage work at all;
+        the previous lax.scan form compiled every substep against the
+        full S-slot buffer and pruned at runtime via lax.cond, which
+        cannot remove the stage windows from the Pallas kernels).  The
+        stage-buffer bookkeeping (dynamic_update_index per substep) and
+        the (1, 0) convex combinations disappear statically too.
         """
         hm = self.hyperbolic_module
         tb = TABLEAUX[scheme]
         dtype = hm.dtype
-        S, B = tb.S, max(tb.S, 1)
+        S = tb.S
 
-        W = jnp.asarray(tb.W, dtype).reshape(tb.n_sub, S)
-        comb = jnp.asarray(tb.comb, dtype)  # [n_sub, 2]
-        c_out = jnp.asarray(tb.c, dtype)  # [n_sub]
-
-        buf_U = jnp.broadcast_to(Up, (B,) + Up.shape)
-        buf_P = jnp.broadcast_to(prec, (B,) + prec.shape)
-
-        def body(carry, xs):
-            Uc, pc, buf_U, buf_P, tau, ok, idx = carry
-            w_row, ab, c_i = xs
-            cap_i = jnp.where(
-                idx == 0, tau_cap / tb.eff, jnp.asarray(jnp.inf, dtype)
+        bufs = [(Up, prec)]  # slot 0 = U^n prepared; slots 1.. = T_i
+        Tp, pn = Up, prec
+        tau = jnp.asarray(tau_in, dtype)
+        ok = jnp.asarray(True)
+        for idx in range(tb.n_sub):
+            w_row = tb.W[idx]
+            active = [s for s in range(S) if w_row[s] != 0.0]
+            if active:
+                sU = jnp.stack([bufs[s][0] for s in active])
+                sP = jnp.stack([bufs[s][1] for s in active])
+                wts = jnp.asarray([w_row[s] for s in active], dtype)
+            else:
+                sU = jnp.zeros((0,) + Up.shape, dtype)
+                sP = jnp.zeros((0,) + prec.shape, dtype)
+                wts = jnp.zeros((0,), dtype)
+            cap_i = (
+                tau_cap / tb.eff if idx == 0
+                else jnp.asarray(jnp.inf, dtype)
             )
             T, tau, ok_i = hm.step(
-                Uc, pc, buf_U[:S], buf_P[:S], w_row, tau, cfl, cap_i,
-                compute_tau=compute_tau & (idx == 0), stencil=stencil,
+                Tp, pn, sU, sP, wts, tau, cfl, cap_i,
+                compute_tau=compute_tau and idx == 0, stencil=stencil,
             )
-            T = ab[0] * T + ab[1] * buf_U[0]
+            a, b = tb.comb[idx]
+            if (a, b) != (1.0, 0.0):
+                T = a * T + b * bufs[0][0]
             Tp, pn = hm.prepare_state_vector(
-                T, t + c_i * tau, stencil=stencil
+                T, t + tb.c[idx] * tau, stencil=stencil
             )
-
-            if S > 0:
-                j = jnp.minimum(idx + 1, B - 1)
-
-                def _push(args):
-                    bU, bP = args
-                    bU = jax.lax.dynamic_update_index_in_dim(bU, Tp, j, 0)
-                    bP = jax.lax.dynamic_update_index_in_dim(bP, pn, j, 0)
-                    return bU, bP
-
-                buf_U, buf_P = jax.lax.cond(
-                    idx + 1 < S, _push, lambda a: a, (buf_U, buf_P)
-                )
-
-            return (Tp, pn, buf_U, buf_P, tau, ok & ok_i, idx + 1), None
-
-        init = (
-            Up,
-            prec,
-            buf_U,
-            buf_P,
-            jnp.asarray(tau_in, dtype),
-            jnp.asarray(True),
-            jnp.zeros((), jnp.int32),
-        )
-        (Uf, pf, _, _, tau, ok, _), _ = jax.lax.scan(
-            body, init, (W, comb, c_out)
-        )
-        return Uf, pf, tau, ok
+            if idx + 1 < S:
+                bufs.append((Tp, pn))
+            ok = ok & ok_i
+        return Tp, pn, tau, ok
 
     def _step_recover(self, stencil, parrays, Up, prec, t, tau_cap):
         """Bang-bang CFL recovery (reference :250-275) as a while_loop.
