@@ -906,6 +906,10 @@ def phase_p_l1(eq, p, sa, U, prec, U_j, prec_j, d, alpha, alpha_j, tau,
     P = P + b_ij[None] * F_j - b_ji[None] * F[:, None]
     P = P * (tau * sa.m_lumped_inv * sa.n_nbrs)[None, None]
 
+    if _os.environ.get("RYUJIN_PK3_ABLATE") == "nolimit":
+        # measurement aid: skip the limiter Newton (P still assembled)
+        l = jnp.sum(jnp.abs(P), axis=0) * 1e-30
+        return P, l, l < 1.0
     psi0 = (
         eq.limiter_psi0(bounds[:, None], U_low[:, None])
         if hasattr(eq, "limiter_psi0") else None

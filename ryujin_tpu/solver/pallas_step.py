@@ -1873,12 +1873,17 @@ class PallasStepper:
                 b_ji_k = -mij_c[k] * m_inv
                 P_k = P_k + b_ij_k[None] * F_jk - b_ji_k[None] * F_i
                 P_k = P_k * pfac[None]
-                l_k, succ_k = eq.limiter_limit(
-                    bounds_t, U_low_t, P_k,
-                    newton_iterations=p.limiter_newton_max_iterations,
-                    newton_tol=p.limiter_newton_tolerance,
-                    **({"psi0": psi0_t} if psi0_t is not None else {}),
-                )
+                if _os.environ.get("RYUJIN_PK3_ABLATE") == "nolimit":
+                    # measurement aid: skip the limiter Newton
+                    l_k = jnp.sum(jnp.abs(P_k), axis=0) * 1e-30
+                    succ_k = l_k < 1.0
+                else:
+                    l_k, succ_k = eq.limiter_limit(
+                        bounds_t, U_low_t, P_k,
+                        newton_iterations=p.limiter_newton_max_iterations,
+                        newton_tol=p.limiter_newton_tolerance,
+                        **({"psi0": psi0_t} if psi0_t is not None else {}),
+                    )
                 ok_acc = jnp.minimum(
                     ok_acc,
                     jnp.where(
