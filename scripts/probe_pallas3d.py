@@ -37,16 +37,6 @@ def main():
 
     eq = Euler(dim=3)
     t0 = time.perf_counter()
-    mesh = geometry.rectangular_domain(
-        [0.0, 0.0, 0.0], [3.0, 1.0, 1.0], subdiv,
-        refinement=refinement,
-        boundary_conditions=[
-            Boundary.dirichlet, Boundary.do_nothing,
-            Boundary.slip, Boundary.slip, Boundary.slip, Boundary.slip,
-        ],
-        dim=3,
-    )
-    data = assembly.assemble(mesh)
     from ryujin_tpu.solver.pallas_step import pallas_default_margin
 
     eqm = pallas_default_margin(eq, 3)  # (TD, 2) for the z-slab kernels
@@ -54,8 +44,28 @@ def main():
     if isinstance(margin, list):
         margin = tuple(margin)
     padm = int(os.environ.get("PADM", "8"))
-    packed = structured.pack_structured(
-        data, mesh, margin=margin, pad_major=padm
+
+    def build():
+        mesh = geometry.rectangular_domain(
+            [0.0, 0.0, 0.0], [3.0, 1.0, 1.0], subdiv,
+            refinement=refinement,
+            boundary_conditions=[
+                Boundary.dirichlet, Boundary.do_nothing,
+                Boundary.slip, Boundary.slip, Boundary.slip, Boundary.slip,
+            ],
+            dim=3,
+        )
+        data = assembly.assemble(mesh)
+        return structured.pack_structured(
+            data, mesh, margin=margin, pad_major=padm
+        )
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _probe_cache import cached
+
+    packed = cached(
+        f"p3d_{'x'.join(map(str, subdiv))}_r{refinement}"
+        f"_m{'x'.join(map(str, margin))}_p{padm}", build
     )
     print(
         f"mesh: {packed.n_nodes} nodes, canvas {packed.shape} "
