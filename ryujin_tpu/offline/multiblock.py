@@ -56,6 +56,7 @@ from .assembly import SparseOfflineData
 from .mesh import Mesh
 from .structured import (
     StructuredData,
+    _fill_slab_ghosts,
     _finalize_structured,
     _round_up,
     lattice_offsets,
@@ -376,6 +377,7 @@ def pack_multiblock(
     margin: int = 8,
     blocks: Optional[List[Block]] = None,
     layout: str = "shelf",
+    slabs: int = 1,
 ) -> StructuredData:
     """Pack a block-decomposable 2D mesh onto a multi-block canvas.
 
@@ -384,6 +386,15 @@ def pack_multiblock(
     ELL.  The shelf layout may (rarely) make two blocks' ghost rings
     collide at corners; packing then retries with single-column stacking
     before giving up.
+
+    slabs > 1 re-lays the canvas rows into `slabs` uniform ghost-banded
+    slabs (StructuredData.slab_spec) so the canvas can be sharded over a
+    device mesh along axis 0 — the multi-block rendition of the
+    reference's layout-agnostic MPI decomposition (every mesh, not just
+    lattices: offline_data.h:136-169, sparse_matrix_simd.h:651-771).
+    Cross-block refresh maps keep GLOBAL canvas indices; the runtime
+    splits them into slab-local and cross-slab sets (solver/pallas_step
+    sharded gmap exchange).
     """
     if data.dim != 2:
         raise MultiblockError("multi-block packing is 2D only")
@@ -398,13 +409,19 @@ def pack_multiblock(
         try:
             return pack_multiblock(
                 data, mesh, pad_minor, pad_major, margin, blocks,
-                layout="shelf-once",
+                layout="shelf-once", slabs=slabs,
             )
         except MultiblockError:
             return pack_multiblock(
                 data, mesh, pad_minor, pad_major, margin, blocks,
-                layout="stack",
+                layout="stack", slabs=slabs,
             )
+    if slabs > 1:
+        sd = pack_multiblock(
+            data, mesh, pad_minor, pad_major, margin, blocks, layout,
+            slabs=1,
+        )
+        return _slabify(sd, slabs)
 
     K = 8
     offsets = lattice_offsets(2)
@@ -960,3 +977,165 @@ def _assemble_canvas(
             "inv_cmax": np.zeros(0),
         }
     return sd
+
+
+def _slabify(sd: StructuredData, slabs: int, g: int = 8,
+             pad_major: int = 8) -> StructuredData:
+    """Re-lay a multi-block canvas into uniform ghost-banded slabs.
+
+    The content rows of the [Hc, Wc] canvas are distributed over `slabs`
+    slabs of Ls rows each (Ls a multiple of pad_major), every slab
+    wrapped in g ghost rows top and bottom: canvas axis 0 becomes
+    slabs * (Ls + 2 g) rows.  Plain stencil shifts across a slab
+    boundary then read the ghost band, which the runtime refreshes with
+    a roll along the slab axis (a collective-permute when that axis is
+    sharded, StructuredData.slab_spec) — identical machinery to the
+    lattice slab decomposition (offline/structured.py pack_structured
+    slabs=...).  Cross-block refresh maps (gmap_node / gmap_edge), the
+    EV side stencil and the sym fixup keep global canvas indices,
+    remapped to the new layout; the sharded solver splits them into
+    slab-local scatters and a packed O(interface) exchange.
+    """
+    Hc, Wc = sd.shape
+    K = sd.max_degree
+    n_old = sd.n_pad
+
+    vm = (sd.value_mask if sd.value_mask is not None else sd.node_mask)
+    occ_rows = (
+        (vm.reshape(Hc, Wc) > 0).any(axis=1)
+        | (sd.mask.reshape(Hc, Wc, K) > 0).any(axis=(1, 2))
+    )
+    rows = np.flatnonzero(occ_rows)
+    if len(rows) == 0:
+        raise MultiblockError("empty canvas")
+    r0, r1 = int(rows[0]), int(rows[-1]) + 1
+    R = r1 - r0
+    Ls = max(_round_up(-(-R // slabs), pad_major), g)
+    A = Ls + 2 * g
+    H_new = slabs * A
+    n_new = H_new * Wc
+
+    # old row -> new row (content rows only; all-masked rows outside the
+    # content range are dropped)
+    row_map = np.full(Hc, -1, dtype=np.int64)
+    rr = np.arange(R, dtype=np.int64)
+    row_map[r0:r1] = (rr // Ls) * A + g + (rr % Ls)
+
+    yy, xx = np.divmod(np.arange(n_old, dtype=np.int64), Wc)
+    cell_ok = row_map[yy] >= 0
+    cell_map = np.full(n_old, -1, dtype=np.int64)
+    cell_map[cell_ok] = row_map[yy[cell_ok]] * Wc + xx[cell_ok]
+
+    def remap_node(arr, fill=0.0):
+        out = np.full((n_new,) + arr.shape[1:], fill, arr.dtype)
+        out[cell_map[cell_ok]] = arr[cell_ok]
+        return out
+
+    def cm(idx, what):
+        idx = np.asarray(idx, dtype=np.int64)
+        out = cell_map[idx]
+        if (out < 0).any():
+            raise MultiblockError(f"slabify: {what} references a dropped row")
+        return out
+
+    def cm_flat(idx, what):
+        """Remap flat k * n_old + cell edge-layout indices."""
+        idx = np.asarray(idx, dtype=np.int64)
+        k, cell = np.divmod(idx, n_old)
+        return k * n_new + cm(cell, what)
+
+    cij = remap_node(sd.cij)
+    mij = remap_node(sd.mij)
+    mask = remap_node(sd.mask)
+    cii = remap_node(sd.cii)
+    lumped = remap_node(sd.lumped_mass, 1.0)
+    n_nbrs = remap_node(sd.n_nbrs, 1.0)
+    node_mask = remap_node(sd.node_mask)
+    positions = remap_node(sd.positions)
+    value_mask = remap_node(vm)
+    node_to_vertex = remap_node(sd.node_to_vertex, -1)
+    vertex_to_node = cm(sd.vertex_to_node, "vertex_to_node")
+
+    canvas = (H_new, Wc)
+    slab_spec = (slabs, Ls, g)
+    for arr in (cij, mij, mask, cii, lumped, n_nbrs, positions,
+                value_mask):
+        _fill_slab_ghosts(arr, canvas, slab_spec)
+    # non-periodic axis: the outermost bands received wrapped garbage
+    vmc = value_mask.reshape(slabs, A, Wc)
+    vmc[0, :g] = 0.0
+    vmc[-1, g + Ls:] = 0.0
+
+    rounds = []
+    for rnd in sd.boundary_rounds:
+        g2 = {}
+        for fid, grp in rnd.items():
+            g2[fid] = dataclasses.replace(
+                grp, index=cm(grp.index, "boundary")
+            )
+        rounds.append(g2)
+
+    out = dataclasses.replace(
+        sd,
+        n_pad=n_new,
+        shape=canvas,
+        margins=(g, 0),
+        cij=cij,
+        mij=mij,
+        mask=mask,
+        cii=cii,
+        lumped_mass=lumped,
+        n_nbrs=n_nbrs,
+        node_mask=node_mask,
+        positions=positions,
+        vertex_to_node=vertex_to_node,
+        node_to_vertex=node_to_vertex,
+        boundary_rounds=rounds,
+        ghosts=(None, None),
+        value_mask=value_mask,
+        slab_spec=slab_spec,
+    )
+
+    if sd.gmap_node is not None:
+        dst = cm(sd.gmap_node[0], "gmap_node dst")
+        src = cm(sd.gmap_node[1], "gmap_node src")
+        o = np.argsort(dst, kind="stable")
+        out.gmap_node = (dst[o].astype(np.int32), src[o].astype(np.int32))
+    if sd.gmap_edge is not None:
+        dst = cm_flat(sd.gmap_edge[0], "gmap_edge dst")
+        src = cm_flat(sd.gmap_edge[1], "gmap_edge src")
+        o = np.argsort(dst, kind="stable")
+        out.gmap_edge = (dst[o].astype(np.int32), src[o].astype(np.int32))
+    if sd.edge_map is not None:
+        src_csr, dst = sd.edge_map
+        cell, slot = np.divmod(np.asarray(dst, np.int64), K)
+        out.edge_map = (src_csr, cm(cell, "edge_map") * K + slot)
+    if sd.sym_fixup is not None and len(sd.sym_fixup["dst"]):
+        f = sd.sym_fixup
+        dst = cm_flat(f["dst"], "sym_fixup dst")
+        o = np.argsort(dst, kind="stable")
+        out.sym_fixup = {
+            "dst": dst[o],
+            "i": cm(f["i"], "sym_fixup i")[o],
+            "j": cm(f["j"], "sym_fixup j")[o],
+            "c_f": np.asarray(f["c_f"])[o],
+            "c_r": np.asarray(f["c_r"])[o],
+            "inv_cmax": np.asarray(f["inv_cmax"])[o],
+        }
+    if sd.ev_side is not None:
+        ev = dict(sd.ev_side)
+        ev["cells"] = cm(ev["cells"], "ev cells")
+        ev["cols_cell"] = cm(ev["cols_cell"], "ev cols")
+        # trans/edst: flat k * n entries; dead (masked) trans slots hold
+        # index 0, which may sit on a dropped row -> map them to the new
+        # cell 0 (a masked ghost cell; the read is discarded)
+        tr = np.asarray(ev["trans"], np.int64)
+        k_t, c_t = np.divmod(tr, n_old)
+        c_t = np.where(cell_map[c_t] >= 0, cell_map[c_t], 0)
+        ev["trans"] = k_t * n_new + c_t
+        edst = cm_flat(ev["edst"], "ev edst")
+        o = np.argsort(edst, kind="stable")
+        ev["edst"] = edst[o]
+        ev["esrc"] = np.asarray(ev["esrc"])[o]
+        out.ev_side = ev
+    return out

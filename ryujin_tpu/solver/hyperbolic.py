@@ -199,6 +199,11 @@ class StructuredStencil:
             X = X.at[..., dst].set(
                 X[..., src], unique_indices=True, indices_are_sorted=True
             )
+        return self._roll_ghosts(X)
+
+    def _roll_ghosts(self, X: jax.Array) -> jax.Array:
+        """The band/slab/minor-wrap (whole-row copy) part of the ghost
+        refresh — shared by the node and edge refresh paths."""
         lead = X.shape[:-1]
         Xc = X.reshape(lead + self.shape)
         if self.slab_spec is not None:
@@ -260,16 +265,21 @@ class StructuredStencil:
 
         Band/slab ghosts copy whole rows (uniform slot layout), so the
         node refresh applies per slot.  Multi-block ghosts instead apply
-        the reader-frame slot permutation gmap_edge."""
+        the reader-frame slot permutation gmap_edge — as a (slot, cell)
+        two-index scatter so the node axis never merges with the
+        (replicated) slot axis, which keeps the op GSPMD-partitionable
+        when the node axis is sharded (slabified multi-block canvases).
+        A slabified canvas needs BOTH: gmap first (owner slots propagate
+        into ring cells), then the slab-axis roll copies the refreshed
+        edge rows into the ghost bands."""
         if self.gmap_edge is not None:
             dst, src = self.gmap_edge
-            K, n = E.shape[-2], E.shape[-1]
-            lead = E.shape[:-2]
-            Ef = E.reshape(lead + (K * n,))
-            Ef = Ef.at[..., dst].set(
-                Ef[..., src], unique_indices=True, indices_are_sorted=True
+            n = E.shape[-1]
+            E = E.at[..., dst // n, dst % n].set(
+                E[..., src // n, src % n],
+                unique_indices=True, indices_are_sorted=True,
             )
-            return Ef.reshape(E.shape)
+            return self._roll_ghosts(E)
         return self.refresh_ghosts(E)
 
     def transpose_edge(self, E: jax.Array) -> jax.Array:
@@ -505,10 +515,20 @@ class Sideband:
         ev = sd.ev_side
         self.eq, self.p = eq, params
         self.dtype = dtype
+        n = sd.n_pad
         self.cells = jnp.asarray(ev["cells"], jnp.int32)  # [r]
         self.cols = jnp.asarray(ev["cols_cell"].T, jnp.int32)  # [Ks, r]
-        self.trans = jnp.asarray(ev["trans"].T, jnp.int32)  # [Ks, r]
-        self.edst = jnp.asarray(ev["edst"], jnp.int32)
+        # flat k * n + cell entries split into (slot, cell) index pairs:
+        # two-index gathers/scatters keep the node axis intact, so the ops
+        # stay GSPMD-partitionable when the node axis is sharded (a flat
+        # [K * n] reshape merges the replicated slot axis with the sharded
+        # node axis and forces a state-sized all-gather):
+        tk, tc = np.divmod(np.asarray(ev["trans"].T, np.int64), n)
+        self.trans_k = jnp.asarray(tk, jnp.int32)  # [Ks, r]
+        self.trans_c = jnp.asarray(tc, jnp.int32)  # [Ks, r]
+        dk, dc = np.divmod(np.asarray(ev["edst"], np.int64), n)
+        self.edst_k = jnp.asarray(dk, jnp.int32)
+        self.edst_c = jnp.asarray(dc, jnp.int32)
         self.esrc = jnp.asarray(ev["esrc"], jnp.int32)  # into [r, Ks] flat
         r = len(ev["rows"])
         self.n_rows = r
@@ -519,7 +539,7 @@ class Sideband:
             cij=_f(np.transpose(ev["cij"], (2, 1, 0)), dtype),  # [dim,Ks,r]
             mij=_f(ev["mij"].T, dtype),
             mask=_f(mask, dtype),
-            trans=self.trans,  # unused (canvas-flat gathers done here)
+            trans=self.trans_c,  # unused (canvas gathers done here)
             cii=_f(ev["cii"].T, dtype),
             m_lumped=_f(m_l, dtype),
             m_lumped_inv=_f(1.0 / m_l, dtype),
@@ -543,19 +563,19 @@ class Sideband:
     def nbr(self, X):
         return X[..., self.cols]
 
-    def edge_T(self, E_flat):
-        """Transposed-edge gather from the flat [K * n] canvas layout."""
-        return E_flat[self.trans]
+    def edge_T(self, E):
+        """Transposed-edge gather from the [K, n] canvas edge layout."""
+        return E[self.trans_k, self.trans_c]
 
     def scatter_edge(self, E, vals):
         """Scatter side edge values [Ks, r] into the canvas edge array
-        [K, n] at every consumer entry (owner slots + reader routes)."""
-        shape = E.shape
-        Ef = E.reshape(-1)
+        [K, n] at every consumer entry (owner slots + reader routes).
+        Two-index (slot, cell) scatter; edst is flat-sorted at pack time,
+        i.e. lexicographic in (slot, cell)."""
         v = vals.T.reshape(-1)[self.esrc]
-        return Ef.at[self.edst].set(
+        return E.at[self.edst_k, self.edst_c].set(
             v, unique_indices=True, indices_are_sorted=True
-        ).reshape(shape)
+        )
 
     # -- phases ------------------------------------------------------------
     def e_alpha(self, U, prec):
@@ -567,7 +587,7 @@ class Sideband:
         return e, alpha
 
     def d_side(self, e_side, e_canvas):
-        e_T = self.edge_T(e_canvas.reshape(-1))
+        e_T = self.edge_T(e_canvas)
         return d_from_e(self.st.mask, e_side, e_T)
 
     def tau_side(self, d, cfl, tau_cap):
@@ -608,7 +628,7 @@ class Sideband:
         )
 
     def update(self, U_side, bounds_side, P_side, l_side, l_canvas, last):
-        l_T = self.edge_T(l_canvas.reshape(-1))
+        l_T = self.edge_T(l_canvas)
         return phase_update(
             self.eq, self.p, self.st, U_side, bounds_side, P_side,
             l_side, l_T, last, mask_lT=True,

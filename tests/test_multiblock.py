@@ -152,6 +152,79 @@ def test_truly_unstructured_falls_back():
     )
 
 
+@pytest.mark.parametrize(
+    "geom,make",
+    [
+        ("airfoil", lambda: geometry.airfoil(refinement=0)),
+        ("cylinder-blocks",
+         lambda: geometry.cylinder(refinement=1, variant="blocks")),
+    ],
+)
+def test_multiblock_sharded_matches_single_device(geom, make):
+    """Multi-chip fast path for multi-block canvases: the canvas re-laid
+    into 8 ghost-banded slabs (pack_multiblock slabs=8), node axis
+    sharded over the 8-virtual-device mesh, must reproduce the unsharded
+    single-slab result bit-for-bit — the multi-block rendition of the
+    reference's layout-agnostic MPI decomposition (every mesh, not just
+    lattices: offline_data.h:136-169, sparse_matrix_simd.h:651-771).
+    Communication shape: halos ride collective-permute; no state-sized
+    all-gather (the gmap/EV-sideband scatters are two-index (slot, cell)
+    ops precisely so GSPMD never merges the slot axis with the sharded
+    node axis)."""
+    import re
+
+    import jax
+    from jax.sharding import Mesh  # noqa: F401 (conftest provides 8 dev)
+
+    from ryujin_tpu.parallel.sharding import (
+        make_device_mesh, shard_state, shard_stencil,
+    )
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 2
+    mesh = make()
+    data = assembly.assemble(mesh)
+    sd1 = multiblock.pack_multiblock(data, mesh, pad_minor=8, pad_major=8)
+    sd8 = multiblock.pack_multiblock(data, mesh, pad_minor=8, pad_major=8,
+                                     slabs=n_dev)
+    assert sd8.slab_spec is not None and sd8.slab_spec[0] == n_dev
+
+    eq = Euler(dim=2)
+    init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
+    dtype = jnp.float64
+    U1, t1, tau1 = _advance(eq, sd1, init, dtype, 3)
+
+    hm = HyperbolicModule(eq, sd8, init, dtype=dtype)
+    device_mesh = make_device_mesh(n_dev)
+    hm.stencil = shard_stencil(hm.stencil, device_mesh, sd8.n_pad)
+    hm._xla_stencil = hm.stencil
+    ti = TimeIntegrator(hm, scheme="erk 33", cfl_min=0.45, cfl_max=0.9,
+                        cfl_recovery_strategy="none")
+    U0 = shard_state(_bumped_state(eq, sd8, init, dtype), device_mesh)
+    out = ti.advance(U0, 0.0, n_steps=3)
+    Us, taus = np.asarray(out[0]), float(out[3])
+
+    assert abs(taus - tau1) < 1e-14 * max(1.0, abs(tau1))
+    A = U1[:, np.asarray(sd1.vertex_to_node)]
+    B = Us[:, np.asarray(sd8.vertex_to_node)]
+    assert np.isfinite(B).all()
+    np.testing.assert_allclose(B, A, rtol=0.0, atol=1e-12)
+
+    # communication shape
+    hlo = (
+        ti._advance.lower(
+            hm.stencil, None, U0, jnp.float64(0.0), jnp.float64(jnp.inf), 1
+        ).compile().as_text()
+    )
+    assert "collective-permute" in hlo
+    for m in re.finditer(r"all-gather[^\n]*", hlo):
+        line = m.group(0)
+        sizes = [int(s) for s in re.findall(r"f64\[([0-9,]+)\]",
+                                            line.replace(",", ""))]
+        for s in sizes:
+            assert s < sd8.n_pad, f"state-sized all-gather: {line[:120]}"
+
+
 def test_airfoil_multiblock_packs():
     """The transfinite C-type airfoil quilt embeds on a multi-block canvas."""
     mesh = geometry.airfoil(refinement=0)
