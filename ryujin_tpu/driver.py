@@ -156,7 +156,6 @@ class TimeLoop:
             not structured_ok
             and ansatz == "cG Q1"
             and self.mesh.dim == 2
-            and self.mesh.hanging is None
             and self.mesh.periodic_pairs is None
             and (on_tpu_f32 or os.environ.get("RYUJIN_MULTIBLOCK") == "1")
         )

@@ -34,10 +34,18 @@ shortcut on multi-block canvases and evaluates both edge directions
 (hyperbolic.py _sym_riemann).
 
 Vertices whose full stencil cannot be embedded in their canvas
-8-neighborhood (extraordinary block corners) make the mesh unpackable;
-`pack_multiblock` raises `MultiblockError` and the driver falls back to
-the padded-ELL layout.  Conforming quilts with regular interfaces and
-3-/4-valent corners (annulus, disk, airfoil, cylinder blocks) pack fully.
+8-neighborhood (extraordinary block corners, the interface rows of 2:1
+hanging-node interfaces) are computed on a small side ELL stencil
+(ev_side / solver Sideband) while every other row keeps the canvas fast
+path; a mesh with a VOLUME fraction of such rows is genuinely
+unstructured — `pack_multiblock` raises `MultiblockError` and the driver
+falls back to the padded-ELL layout.  Conforming quilts with regular
+interfaces and 3-/4-valent corners (annulus, disk, airfoil, cylinder
+blocks) pack fully; locally-refined (AMR) meshes with hanging-node
+constraints pack with O(interface) side rows — closing the throughput
+cliff the ELL fallback would otherwise be (the reference runs one
+uniform CSR loop for every mesh, hyperbolic_module.template.h:417-420;
+the canvas + side-row split is the TPU rendition).
 
 2D only: the reference's multi-block geometries are 2D (their 3D
 variants are extrusions, which keep a global lattice and use
@@ -398,10 +406,9 @@ def pack_multiblock(
     """
     if data.dim != 2:
         raise MultiblockError("multi-block packing is 2D only")
-    if data.is_constrained.any():
+    if data.is_constrained.any() and getattr(data, "hanging", None) is None:
         raise MultiblockError(
-            "multi-block packing does not support constrained nodes "
-            "(periodic/hanging)"
+            "multi-block packing does not support periodic constraints"
         )
     if blocks is None:
         blocks = split_sparse_blocks(decompose(mesh))
@@ -580,7 +587,12 @@ def pack_multiblock(
         # mesh with MANY such rows is genuinely unstructured — fall back
         # to ELL.
         ev_rows = np.unique(i_e[bad])
-        if len(ev_rows) > max(64, n_raw // 64):
+        # Interface-like EV sets (2:1 AMR interfaces, block corners) scale
+        # as the domain SURFACE, O(sqrt n) in 2D; a genuinely unstructured
+        # mesh has EV rows at a volume fraction of nodes.  Accept up to
+        # max(surface-scaled, n/64) side rows before falling back to ELL:
+        if len(ev_rows) > max(64, n_raw // 64,
+                              8 * int(np.sqrt(n_raw))):
             k = int(bad.sum())
             ex = [(int(a), int(b))
                   for a, b in zip(i_e[bad][:3], j_e[bad][:3])]
@@ -737,14 +749,25 @@ def _assemble_canvas(
     node_to_vertex = np.full(n_pad, -1, dtype=np.int64)
 
     oc = owner_cell
-    node_mask[oc] = 1.0
-    lumped[oc] = data.lumped_mass
-    cii[oc] = data.cii
+    # constrained (hanging) vertices occupy canvas cells inside their
+    # block grid but carry no stencil row: node data is assigned for
+    # ACTIVE rows only, so their cells stay masked with the safe defaults
+    # (lumped/n_nbrs 1, cii 0).  Positions are set for every vertex so
+    # interpolated states at masked cells stay physical (finite garbage
+    # is only ever read through zero-mask slots).
+    active = ~data.is_constrained
+    act = np.flatnonzero(active)
+    oca = oc[act]
+    node_mask[oca] = 1.0
+    lumped[oca] = data.lumped_mass[act]
+    cii[oca] = data.cii[act]
     positions[oc] = data.positions
     deg = data.indptr[1:] - data.indptr[:-1]
-    n_nbrs[oc] = np.maximum(deg, 1)
-    node_to_vertex[oc] = np.arange(n_raw)
-    vertex_to_node = oc.copy()
+    n_nbrs[oca] = np.maximum(deg[act], 1)
+    node_to_vertex[oca] = act
+    # hanging slaves route to their representative parent's cell, the
+    # same semantics as the ELL layout (offline/ell.py vertex_to_node):
+    vertex_to_node = oc[data.master]
 
     # --- node refresh map: every non-owner value cell <- owner ---
     nonowner = all_cells != oc[all_verts]
@@ -806,7 +829,7 @@ def _assemble_canvas(
         data, mesh, 2, K, offsets, canvas, (margin, 0), n_pad,
         None, None, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
         positions, node_to_vertex, vertex_to_node, None,
-        np.ones(n_raw, dtype=bool), ghost_bands=(None, None),
+        active, ghost_bands=(None, None),
         slab_spec=None, axis0_periodic=False,
     )
     value_mask = node_mask.copy()
@@ -858,25 +881,54 @@ def _assemble_canvas(
         if not hit[live].all():
             raise MultiblockError("EV side row with asymmetric edge")
         rev_e = eord2[rp]
-        rev_slot = np.where(live, slot_e[rev_e], 0)
-        if (live & (rev_slot < 0)).any():
-            raise MultiblockError(
-                "adjacent extraordinary vertices (reverse edge has no "
-                "canvas slot)"
-            )
+        rev_slot_raw = np.where(live, slot_e[rev_e], 0)
+        # Reverse edges with no canvas slot connect two EV rows (adjacent
+        # extraordinary vertices — e.g. the coarse interface line of a
+        # 2:1 AMR interface, where every interface row is EV).  Their
+        # transposed-edge values live in the side stencil itself: record
+        # a side-internal transpose index rj * Ks + k' (into the [r, Ks]
+        # flat side edge layout, cols_v[rj, k'] == i) instead of a canvas
+        # entry; the solver's Sideband.edge_T where-selects between the
+        # canvas gather and the side gather.
+        is_side_rev = live & (rev_slot_raw < 0)
+        rev_slot = np.where(is_side_rev, 0, rev_slot_raw)
+        trans_side = np.full(r * Ks, -1, dtype=np.int64)
+        if is_side_rev.any():
+            side_pos = np.full(n_raw, -1, dtype=np.int64)
+            side_pos[R] = np.arange(r)
+            i_flat = np.repeat(R, Ks)
+            j_flat = cols_v.reshape(-1)
+            jv = j_flat[is_side_rev]
+            iv = i_flat[is_side_rev]
+            if (side_pos[jv] < 0).any():
+                raise MultiblockError(
+                    "reverse edge without canvas slot at a non-EV row"
+                )
+            # k' with cols_v[side_pos[j], k'] == i: look up the directed
+            # side edge (j -> i) in the sorted (row, col) key list (dead
+            # slots hold self-keys R * n + R, which never match j != i):
+            skey = i_flat * n_raw + j_flat
+            sorder = np.argsort(skey, kind="stable")
+            want = jv * n_raw + iv
+            p2 = np.clip(np.searchsorted(skey[sorder], want), 0, r * Ks - 1)
+            if not (skey[sorder][p2] == want).all():
+                raise MultiblockError("EV-EV edge without side reverse")
+            trans_side[np.flatnonzero(is_side_rev)] = sorder[p2]
         j_cell = oc[cols_v.reshape(-1)]
-        trans = np.where(live, rev_slot * n_pad + j_cell, 0)
-        # scatter targets:
+        trans = np.where(live & ~is_side_rev, rev_slot * n_pad + j_cell, 0)
+        # scatter targets (side-internal edges have no canvas readers —
+        # both endpoints' rows are side-computed — so no route for them):
         own_slot = np.where(live, slot_e[epos.reshape(-1)], -1)
         own_cell = oc[np.tile(R[:, None], (1, Ks)).reshape(-1)]
         dst_own = own_slot * n_pad + own_cell
         route = (K - 1 - rev_slot) * n_pad + (j_cell + nbr_off[rev_slot])
+        route_ok = live & ~is_side_rev
         eidx = np.arange(r * Ks)
         d_all = np.concatenate(
-            [dst_own[live & (own_slot >= 0)], route[live]]
+            [dst_own[live & (own_slot >= 0)], route[route_ok]]
         )
         s_all = np.concatenate(
-            [eidx[live & (own_slot >= 0)], eidx[live]]
+            [eidx[live & (own_slot >= 0)], eidx[route_ok]]
         )
         d_u, first = np.unique(d_all, return_index=True)
         sd.ev_side = {
@@ -890,6 +942,9 @@ def _assemble_canvas(
             "m_lumped": np.asarray(data.lumped_mass)[R],
             "n_nbrs": degR,
             "trans": trans.reshape(r, Ks),  # flat [K * n] entries
+            # side-internal transpose: rj * Ks + k' into the [r, Ks] flat
+            # side layout where >= 0, else the canvas `trans` applies:
+            "trans_side": trans_side.reshape(r, Ks),
             "edst": d_u.astype(np.int64),
             "esrc": s_all[first].astype(np.int64),  # flat [r * Ks] index
         }

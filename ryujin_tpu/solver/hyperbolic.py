@@ -526,6 +526,16 @@ class Sideband:
         tk, tc = np.divmod(np.asarray(ev["trans"].T, np.int64), n)
         self.trans_k = jnp.asarray(tk, jnp.int32)  # [Ks, r]
         self.trans_c = jnp.asarray(tc, jnp.int32)  # [Ks, r]
+        # side-internal transpose (EV-EV edges, e.g. the coarse interface
+        # line of a 2:1 AMR interface): indices into the [r, Ks] flat side
+        # edge layout where >= 0; the canvas trans applies elsewhere:
+        ts = np.asarray(
+            ev.get("trans_side",
+                   np.full(ev["trans"].shape, -1, np.int64))
+        ).T  # [Ks, r]
+        self._has_side_trans = bool((ts >= 0).any())
+        self.trans_side = jnp.asarray(np.maximum(ts, 0), jnp.int32)
+        self.trans_is_side = jnp.asarray(ts >= 0)
         dk, dc = np.divmod(np.asarray(ev["edst"], np.int64), n)
         self.edst_k = jnp.asarray(dk, jnp.int32)
         self.edst_c = jnp.asarray(dc, jnp.int32)
@@ -563,9 +573,15 @@ class Sideband:
     def nbr(self, X):
         return X[..., self.cols]
 
-    def edge_T(self, E):
-        """Transposed-edge gather from the [K, n] canvas edge layout."""
-        return E[self.trans_k, self.trans_c]
+    def edge_T(self, E, side_vals=None):
+        """Transposed-edge gather from the [K, n] canvas edge layout;
+        side-internal entries (EV-EV edges) read the side's own values
+        [Ks, r] instead."""
+        out = E[self.trans_k, self.trans_c]
+        if self._has_side_trans:
+            sv = side_vals.T.reshape(-1)[self.trans_side]
+            out = jnp.where(self.trans_is_side, sv, out)
+        return out
 
     def scatter_edge(self, E, vals):
         """Scatter side edge values [Ks, r] into the canvas edge array
@@ -587,7 +603,7 @@ class Sideband:
         return e, alpha
 
     def d_side(self, e_side, e_canvas):
-        e_T = self.edge_T(e_canvas)
+        e_T = self.edge_T(e_canvas, side_vals=e_side)
         return d_from_e(self.st.mask, e_side, e_T)
 
     def tau_side(self, d, cfl, tau_cap):
@@ -628,7 +644,7 @@ class Sideband:
         )
 
     def update(self, U_side, bounds_side, P_side, l_side, l_canvas, last):
-        l_T = self.edge_T(l_canvas)
+        l_T = self.edge_T(l_canvas, side_vals=l_side)
         return phase_update(
             self.eq, self.p, self.st, U_side, bounds_side, P_side,
             l_side, l_T, last, mask_lT=True,

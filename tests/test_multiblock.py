@@ -225,6 +225,111 @@ def test_multiblock_sharded_matches_single_device(geom, make):
             assert s < sd8.n_pad, f"state-sized all-gather: {line[:120]}"
 
 
+def _amr_mesh(refinement=4, r=2.0):
+    """A locally-refined (hanging-node) square: the reference's AMR case."""
+    from ryujin_tpu.offline.mesh import Boundary, refine_local
+
+    mesh = geometry.rectangular_domain(
+        [-5, -5], [5, 5], [1, 1], refinement=refinement,
+        boundary_conditions=[Boundary.dirichlet] * 4,
+    )
+    centers = mesh.vertices[mesh.cells].mean(axis=1)
+    m2, _ = refine_local(mesh, (np.abs(centers) < r).all(axis=1))
+    assert m2.hanging is not None and len(m2.hanging)
+    return m2
+
+
+def test_amr_multiblock_matches_ell():
+    """Locally-refined (2:1 hanging-node) meshes pack onto the multi-block
+    canvas: coarse/fine interface rows become EV side rows (incl. EV-EV
+    edges transposed side-internally) while block interiors keep the
+    canvas fast path.  Must reproduce padded ELL on both backends — this
+    is the fast-path closure of the ELL cliff (the reference runs its one
+    CSR hot loop on any p4est-adapted mesh,
+    hyperbolic_module.template.h:417-420)."""
+    m2 = _amr_mesh()
+    data = assembly.assemble(m2)
+    sd = multiblock.pack_multiblock(data, m2, pad_minor=8, pad_major=8)
+    assert sd.ev_side is not None
+    assert (sd.ev_side["trans_side"] >= 0).any()  # EV-EV edges present
+    el = ell.pack(data)
+    assert sd.n_nodes == el.n_nodes
+
+    eq = Euler(dim=2)
+    init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
+    dtype = jnp.float64
+    Us, ts, taus = _advance(eq, sd, init, dtype, 3)
+    Ue, te, taue = _advance(eq, el, init, dtype, 3)
+    assert abs(taus / taue - 1.0) < 1e-14
+    A = Us[:, np.asarray(sd.vertex_to_node)]
+    B = Ue[:, np.asarray(el.vertex_to_node)]
+    assert np.isfinite(A).all()
+    np.testing.assert_allclose(A, B, rtol=0.0, atol=1e-12)
+
+    Up, tp, taup = _advance(eq, sd, init, dtype, 2,
+                            backend="pallas_interpret")
+    Ux, tx, taux = _advance(eq, sd, init, dtype, 2)
+    real = np.asarray(sd.node_mask) > 0
+    assert abs(taup / taux - 1.0) < 1e-14
+    np.testing.assert_allclose(
+        Up[:, real], Ux[:, real], rtol=0.0, atol=1e-12
+    )
+
+
+def test_amr_multiblock_sharded():
+    """The slab-sharded multi-block path on a hanging-node mesh: 8
+    virtual devices reproduce the unsharded result, halos ride
+    collective-permute, no state-sized all-gather."""
+    import re
+
+    import jax
+
+    from ryujin_tpu.parallel.sharding import (
+        make_device_mesh, shard_state, shard_stencil,
+    )
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 2
+    m2 = _amr_mesh(refinement=5)
+    data = assembly.assemble(m2)
+    sd1 = multiblock.pack_multiblock(data, m2, pad_minor=8, pad_major=8)
+    sd8 = multiblock.pack_multiblock(data, m2, pad_minor=8, pad_major=8,
+                                     slabs=n_dev)
+
+    eq = Euler(dim=2)
+    init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
+    dtype = jnp.float64
+    U1, t1, tau1 = _advance(eq, sd1, init, dtype, 3)
+
+    hm = HyperbolicModule(eq, sd8, init, dtype=dtype)
+    device_mesh = make_device_mesh(n_dev)
+    hm.stencil = shard_stencil(hm.stencil, device_mesh, sd8.n_pad)
+    hm._xla_stencil = hm.stencil
+    ti = TimeIntegrator(hm, scheme="erk 33", cfl_min=0.45, cfl_max=0.9,
+                        cfl_recovery_strategy="none")
+    U0 = shard_state(_bumped_state(eq, sd8, init, dtype), device_mesh)
+    out = ti.advance(U0, 0.0, n_steps=3)
+    Us, taus = np.asarray(out[0]), float(out[3])
+    assert abs(taus - tau1) < 1e-14 * max(1.0, abs(tau1))
+    A = U1[:, np.asarray(sd1.vertex_to_node)]
+    B = Us[:, np.asarray(sd8.vertex_to_node)]
+    assert np.isfinite(B).all()
+    np.testing.assert_allclose(B, A, rtol=0.0, atol=1e-12)
+
+    hlo = (
+        ti._advance.lower(
+            hm.stencil, None, U0, jnp.float64(0.0), jnp.float64(jnp.inf), 1
+        ).compile().as_text()
+    )
+    assert "collective-permute" in hlo
+    for m in re.finditer(r"all-gather[^\n]*", hlo):
+        line = m.group(0)
+        sizes = [int(s) for s in re.findall(r"f64\[([0-9,]+)\]",
+                                            line.replace(",", ""))]
+        for s in sizes:
+            assert s < sd8.n_pad, f"state-sized all-gather: {line[:120]}"
+
+
 def test_airfoil_multiblock_packs():
     """The transfinite C-type airfoil quilt embeds on a multi-block canvas."""
     mesh = geometry.airfoil(refinement=0)
