@@ -315,14 +315,12 @@ class TimeLoop:
         )
 
     def _adapt_mesh_and_transfer(self, U):
-        """Refine, re-pack, re-jit, and interpolate the state
+        """Coarsen + refine, re-pack, re-jit, and interpolate the state
         (time_loop.template.h:616-689)."""
-        from .offline.mesh import refine_local
         from .offline.mesh_adaptor import transfer_state
 
-        flags = self.mesh_adaptor.mark_cells(self.mesh)
         old_mesh, old_packed = self.mesh, self.packed
-        self.mesh, transfer = refine_local(old_mesh, flags)
+        self.mesh, transfer = self.mesh_adaptor.adapt(old_mesh)
         self._prepare_compute_kernels()
         U_np = transfer_state(
             np.asarray(U), old_packed, old_mesh, transfer,

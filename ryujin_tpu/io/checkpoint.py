@@ -40,6 +40,7 @@ _MESH_OPT = (
     "structured_index",
     "hanging",
     "cell_levels",
+    "cell_origin",
 )
 
 

@@ -112,6 +112,14 @@ class Mesh:
     # balance during local refinement.
     hanging: Optional[np.ndarray] = None
     cell_levels: Optional[np.ndarray] = None
+    # Refinement-tree state for coarsening (the analog of the p4est tree
+    # the reference's MeshAdaptor coarsens through, mesh_adaptor.h:133-149):
+    # [nc, 2] int64 — column 0 is the cell-midpoint vertex id identifying
+    # the refine_local split this cell is a child of (-1 for cells not
+    # created by local refinement), column 1 the refined parent's own
+    # origin (one extra level of re-coarsening).  Vertex renumbering on
+    # coarsening remaps both columns.
+    cell_origin: Optional[np.ndarray] = None
 
     @property
     def n_vertices(self) -> int:
@@ -571,6 +579,13 @@ def refine_local(mesh: Mesh, flags: np.ndarray):
     ]
     new_cells = np.concatenate([cells[Un]] + children, axis=0)
     new_levels = np.concatenate([levels[Un]] + [levels[R] + 1] * 4)
+    origin = (
+        mesh.cell_origin.copy()
+        if mesh.cell_origin is not None
+        else np.full((nc, 2), -1, np.int64)
+    )
+    child_origin = np.stack([cmid_ids, origin[R, 0]], axis=1)
+    new_origin = np.concatenate([origin[Un]] + [child_origin] * 4, axis=0)
 
     # --- hanging-node bookkeeping -----------------------------------------
     keep_old = ~np.isin(hkey, uniq_k) if len(hkey) else np.zeros(0, bool)
@@ -657,5 +672,200 @@ def refine_local(mesh: Mesh, flags: np.ndarray):
         structured_index=None,
         hanging=new_hanging if len(new_hanging) else None,
         cell_levels=new_levels,
+        cell_origin=new_origin,
     )
     return new_mesh, transfer
+
+
+def coarsen_local(mesh: Mesh, flags: np.ndarray):
+    """Coarsen sibling quartets whose four children are all flagged.
+
+    The coarsening half of the reference's fixed-number AMR marking
+    (/root/reference/source/mesh_adaptor.h:133-149; deal.II
+    execute_coarsening_and_refinement + SolutionTransfer,
+    time_loop.template.h:616-689).  A quartet merges back into its parent
+    cell when (a) its four cells are the children of one refine_local
+    split (mesh.cell_origin), (b) all four are flagged, and (c) no child
+    edge carries a hanging node (the neighbor across would end up two
+    levels finer) — the conservative 2:1 guard; coarsening under a finer
+    neighbor therefore takes an extra adaptation cycle after the neighbor
+    has coarsened.  2D only.
+
+    Returns (new_mesh, transfer, cell_map): `transfer` is the
+    [n_new, n_old] injection CSR interpolating nodal values onto the
+    coarsened mesh (parent corners coincide with child corners — the
+    deal.II SolutionTransfer semantics), `cell_map` maps old cell ids to
+    new ids (-1 for merged-away children) so refinement flags marked on
+    the old mesh can be carried across.
+    """
+    import scipy.sparse as sp
+
+    assert mesh.dim == 2, "local coarsening implemented for 2D"
+    flags = np.asarray(flags, bool)
+    cells, verts = mesh.cells, mesh.vertices
+    nc, nv = len(cells), len(verts)
+    identity = sp.identity(nv, format="csr")
+    if mesh.cell_origin is None:
+        return mesh, identity, np.arange(nc, dtype=np.int64)
+    origin = mesh.cell_origin
+    levels = (
+        mesh.cell_levels
+        if mesh.cell_levels is not None
+        else np.zeros(nc, np.int64)
+    )
+    hang = (
+        mesh.hanging if mesh.hanging is not None else np.zeros((0, 3), np.int64)
+    )
+
+    # ---- candidate quartets: same origin, 4 members, all flagged --------
+    org = origin[:, 0]
+    cand = np.flatnonzero((org >= 0) & flags)
+    if len(cand) == 0:
+        return mesh, identity, np.arange(nc, dtype=np.int64)
+    order = cand[np.argsort(org[cand], kind="stable")]
+    og = org[order]
+    starts = np.flatnonzero(np.concatenate([[True], og[1:] != og[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(og)]]))
+    # a split's children may have been refined further (then fewer than 4
+    # cells carry the origin) — only complete quartets coarsen:
+    full = starts[lens == 4]
+    quartets = np.stack([order[s : s + 4] for s in full], axis=0) \
+        if len(full) else np.zeros((0, 4), np.int64)
+
+    # ---- 2:1 guard: no child edge may be a hanging parent edge ----------
+    if len(quartets) and len(hang):
+        edge_local = np.array([[0, 1], [2, 3], [0, 2], [1, 3]])
+        qcells = cells[quartets.reshape(-1)]  # [4q, 4]
+        ce = np.sort(qcells[:, edge_local], axis=2)
+        ekey = (ce[..., 0].astype(np.int64) * nv + ce[..., 1]).reshape(
+            len(quartets), 16
+        )
+        hab = np.sort(hang[:, 1:3], axis=1)
+        hkey = np.sort(hab[:, 0].astype(np.int64) * nv + hab[:, 1])
+        blocked = np.isin(ekey, hkey).any(axis=1)
+        quartets = quartets[~blocked]
+    if len(quartets) == 0:
+        return mesh, identity, np.arange(nc, dtype=np.int64)
+
+    # ---- merge: reconstruct the parents ----------------------------------
+    # refine_local's children hold the center vertex c at local index
+    # 3 - role (children = [[v0,eb,el,c],[eb,v1,c,er],[el,c,v2,et],
+    # [c,er,et,v3]]); the parent corner k comes from the role-k child:
+    qc = cells[quartets]  # [q, 4, 4]
+    c_vert = org[quartets[:, 0]]  # [q]
+    pos_c = np.argmax(qc == c_vert[:, None, None], axis=2)  # [q, 4]
+    role = 3 - pos_c  # [q, 4] role of each member
+    assert (np.sort(role, axis=1) == np.arange(4)).all(), "broken quartet"
+    rorder = np.argsort(role, axis=1)
+    qs = np.take_along_axis(quartets, rorder, axis=1)  # role-sorted members
+    qcs = cells[qs]  # [q, 4, 4] role-sorted
+    parents = np.stack([qcs[:, k, k] for k in range(4)], axis=1)  # [q, 4]
+    # quartet edge midpoints (on the merged parent's edges):
+    mids = np.stack(
+        [qcs[:, 0, 1], qcs[:, 2, 3], qcs[:, 0, 2], qcs[:, 1, 3]], axis=1
+    )  # [q, 4] = eb, et, el, er
+    mid_ends = np.stack(
+        [parents[:, [0, 1]], parents[:, [2, 3]],
+         parents[:, [0, 2]], parents[:, [1, 3]]],
+        axis=1,
+    )  # [q, 4, 2]
+
+    merged = np.zeros(nc, bool)
+    merged[quartets.reshape(-1)] = True
+    keep_cells = np.flatnonzero(~merged)
+    new_cells = np.concatenate([cells[keep_cells], parents], axis=0)
+    lv = levels[qs[:, 0]] - 1
+    new_levels = np.concatenate([levels[keep_cells], lv])
+    new_origin = np.concatenate(
+        [origin[keep_cells],
+         np.stack([origin[qs[:, 0], 1], np.full(len(qs), -1, np.int64)],
+                  axis=1)],
+        axis=0,
+    )
+    cell_map = np.full(nc, -1, dtype=np.int64)
+    cell_map[keep_cells] = np.arange(len(keep_cells))
+
+    # ---- vertex removal ---------------------------------------------------
+    used = np.zeros(nv, bool)
+    used[new_cells.reshape(-1)] = True
+    # center vertices are interior to their quartet -> always removed;
+    # edge midpoints survive iff a remaining (level-L) neighbor still uses
+    # them, in which case they hang on the merged parent edge:
+    m_flat = mids.reshape(-1)
+    e_flat = mid_ends.reshape(-1, 2)
+    hangs = used[m_flat]
+    new_rows = np.unique(
+        np.stack(
+            [m_flat[hangs], e_flat[hangs, 0], e_flat[hangs, 1]], axis=1
+        ),
+        axis=0,
+    )
+    # previous hanging rows whose node vanishes (the quartet was the only
+    # user — its across-neighbor is the coarse parent edge) are dropped:
+    keep_h = used[hang[:, 0]] if len(hang) else np.zeros(0, bool)
+    new_hanging = np.concatenate([hang[keep_h], new_rows], axis=0)
+
+    # ---- boundary faces: merge the split halves of coarsened edges -------
+    faces, fids = mesh.boundary_faces, mesh.boundary_ids
+    fmids = mesh.face_manifold_ids
+    gone = ~used
+    has_gone = gone[faces].any(axis=1)
+    keep_f = ~has_gone
+    mf = faces[has_gone]
+    mi = fids[has_gone]
+    mm = fmids[has_gone] if fmids is not None else None
+    if len(mf):
+        # pair the two halves by their removed midpoint
+        mid_of = np.where(gone[mf[:, 0]], mf[:, 0], mf[:, 1])
+        other = np.where(gone[mf[:, 0]], mf[:, 1], mf[:, 0])
+        o = np.argsort(mid_of, kind="stable")
+        mid_s, oth_s, id_s = mid_of[o], other[o], mi[o]
+        assert (mid_s[0::2] == mid_s[1::2]).all(), "unpaired boundary half"
+        assert (id_s[0::2] == id_s[1::2]).all(), "boundary id mismatch"
+        # preserve the (x, m)/(m, y) -> (x, y) orientation: the half whose
+        # FIRST vertex survives supplies the merged face's first vertex
+        first_is_end = gone[mf[:, 0]]
+        f_s = first_is_end[o]
+        a = np.where(f_s[0::2], oth_s[1::2], oth_s[0::2])
+        b = np.where(f_s[0::2], oth_s[0::2], oth_s[1::2])
+        mergedf = np.stack([a, b], axis=1)
+        new_faces = np.concatenate([faces[keep_f], mergedf], axis=0)
+        new_fids = np.concatenate([fids[keep_f], id_s[0::2]])
+        new_fm = (
+            np.concatenate([fmids[keep_f], mm[o][0::2]])
+            if fmids is not None else None
+        )
+    else:
+        new_faces, new_fids = faces[keep_f], fids[keep_f]
+        new_fm = fmids[keep_f] if fmids is not None else None
+
+    # ---- compact vertices + injection transfer ---------------------------
+    vmap = np.full(nv, -1, dtype=np.int64)
+    kept_v = np.flatnonzero(used)
+    vmap[kept_v] = np.arange(len(kept_v))
+    new_verts = verts[kept_v]
+    new_cells = vmap[new_cells]
+    new_faces = vmap[new_faces]
+    new_hanging = vmap[new_hanging]
+    assert (new_hanging >= 0).all()
+    oshape = new_origin >= 0
+    new_origin = np.where(oshape, vmap[np.maximum(new_origin, 0)], -1)
+    transfer = sp.csr_matrix(
+        (np.ones(len(kept_v)), (np.arange(len(kept_v)), kept_v)),
+        shape=(len(kept_v), nv),
+    )
+
+    new_mesh = dataclasses.replace(
+        mesh,
+        vertices=new_verts,
+        cells=new_cells,
+        boundary_faces=new_faces,
+        boundary_ids=new_fids,
+        face_manifold_ids=new_fm,
+        structured_shape=None,
+        structured_index=None,
+        hanging=new_hanging if len(new_hanging) else None,
+        cell_levels=new_levels,
+        cell_origin=new_origin,
+    )
+    return new_mesh, transfer, cell_map

@@ -12,19 +12,21 @@ shapes).
 
 Strategies (mesh_adaptor.h:22-60):
   * adaptation: "global refinement" | "random adaptation" (testing only)
-  * marking: "fixed number" (refine/coarsen a fraction of cells; we
-    implement the refinement half — coarsening marks are accepted and
-    ignored, deal.II-style sibling coarsening has no analog here)
+  * marking: "fixed number" (refine the top `refinement_fraction` of
+    cells by indicator AND coarsen the bottom `coarsening_fraction` —
+    both halves of the reference's fixed-number marking,
+    mesh_adaptor.h:133-149; coarsening merges complete sibling quartets
+    back into their parent, offline/mesh.py coarsen_local)
   * time point selection: "fixed adaptation time points"
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .mesh import Mesh, refine_local
+from .mesh import Mesh, coarsen_local, refine_local
 
 
 class MeshAdaptor:
@@ -88,19 +90,47 @@ class MeshAdaptor:
                 self.need_mesh_adaptation = True
         self.adaptation_time_points = remaining
 
-    def mark_cells(self, mesh: Mesh) -> np.ndarray:
-        """Return refine flags [n_cells] for the configured strategies."""
+    def mark_cells(self, mesh: Mesh) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (refine, coarsen) flags [n_cells] per the strategies.
+
+        Fixed-number marking refines the top `refinement_fraction` of
+        cells by indicator and coarsens the bottom `coarsening_fraction`
+        (mesh_adaptor.h:133-149, dealii refine_and_coarsen_fixed_number).
+        """
         nc = mesh.n_cells
         if self.adaptation_strategy == "global refinement":
-            return np.ones(nc, bool)
+            return np.ones(nc, bool), np.zeros(nc, bool)
         # random adaptation (mesh_adaptor.template.h:166-173):
         indicators = self._rng.uniform(0.0, 10.0, nc)
-        # fixed-number marking: refine the top `refinement_fraction` cells
         n_ref = int(round(self.refinement_fraction * nc))
-        flags = np.zeros(nc, bool)
+        n_coarse = int(round(self.coarsening_fraction * nc))
+        refine = np.zeros(nc, bool)
+        coarsen = np.zeros(nc, bool)
+        order = np.argsort(indicators)
         if n_ref:
-            flags[np.argsort(indicators)[::-1][:n_ref]] = True
-        return flags
+            refine[order[::-1][:n_ref]] = True
+        if n_coarse:
+            coarsen[order[:n_coarse]] = True
+        coarsen &= ~refine
+        return refine, coarsen
+
+    def adapt(self, mesh: Mesh):
+        """Mark + coarsen + refine; returns (new_mesh, transfer CSR).
+
+        The analog of dealii execute_coarsening_and_refinement +
+        SolutionTransfer (time_loop.template.h:616-689): coarsening marks
+        are applied first (complete flagged sibling quartets merge), then
+        refinement marks — carried across the coarsening's cell
+        renumbering — are applied with 2:1 closure; the two transfer
+        matrices compose.
+        """
+        refine, coarsen = self.mark_cells(mesh)
+        m1, t1, cell_map = coarsen_local(mesh, coarsen)
+        r1 = np.zeros(m1.n_cells, bool)
+        keep = cell_map >= 0
+        r1[cell_map[keep]] = refine[keep]
+        m2, t2 = refine_local(m1, r1)
+        return m2, t2 @ t1
 
 
 def transfer_state(
@@ -127,7 +157,13 @@ def transfer_state(
         raw[..., h] = 0.5 * (raw[..., a] + raw[..., b])
     flat = raw.reshape(-1, raw.shape[-1])  # [k, n_raw_old]
     new_raw = (transfer @ flat.T).T.reshape(lead + (transfer.shape[0],))
-    out = np.zeros(lead + (new_packed.n_pad,), U.dtype)
-    order = new_packed.node_to_vertex[: new_packed.n_nodes]
-    out[..., : new_packed.n_nodes] = new_raw[..., order]
+    # scatter through node_to_vertex: works for the padded-ELL layout
+    # (real rows first) AND canvas layouts (real rows at lattice cells);
+    # padded/masked cells receive a safe uniform state, not zeros, so
+    # masked-row garbage stays finite (interpolate_nodal semantics):
+    out = np.empty(lead + (new_packed.n_pad,), U.dtype)
+    out[...] = new_raw[..., :1]
+    ntv = np.asarray(new_packed.node_to_vertex)
+    sel = np.flatnonzero(ntv >= 0)
+    out[..., sel] = new_raw[..., ntv[sel]]
     return out

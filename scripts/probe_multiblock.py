@@ -55,6 +55,19 @@ def main():
             # (offline/multiblock.py ev_side)
             mesh = geometry.cylinder(refinement=refinement,
                                      variant="blocks")
+        elif geom == "amr":
+            # locally-refined square with 2:1 hanging-node interfaces:
+            # the mesh class that used to fall off the ELL cliff
+            from ryujin_tpu.offline.mesh import Boundary, refine_local
+
+            mesh = geometry.rectangular_domain(
+                [-5, -5], [5, 5], [1, 1], refinement=refinement,
+                boundary_conditions=[Boundary.dirichlet] * 4,
+            )
+            centers = mesh.vertices[mesh.cells].mean(axis=1)
+            mesh, _ = refine_local(
+                mesh, (np.abs(centers) < 2.0).all(axis=1)
+            )
         else:
             mesh = getattr(geometry, geom)(refinement=refinement)
         data = assembly.assemble(mesh)

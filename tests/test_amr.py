@@ -139,6 +139,108 @@ def test_amr_checkpoint_resume_composes(tmp_path):
     assert abs(result_b["L2"] - result_c["L2"]) < 1e-12
 
 
+def test_coarsening_roundtrip():
+    """Refine a patch, coarsen every child back: the mesh returns to the
+    original (up to vertex numbering) and the composed transfer is the
+    exact vertex permutation — so any transferred state (and its mass)
+    round-trips exactly.  The coarsening half of the reference's
+    fixed-number marking (mesh_adaptor.h:133-149)."""
+    from scipy.spatial import cKDTree
+
+    from ryujin_tpu.offline.mesh import coarsen_local
+
+    mesh = geometry.rectangular_domain(
+        [-5, -5], [5, 5], [1, 1], 3, [4] * 4
+    )
+    centers = mesh.vertices[mesh.cells].mean(axis=1)
+    m2, T1 = refine_local(mesh, (np.abs(centers) < 2.0).all(axis=1))
+    assert m2.hanging is not None and len(m2.hanging)
+
+    m3, T2, cmap = coarsen_local(m2, np.ones(m2.n_cells, bool))
+    assert m3.n_cells == mesh.n_cells
+    assert m3.n_vertices == mesh.n_vertices
+    assert m3.hanging is None
+    assembly.assemble(m3).validate()
+
+    # composed transfer == vertex permutation (injection of the original):
+    R = (T2 @ T1).toarray()
+    d, idx = cKDTree(mesh.vertices).query(m3.vertices)
+    assert d.max() < 1e-12
+    P = np.zeros((mesh.n_vertices, mesh.n_vertices))
+    P[np.arange(len(idx)), idx] = 1.0
+    np.testing.assert_allclose(R, P, atol=1e-14)
+
+    # a nodal state round-trips exactly -> its lumped mass is conserved:
+    U = 1.0 + 0.1 * mesh.vertices[:, 0] + 0.2 * mesh.vertices[:, 1] ** 2
+    np.testing.assert_allclose(R @ U, U[idx], rtol=0, atol=0)
+
+
+def test_coarsening_partial_and_blocked():
+    """Partial coarsening keeps the mesh conforming (new hanging nodes on
+    merged edges whose neighbor stays fine); coarsening under a finer
+    neighbor is blocked (conservative 2:1 guard)."""
+    from ryujin_tpu.offline.mesh import coarsen_local
+
+    mesh = geometry.rectangular_domain(
+        [-5, -5], [5, 5], [1, 1], 3, [4] * 4
+    )
+    centers = mesh.vertices[mesh.cells].mean(axis=1)
+    m2, _ = refine_local(mesh, (np.abs(centers) < 2.0).all(axis=1))
+
+    rng = np.random.default_rng(5)
+    m4, _, _ = coarsen_local(m2, rng.random(m2.n_cells) < 0.7)
+    assert mesh.n_cells < m4.n_cells < m2.n_cells
+    assembly.assemble(m4).validate()
+
+    # nested refinement: quartets under a finer neighbor must NOT coarsen
+    centers2 = m2.vertices[m2.cells].mean(axis=1)
+    m5, _ = refine_local(m2, (np.abs(centers2) < 1.0).all(axis=1))
+    m6, _, _ = coarsen_local(m5, np.ones(m5.n_cells, bool))
+    assert m6.n_cells > mesh.n_cells  # the nested level survived
+    assembly.assemble(m6).validate()
+    lvl = m6.cell_levels
+    # conforming 2:1: levels of edge-adjacent cells differ by at most 1
+    assert lvl.max() - lvl.min() <= 2
+
+
+def test_adaptor_coarsen_and_refine_cycle():
+    """MeshAdaptor.adapt applies coarsening marks first, carries the
+    refinement marks across the cell renumbering, and composes the two
+    transfers: with deterministic marks (coarsen the previously refined
+    patch, refine a disjoint patch) a linear field survives exactly and
+    the coarsened region really shrinks."""
+    mesh = geometry.rectangular_domain(
+        [-5, -5], [5, 5], [1, 1], 3, [4] * 4
+    )
+    centers = mesh.vertices[mesh.cells].mean(axis=1)
+    m1, T1 = refine_local(mesh, (np.abs(centers - 2.5) < 2.0).all(axis=1))
+    p1 = ell.pack(assembly.assemble(m1))
+    U = np.stack(
+        [np.ones(p1.n_pad),
+         2.0 * p1.positions[:, 0] + 3.0 * p1.positions[:, 1]]
+    )
+
+    ma = MeshAdaptor(adaptation_strategy="random adaptation")
+
+    def marks(m):
+        # coarsen every refined child; refine a disjoint corner patch
+        c = m.vertices[m.cells].mean(axis=1)
+        coarsen = m.cell_origin[:, 0] >= 0
+        refine = (np.abs(c + 3.5) < 1.0).all(axis=1) & ~coarsen
+        return refine, coarsen
+
+    ma.mark_cells = marks
+    m2, T = ma.adapt(m1)
+    assert m2.n_cells < m1.n_cells  # the quartets really merged
+    assembly.assemble(m2).validate()
+    p2 = ell.pack(assembly.assemble(m2))
+    U = transfer_state(U, p1, m1, T, m2, p2)
+    ref = 2.0 * p2.positions[:, 0] + 3.0 * p2.positions[:, 1]
+    n = p2.n_nodes
+    np.testing.assert_allclose(U[0, :n], 1.0, atol=1e-12)
+    np.testing.assert_allclose(U[1, :n], ref[:n], atol=1e-12)
+
+
 def test_mesh_adaptor_time_points():
     ma = MeshAdaptor(adaptation_time_points=[1.0, 1.5])
     ma.prepare(0.0)
