@@ -22,7 +22,18 @@ def cached(tag: str, build):
     if os.path.exists(path):
         try:
             with open(path, "rb") as f:
-                return pickle.load(f)
+                out = pickle.load(f)
+            import time
+
+            age = time.time() - os.path.getmtime(path)
+            print(
+                f"probe cache HIT {path} (written {age / 60:.0f} min ago;"
+                " the tag does not fingerprint code — delete the file or"
+                " set RYUJIN_PROBE_NOCACHE=1 after changing"
+                " geometry/assembly/packing)",
+                flush=True,
+            )
+            return out
         except Exception as exc:  # stale/corrupt: rebuild
             print(f"probe cache {path}: {exc}; rebuilding", flush=True)
     out = build()

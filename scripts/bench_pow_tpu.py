@@ -62,20 +62,28 @@ def make_kernel(powfn, reps=256):
     @jax.jit
     def looped(x):
         import jax.lax as lax
-        return lax.fori_loop(0, 64, lambda i, a: call(a) * 1e-3, x)
+        # re-feed the ORIGINAL x each iteration (a tiny carried term
+        # keeps the loop sequential without degrading the [0.01, 4]
+        # input distribution the timing is supposed to represent)
+        return lax.fori_loop(
+            0, 64, lambda i, a: call(x + 1e-9 * a), x
+        )
 
-    return looped
+    return looped, call
 
 
 def main():
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, N, jnp.float32, 0.01, 4.0)
-    ref = jnp.power(x, G)
     for name, fn in [("xla_pow", pow_xla), ("exp2_log2", pow_exp2),
                      ("bithack_newton", pow_newton)]:
-        err = float(jnp.max(jnp.abs(fn(x) - ref) / ref))
         reps = 16
-        k = make_kernel(fn, reps)
+        k, call1 = make_kernel(fn, reps)
+        # accuracy measured through the PALLAS kernel (Mosaic codegen),
+        # not an XLA re-trace of the same python: one-rep kernel output
+        # minus the r-offset series it accumulates
+        kref = sum(jnp.power(x + 1e-3 * r, G) for r in range(reps))
+        err = float(jnp.max(jnp.abs(call1(x) - kref) / kref))
         k(x).block_until_ready()
         t0 = time.perf_counter()
         iters = 4
