@@ -117,6 +117,55 @@ def main():
         except Exception as exc:  # cost analysis is best-effort
             rec["mfu_error"] = str(exc)[:120]
 
+    # ---- whole-substep HBM roofline (the binding denominator for a
+    # VPU/HBM-bound stencil code; VERDICT r3 weak #5).  Bytes moved per
+    # substep = analytic DMA traffic of the fused Pallas kernels (center
+    # blocks + halo windows with their reload factors + output tiles,
+    # from pallas_step.TRAFFIC_LOG) + the XLA glue between kernels
+    # (cost-analysis "bytes accessed" of the full step minus the
+    # custom calls' flat operand/result footprint, which the analytic
+    # number replaces).  Denominator: v5e HBM ~819 GB/s.
+    if os.environ.get("BENCH_ROOFLINE", "1") != "0" and backend == "pallas":
+        try:
+            from ryujin_tpu.solver import pallas_step as _ps
+
+            _ps.TRAFFIC_LOG = log = []
+            # a FRESH jit object: ti._advance has already traced these
+            # avals, and a cached lowering would skip the trace-time
+            # traffic accounting
+            compiled = jax.jit(ti._advance_impl).lower(
+                hm.stencil, ti._parrays(), out[0], out[2],
+                jnp.asarray(jnp.inf, dtype), 1,
+            ).compile()
+            _ps.TRAFFIC_LOG = None
+            kern_dma = sum(b for _, b, _ in log)
+            kern_flat = sum(f for _, _, f in log)
+            costp = compiled.cost_analysis()
+            if isinstance(costp, (list, tuple)):
+                costp = costp[0]
+            glue = max(float(costp.get("bytes accessed", 0.0)) - kern_flat,
+                       0.0)
+            per_sub = (kern_dma + glue) / substeps_per_step
+            hbm_peak = float(os.environ.get("BENCH_HBM_GBPS", "819")) * 1e9
+            substeps_per_s = mqs * 1e6 / n_dofs
+            rec["hbm_gb_per_substep"] = round(per_sub / 1e9, 4)
+            rec["hbm_roofline_frac"] = round(
+                per_sub * substeps_per_s / hbm_peak, 4
+            )
+            by_kernel = {}
+            for name, b, _ in log:
+                name = "pk1" if name == "<lambda>" else name
+                by_kernel[name] = by_kernel.get(name, 0.0) + b
+            rec["hbm_gb_per_substep_by_kernel"] = {
+                k: round(v / substeps_per_step / 1e9, 4)
+                for k, v in sorted(by_kernel.items())
+            }
+            rec["hbm_gb_per_substep_glue"] = round(
+                glue / substeps_per_step / 1e9, 4
+            )
+        except Exception as exc:  # best-effort
+            rec["hbm_roofline_error"] = str(exc)[:120]
+
     print(json.dumps(rec))
 
 

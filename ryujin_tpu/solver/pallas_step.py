@@ -435,6 +435,68 @@ def _tiled_call(
     )
 
 
+# Set to a list by bench/probe tooling BEFORE tracing a substep: every
+# fused-kernel dispatch appends (kernel_name, dma_bytes, flat_bytes)
+# computed from its exact DMA shapes — center blocks, halo windows
+# (with their (wz/TD or 3x) reload factor), and output tiles.
+# `flat_bytes` is the plain operand+result footprint (no reload factor,
+# full canvases incl. margins), matching how XLA's cost analysis counts
+# a custom call — bench.py uses it to splice the analytic kernel DMA
+# into the whole-substep "bytes accessed" total.
+TRAFFIC_LOG = None
+
+
+def _traffic_account(tiled_call_fn, name, ins, out_init, common, itemsize):
+    norm = [(a, True) if not isinstance(a, tuple) else a for a in ins]
+    zmajor = tiled_call_fn is _tiled_call_3d_slab
+    if zmajor:
+        TD, H, W = common["TD"], common["H"], common["W"]
+        tz0, tz1 = common["tile_planes"]
+        g = tz1 - tz0
+        tile, win = g * TD * H * W, g * (TD + 2) * H * W
+    elif tiled_call_fn is _tiled_call:
+        TH, TW, W = common["TH"], common["TW"], common["W"]
+        t0, t1 = common["tile_rows"]
+        gw = W // TW
+        g = (t1 - t0) * gw
+        # sliding-stripe columns refetch only TH new rows per y step;
+        # the dominant single-column (gw == 1) case uses (3*TH, W)
+        # windows per row tile:
+        tile = g * TH * TW
+        win = g * 3 * TH * (3 * TW if gw > 1 else TW)
+    elif tiled_call_fn is _tiled_call_3d:
+        TD, TH, W = common["TD"], common["TH"], common["W"]
+        tz0, tz1 = common["tile_planes"]
+        t0, t1 = common["tile_rows"]
+        g = (tz1 - tz0) * (t1 - t0)
+        tile = g * TD * TH * W
+        # sliding window: full (wz, 3*TH) fetch per slab transition,
+        # TH-stripe per subsequent y tile — account the upper bound:
+        win = g * (TD + 2) * 3 * TH * W
+    else:
+        return
+    canvas_slots = (
+        common["D"] * common["H"] * common["W"]
+        if "D" in common else common["H"] * common["W"]
+    )
+    dma = flat = 0
+    for a, h in norm:
+        if a is None:
+            continue
+        planes = a.shape[1] if zmajor else a.shape[0]
+        if planes == 0:
+            continue
+        dma += planes * (win if h else tile) * itemsize
+        flat += a.size * itemsize
+    for a in out_init:
+        planes = a if isinstance(a, int) else (
+            a.shape[1] if zmajor else a.shape[0]
+        )
+        dma += planes * tile * itemsize
+        flat += planes * canvas_slots * itemsize
+    TRAFFIC_LOG.append((name, dma, flat))
+
+
 def _tiled_call_3d(
     compute,
     ins: Sequence,
@@ -872,6 +934,7 @@ class PallasArrays:
     g_mij: jax.Array
     g_cii: jax.Array
     g_node: jax.Array
+    g_lam: jax.Array  # 1/n_nbrs, the only node field PK4/PK5 read
     node_mask_flat: jax.Array
     m_lumped_flat: jax.Array
 
@@ -1031,6 +1094,11 @@ class PallasStepper:
                     axis=0,
                 ),
                 5,
+            ),
+            g_lam=canv(
+                np.where(sd.n_nbrs > 0, 1.0 / np.maximum(sd.n_nbrs, 1), 1.0)
+                .reshape((1,) + canvas),
+                1,
             ),
             node_mask_flat=jnp.asarray(sd.node_mask, dtype),
             m_lumped_flat=jnp.asarray(sd.lumped_mass, dtype),
@@ -1378,6 +1446,11 @@ class PallasStepper:
         roll, tau/ok reductions, lambda fixup) stays in global-array land
         where GSPMD partitions it — the refresh roll becomes the
         collective-permute halo exchange of SURVEY.md §5.7."""
+        if TRAFFIC_LOG is not None:
+            _traffic_account(
+                tiled_call, getattr(compute, "__name__", "kernel"),
+                ins, out_init, common, np.dtype(self.dtype).itemsize,
+            )
         if self.device_mesh is None:
             return tiled_call(compute, ins, scalars, out_init, **common)
         from jax.sharding import PartitionSpec
@@ -1799,6 +1872,9 @@ class PallasStepper:
             tiled_call, pk2,
             [(ga.g_cij, False), (ga.g_mask, False),
              (ga.g_cmax if sym else None, False), (ga.g_cii, False),
+             # node canvas only read at the tile center in pk2 -> feed it
+             # as a pipelined center block (halo windows cost a
+             # (TD+2)/TD reload factor on every plane)
              (ga.g_node, False), Uz, precz, e, alpha, sUz],
             [tau] + [w_vec[s] for s in range(S)],
             [Uz, zeros(C), n_b],
@@ -1892,7 +1968,10 @@ class PallasStepper:
                         jnp.ones(tile, dtype),
                     ),
                 )
-                P_slots.append(P_k)
+                # fold the edge mask into P: PK4/PK5 then apply
+                # l_sym * P directly and never read the 27-plane mask
+                # canvas (masked slots contribute 0 regardless of l)
+                P_slots.append(P_k * mask_k[None])
                 l_slots.append(l_k)
             P = jnp.stack(P_slots, axis=1).reshape((C * K,) + tile)
             l = jnp.stack(l_slots, axis=0)
@@ -1920,24 +1999,23 @@ class PallasStepper:
             last = it + 1 == n_iter
 
             def pk_up(wins, scal, tv, last=last):
-                w_mask, w_node, w_Ucur, w_bounds, w_P, w_l = wins
+                w_lam, w_Ucur, w_bounds, w_P, w_l = wins
                 tvd = self._derived_view(tv)
                 tile = (tv.TD, tv.TH, tv.TW)
-                node_c = tv.center(w_node)
-                mask_c = tv.center(w_mask)
+                lam_i = tv.center(w_lam)[0]
                 U_t = tv.center(w_Ucur)
                 bounds_t = tv.center(w_bounds)
                 P_t = tv.center(w_P).reshape((C, K) + tile)
                 l_t = tv.center(w_l)
                 l_win = self._win(w_l, tv)
-                lam_i = 1.0 / node_c[2]
                 acc = jnp.zeros((C,) + tile, dtype)
                 l_sym_slots = []
                 for k, off in enumerate(self.offsets):
                     l_T_k = tvd._slot(l_win, K - 1 - k, off)
                     l_sym_k = jnp.minimum(l_t[k], l_T_k)
                     l_sym_slots.append(l_sym_k)
-                    acc = acc + (l_sym_k * mask_c[k])[None] * P_t[:, k]
+                    # P carries the edge mask (folded in at PK3)
+                    acc = acc + l_sym_k[None] * P_t[:, k]
                 U_next = U_t + lam_i[None] * acc
                 if last:
                     return [U_next]
@@ -1959,7 +2037,7 @@ class PallasStepper:
 
             outs = self._call(
                 tiled_call, pk_up,
-                [(ga.g_mask, False), ga.g_node,
+                [(ga.g_lam, False),
                  (U_cur, False), (bounds, False), (P, False), l_ij],
                 [],
                 [Uz] if last else [Uz, zeros(K)],

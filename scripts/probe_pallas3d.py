@@ -113,6 +113,39 @@ def main():
           Uh[0][np.asarray(packed.node_mask) > 0].min(),
           Uh[0][np.asarray(packed.node_mask) > 0].max(), flush=True)
 
+    # per-kernel DMA traffic + whole-substep HBM roofline fraction
+    if backend.startswith("pallas"):
+        from ryujin_tpu.solver import pallas_step as _ps
+
+        _ps.TRAFFIC_LOG = log = []
+        # fresh jit object: the cached lowering of ti._advance would
+        # skip the trace-time traffic accounting
+        compiled = jax.jit(ti._advance_impl).lower(
+            hm.stencil, ti._parrays(), out[0], out[2],
+            jnp.asarray(jnp.inf, dtype), 1,
+        ).compile()
+        _ps.TRAFFIC_LOG = None
+        kern_dma = sum(b for _, b, _ in log)
+        kern_flat = sum(f for _, _, f in log)
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        glue = max(float(cost.get("bytes accessed", 0.0)) - kern_flat, 0.0)
+        per_sub = (kern_dma + glue) / 3.0
+        by_k = {}
+        for name, b, _ in log:
+            name = "pk1" if name == "<lambda>" else name
+            by_k[name] = by_k.get(name, 0.0) + b / 3.0
+        hbm = float(os.environ.get("HBM_GBPS", "819")) * 1e9
+        sps = mqs * 1e6 / packed.n_nodes
+        print(
+            f"HBM GB/substep: {per_sub / 1e9:.3f} "
+            f"(kernels { {k: round(v / 1e9, 3) for k, v in sorted(by_k.items())} }, "
+            f"glue {glue / 3e9:.3f}); roofline frac at {mqs:.1f} MQ/s: "
+            f"{per_sub * sps / hbm:.3f}",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()
