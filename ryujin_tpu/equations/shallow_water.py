@@ -578,19 +578,20 @@ class ShallowWater:
                 - eps
             )
             success = success & (jnp.minimum(0.0, psi_l - lower_bound) == 0.0)
-            for _ in range(newton_iterations):
-                psi_l = psi_ke(t_l)
-                psi_r = psi_ke(t_r)
-                qq = jnp.sum(q_U * q_P, axis=0)
-                qp2 = jnp.sum(q_P * q_P, axis=0)
-                dpsi_l = h_P * kin_max - qq - qp2 * t_l
-                dpsi_r = h_P * kin_max - qq - qp2 * t_r
-                nl, nr = quadratic_newton_step(
-                    t_l, t_r, psi_l, psi_r, dpsi_l, dpsi_r, sign=-1.0
-                )
-                active = (t_r - t_l) > newton_tol
-                t_l = jnp.where(active, nl, t_l)
-                t_r = jnp.where(active, nr, t_r)
+            # psi is QUADRATIC in t, so the reference applies exactly ONE
+            # guarded quadratic-Newton step (limiter.template.h:225-264;
+            # no newton_max_iterations loop in the SW limiter):
+            psi_r = psi_ke(t_r)
+            qq = jnp.sum(q_U * q_P, axis=0)
+            qp2 = jnp.sum(q_P * q_P, axis=0)
+            dpsi_l = h_P * kin_max - qq - qp2 * t_l
+            dpsi_r = h_P * kin_max - qq - qp2 * t_r
+            nl, nr = quadratic_newton_step(
+                t_l, t_r, psi_l, psi_r, dpsi_l, dpsi_r, sign=-1.0
+            )
+            active = (t_r - t_l) > newton_tol
+            t_l = jnp.where(active, nl, t_l)
+            t_r = jnp.where(active, nr, t_r)
             if opts.limit_on_square_velocity:
                 t_r = t_l
                 t_l = jnp.full_like(t_l, t_min)
@@ -608,23 +609,30 @@ class ShallowWater:
             psi_l = psi_v2(t_l)
             h_l = self.water_depth(U + t_l[None] * P)
             fh = self.filter_dry_water_depth(h_l)
-            lower_bound = (1.0 - relax) * fh * fh * v2_max - eps
+            lower_bound = (1.0 - relax) * fh * fh * v2_max - 100.0 * eps
             success = success & (jnp.minimum(0.0, psi_l - lower_bound) == 0.0)
-            for _ in range(newton_iterations):
-                psi_l = psi_v2(t_l)
-                psi_r = psi_v2(t_r)
-                h_tl = h_U + t_l * h_P
-                h_tr = h_U + t_r * h_P
-                qq = jnp.sum(q_U * q_P, axis=0)
-                qp2 = jnp.sum(q_P * q_P, axis=0)
-                dpsi_l = 2.0 * (h_tl * h_P * v2_max - qq - qp2 * t_l)
-                dpsi_r = 2.0 * (h_tr * h_P * v2_max - qq - qp2 * t_r)
-                nl, nr = quadratic_newton_step(
-                    t_l, t_r, psi_l, psi_r, dpsi_l, dpsi_r, sign=-1.0
-                )
-                active = (t_r - t_l) > newton_tol
-                t_l = jnp.where(active, nl, t_l)
-                t_r = jnp.where(active, nr, t_r)
+            # One guarded quadratic-Newton step with the REFERENCE's
+            # dpsi formula (limiter.template.h:390-404):
+            #   dpsi = (h_U + t h_P) h_P v2_max - 2 (q_U.q_P - |q_P|^2 t)
+            # This is not the textbook derivative of psi (that would be
+            # 2 (h_U + t h_P) h_P v2_max - 2 q_U.q_P - 2 |q_P|^2 t), and
+            # with a single step the iterate depends on it — reproduce
+            # the reference's exact semantics (observable on the
+            # paraboloid-2D dry-front baseline at the ~10% level):
+            psi_l = psi_v2(t_l)
+            psi_r = psi_v2(t_r)
+            h_tl = h_U + t_l * h_P
+            h_tr = h_U + t_r * h_P
+            qq = jnp.sum(q_U * q_P, axis=0)
+            qp2 = jnp.sum(q_P * q_P, axis=0)
+            dpsi_l = h_tl * h_P * v2_max - 2.0 * (qq - qp2 * t_l)
+            dpsi_r = h_tr * h_P * v2_max - 2.0 * (qq - qp2 * t_r)
+            nl, nr = quadratic_newton_step(
+                t_l, t_r, psi_l, psi_r, dpsi_l, dpsi_r, sign=-1.0
+            )
+            active = (t_r - t_l) > newton_tol
+            t_l = jnp.where(active, nl, t_l)
+            t_r = jnp.where(active, nr, t_r)
 
         return t_l, success
 

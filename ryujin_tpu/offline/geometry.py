@@ -498,6 +498,14 @@ def extrude(
         pp = np.concatenate(
             [pp2 + l * n2 for l in range(n_layers + 1)], axis=0
         )
+    if bc_minus == Boundary.periodic and bc_plus == Boundary.periodic:
+        # periodic extrusion (the reference's 3D airfoil,
+        # geometry_airfoil.h:1385-1396): identify the top layer with the
+        # bottom layer, [slave, master] like the face-driven pairs
+        pp_z = np.stack(
+            [np.arange(n2) + n_layers * n2, np.arange(n2)], axis=1
+        )
+        pp = pp_z if pp is None else np.concatenate([pp, pp_z], axis=0)
     return Mesh(
         dim=3, vertices=verts, cells=cells,
         boundary_faces=bfaces, boundary_ids=ids,
@@ -1175,24 +1183,60 @@ def _grade01(t, g: float, eps: float):
     return (np.asarray(t) * span + e) ** g - eps
 
 
-def _ruled_block(wall, far, t, grade_right=None):
-    """Vertices and cells of a ruled (transfinite) block between the
-    `wall` [ns+1, 2] and `far` [ns+1, 2] curves with cross parameters
-    t [nt+1] (0 = wall).  grade_right: optional second cross parameter
-    for the last column, linearly blended along s (used by the trailing
-    blocks so the shared graded edge conforms while the outflow edge
-    stays uniform)."""
+def _coons_block(W, F, L, R):
+    """Vertices and cells of the four-sided transfinite (Coons) patch.
+
+    W [ns+1, 2] / F [ns+1, 2]: wall (t = 0) and far (t = 1) edge point
+    sets; L [nt+1, 2] / R [nt+1, 2]: side edges at s = 0 / s = 1.  Corners
+    must agree (L[0] == W[0], R[-1] == F[-1], ...).  The blend runs over
+    UNIFORM dyadic (s, t) — any grading lives in the edge sampling, which
+    is exactly the semantics of the reference's per-coarse-cell
+    TransfiniteInterpolationManifold: refinement midpoints pull back to
+    dyadic chart coordinates and push forward through the four (curved,
+    possibly graded) edge manifolds
+    (transfinite_interpolation.template.h; geometry_airfoil.h:1120-1220).
+    For straight, uniformly-parameterized side edges the side terms
+    cancel against the corner terms and the patch reduces to the ruled
+    surface — which is why only blocks with a graded side edge (the wake
+    blocks: graded left edge shared with the center block, uniform
+    outflow edge) need the full four-sided formula."""
+    ns, nt = len(W) - 1, len(L) - 1
+    s = (np.arange(ns + 1) / ns)[:, None, None]
+    t = (np.arange(nt + 1) / nt)[None, :, None]
+    P = (
+        (1.0 - t) * W[:, None] + t * F[:, None]
+        + (1.0 - s) * L[None, :] + s * R[None, :]
+        - (
+            (1.0 - s) * (1.0 - t) * W[0]
+            + s * (1.0 - t) * W[-1]
+            + (1.0 - s) * t * F[0]
+            + s * t * F[-1]
+        )
+    )
+    idx = np.arange((ns + 1) * (nt + 1)).reshape(ns + 1, nt + 1)
+    cells = np.stack(
+        [
+            idx[:-1, :-1].ravel(), idx[1:, :-1].ravel(),
+            idx[:-1, 1:].ravel(), idx[1:, 1:].ravel(),
+        ],
+        axis=1,
+    )
+    return P.reshape(-1, 2), cells
+
+
+def _ruled_block(wall, far, t):
+    """Vertices and cells of a ruled block between the `wall` [ns+1, 2]
+    and `far` [ns+1, 2] curves with cross parameters t [nt+1] (0 = wall).
+
+    Equal to the four-sided Coons patch (_coons_block) whenever both
+    side edges are straight and share the cross parameterization t —
+    which is the case for all graded airfoil blocks: the reference warps
+    the whole chart through the GradingManifold, so the ruled surface at
+    graded t IS its transfinite chart evaluated at dyadic parameters."""
     ns = len(wall) - 1
-    if grade_right is None:
-        P = (1.0 - t[None, :, None]) * wall[:, None] + t[
-            None, :, None
-        ] * far[:, None]
-    else:
-        s = (np.arange(ns + 1) / ns)[:, None]
-        tt = (1.0 - s) * t[None, :] + s * grade_right[None, :]
-        P = (1.0 - tt[..., None]) * wall[:, None] + tt[..., None] * far[
-            :, None
-        ]
+    P = (1.0 - t[None, :, None]) * wall[:, None] + t[
+        None, :, None
+    ] * far[:, None]
     nt = len(t) - 1
     idx = np.arange((ns + 1) * (nt + 1)).reshape(ns + 1, nt + 1)
     cells = np.stack(
@@ -1219,8 +1263,16 @@ def airfoil(
     anisotropic_pre_refinement_trailing: int = 3,
     psi_samples: int = 64,
     refinement: int = 0,
+    dim: int = 2,
+    width: float = 1.0,
+    subdivisions_z: int = 2,
 ) -> Mesh:
     """2D airfoil in a circular farfield (geometry_airfoil.h:823-1416).
+
+    dim=3 extrudes the C-mesh along z over `width` with periodic z
+    boundaries — `subdivisions_z` base layers doubled per refinement
+    level, mirroring the reference's extrude-then-globally-refine order
+    (geometry_airfoil.h:1278-1296,1385-1396).
 
     The reference's C-type blocking evaluated directly: six (sharp
     trailing edge) or seven (blunt) transfinite blocks — two polar front
@@ -1235,12 +1287,16 @@ def airfoil(
     Airfoil types: tabulated "NASA SC(2) 0714", "ONERA OAT15a",
     "BELL 10" (offline/airfoil_profiles.py) or generated "NACA dddd".
 
-    Design divergence (documented): the reference refines coarse cells
-    through deal.II TransfiniteInterpolationManifold charts; here each
-    block's point grid is evaluated in closed form, which places the
-    boundary points identically (exact splines, circle, grading) but
-    distributes interior points by the ruled formula instead of the
-    weighted transfinite chart average.
+    Chart semantics: the reference refines each coarse block cell
+    through a (graded) TransfiniteInterpolationManifold — refinement
+    midpoints pull back to dyadic chart coordinates and push forward
+    through the four-sided Coons blend of the block's edge curves
+    (transfinite_interpolation.template.h; geometry_airfoil.h:1120-1220).
+    Here each block's point grid is evaluated in the same chart in
+    closed form: graded blocks reduce to the ruled surface at graded
+    cross parameters (straight side edges cancel the Coons side terms),
+    and the wake blocks — whose left edge is graded but whose outflow
+    edge is uniform — use the full four-sided _coons_block formula.
     """
     from .airfoil_profiles import PROFILES
 
@@ -1347,6 +1403,9 @@ def airfoil(
     # trailing blocks: wake line(s) -> outer straight edges, graded on the
     # shared left edge, uniform at the outflow:
     s_w = np.arange(n_wake + 1) / n_wake
+    def lerp(a, b, t):
+        return a[None] + t[:, None] * (b - a)[None]
+
     if sharp:
         out_b, out_m, out_t = (
             np.array([R, -0.5 * R]), np.array([R, 0.0]),
@@ -1355,8 +1414,14 @@ def airfoil(
         wake = te_l[None] + s_w[:, None] * (out_m - te_l)[None]
         bot = v3[None] + s_w[:, None] * (out_b - v3)[None]
         top = v8[None] + s_w[:, None] * (out_t - v8)[None]
-        blocks.append(_ruled_block(wake, bot, t_g, grade_right=t_u))
-        blocks.append(_ruled_block(wake, top, t_g, grade_right=t_u))
+        # wake blocks: full Coons patch — graded left edge (conforming
+        # with the center block), uniform outflow edge:
+        blocks.append(_coons_block(
+            wake, bot, lerp(te_l, v3, t_g), lerp(out_m, out_b, t_u)
+        ))
+        blocks.append(_coons_block(
+            wake, top, lerp(te_l, v8, t_g), lerp(out_m, out_t, t_u)
+        ))
     else:
         h_t = 0.5 / (0.5 + 2.0**na) * 0.5 * R
         out_b, out_t = np.array([R, -0.5 * R]), np.array([R, 0.5 * R])
@@ -1371,8 +1436,12 @@ def airfoil(
         wake_u = te_u_pt[None] + s_c[:, None] * (out_mu - te_u_pt)[None]
         bot = v3[None] + s_w[:, None] * (out_b - v3)[None]
         top = v8[None] + s_w[:, None] * (out_t - v8)[None]
-        blocks.append(_ruled_block(wake_l, bot, t_g, grade_right=t_u))
-        blocks.append(_ruled_block(wake_u, top, t_g, grade_right=t_u))
+        blocks.append(_coons_block(
+            wake_l, bot, lerp(te_l, v3, t_g), lerp(out_ml, out_b, t_u)
+        ))
+        blocks.append(_coons_block(
+            wake_u, top, lerp(te_u_pt, v8, t_g), lerp(out_mu, out_t, t_u)
+        ))
         t_c = np.arange(n_te + 1) / n_te
         blocks.append(_ruled_block(wake_l, wake_u, t_c))
 
@@ -1390,4 +1459,9 @@ def airfoil(
     )
     mesh.boundary_ids[:] = Boundary.no_slip
     mesh.boundary_ids[on_far] = Boundary.dynamic
+    if dim == 3:
+        return extrude(
+            mesh, 0.0, width, subdivisions_z * 2**refinement,
+            bc_minus=Boundary.periodic, bc_plus=Boundary.periodic,
+        )
     return mesh

@@ -3,10 +3,17 @@
 Re-implements TimeLoop::compute_error
 (/root/reference/source/time_loop.template.h:694-833): per selected
 component, the consolidated (optionally normalized) L-inf, L1, L2 norms of
-(numerical - analytic) at final time.  The reference evaluates Linf on the
-nodal vector and L1/L2 by cellwise quadrature (QGauss(3) per direction) of
-the finite element interpolant; we do exactly the same, vectorized over all
-cells with NumPy.
+(numerical - analytic) at final time.  NOTE the reference's exact
+semantics: the analytic solution is interpolated NODALLY
+(interpolate_hyperbolic_vector), the error vector is formed at the nodes,
+and L1/L2 integrate the FE INTERPOLANT of that nodal error by cellwise
+quadrature (integrate_difference of `error_component` against a
+ZeroFunction, QGauss(3) per direction — time_loop.template.h:769-796).
+Evaluating the analytic solution at the quadrature points instead adds
+the O(h^2) FE-interpolation error of the exact solution and caps the
+observed L1 convergence at 2nd order — the committed 3rd-order vortex
+tables are only reproducible with the nodal-error semantics.  We do
+exactly the same, vectorized over all cells with NumPy.
 """
 
 from __future__ import annotations
@@ -20,19 +27,15 @@ from ..offline.ell import EllData
 from ..offline.mesh import Mesh
 
 
-def _cell_norms(mesh: Mesh, nodal: np.ndarray, kind: str,
-                dof_map=None) -> float:
-    """Integrate the FE interpolant of `nodal` (raw dof values) over cells.
-
-    dof_map: None for the vertex-based cG Q1 path, else an
-    offline.ansatz.DofMap whose basis interpolates the dof values."""
+def _cell_quad_setup(mesh: Mesh, dof_map=None):
+    """Shared per-cell quadrature data: (N, cell_dofs, JxW, xq) where
+    xq [nc, nq, dim] are the physical quadrature points."""
     dim = mesh.dim
     qp, qw = _cell_quadrature(dim, max(3, (
         dof_map.degree + 1 if dof_map is not None else 0)))
-    _, dN1 = _shape_q1(dim, qp)
+    N1, dN1 = _shape_q1(dim, qp)
     if dof_map is None:
-        N, _ = _shape_q1(dim, qp)
-        cell_dofs = mesh.cells
+        N, cell_dofs = N1, mesh.cells
     else:
         from ..offline.ansatz import shape_qp
 
@@ -42,12 +45,26 @@ def _cell_norms(mesh: Mesh, nodal: np.ndarray, kind: str,
     J = np.einsum("qsd,nse->nqed", dN1, X)
     detJ = np.abs(np.linalg.det(J))
     JxW = detJ * qw[None, :]
-    vals = np.einsum("qs,ns->nq", N, nodal[cell_dofs])
+    xq = np.einsum("qs,nsd->nqd", N1, X)
+    return N, cell_dofs, JxW, xq
+
+
+def _quad_norms(vals: np.ndarray, JxW: np.ndarray, kind: str) -> float:
+    """L1/L2 norm of per-quadrature-point values [nc, nq]."""
     if kind == "L1":
         return float(np.sum(np.abs(vals) * JxW))
     if kind == "L2":
         return float(np.sqrt(np.sum(vals * vals * JxW)))
     raise ValueError(kind)
+
+
+def _cell_norms(mesh: Mesh, nodal: np.ndarray, kind: str,
+                dof_map=None) -> float:
+    """Integrate the FE interpolant of `nodal` (raw dof values) over
+    cells (used for interpolated fields without an analytic closure)."""
+    N, cell_dofs, JxW, _ = _cell_quad_setup(mesh, dof_map)
+    vals = np.einsum("qs,ns->nq", N, nodal[cell_dofs])
+    return _quad_norms(vals, JxW, kind)
 
 
 def compute_error(
@@ -81,24 +98,30 @@ def compute_error(
         pos = mesh.vertices
     analytic = np.asarray(
         initial_state_fn(jnp.asarray(pos.T, dtype=U.dtype), t)
-    )  # [C, n_raw]
+    )  # [C, n_raw] nodal interpolation (interpolate_hyperbolic_vector)
 
     # nodal numerical values at raw dofs (constrained dofs read from
     # their master, matching affine_constraints().distribute()):
     U_vertices = U[:, ell.vertex_to_node]
 
+    # L1/L2 integrate the FE interpolant of the NODAL error (see the
+    # module docstring — evaluating the analytic solution at quadrature
+    # points instead is NOT what the reference does):
+    N, cell_dofs, JxW, _ = _cell_quad_setup(mesh, dm)
+
     linf = l1 = l2 = 0.0
     for name in components:
         idx = names.index(name)
         err = U_vertices[idx] - analytic[idx]
+        err_q = np.einsum("qs,ns->nq", N, err[cell_dofs])
         linf_e = float(np.max(np.abs(err)))
-        l1_e = _cell_norms(mesh, err, "L1", dm)
-        l2_e = _cell_norms(mesh, err, "L2", dm)
+        l1_e = _quad_norms(err_q, JxW, "L1")
+        l2_e = _quad_norms(err_q, JxW, "L2")
         if normalize:
-            a = analytic[idx]
-            linf_a = float(np.max(np.abs(a)))
-            l1_a = _cell_norms(mesh, a, "L1", dm)
-            l2_a = _cell_norms(mesh, a, "L2", dm)
+            a_q = np.einsum("qs,ns->nq", N, analytic[idx][cell_dofs])
+            linf_a = float(np.max(np.abs(analytic[idx])))
+            l1_a = _quad_norms(a_q, JxW, "L1")
+            l2_a = _quad_norms(a_q, JxW, "L2")
             linf += linf_e / linf_a
             l1 += l1_e / l1_a
             l2 += l2_e / l2_a

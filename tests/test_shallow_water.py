@@ -98,9 +98,11 @@ def test_paraboloid_1d_erk33_l7_matches_reference():
         boundary_conditions=[Boundary.do_nothing] * 2, dim=1,
     )
     (linf, l1, l2), _, _ = _run(eq, init, mesh, 1345.71, 0.5)
-    # reference: L1 = 1.5408e-5 (within 25%: the reference overshoots the
-    # final time slightly while we land on it exactly)
-    assert abs(l1 / 1.5408e-5 - 1.0) < 0.25, l1
+    # measured 1.5569e-5 vs reference 1.5408e-5 (+1.0%); the residual
+    # difference is the reference's final-time overshoot (it lands at
+    # t = 1345.89, enforce_t_final defaults to false,
+    # time_loop.template.h:86) — replicating it gives +0.3%
+    assert abs(l1 / 1.5408e-5 - 1.0) < 0.05, l1
 
 
 def test_ritter_dam_break_erk33():
@@ -109,6 +111,11 @@ def test_ritter_dam_break_erk33():
         dim=1,
         params=ShallowWaterParams(
             reference_water_depth=0.005, dry_state_relaxation_factor=1.0e-3,
+        ),
+        # the reference's ritter prm selects kinetic-energy limiting
+        # (prm/verification/shallow_water-ritter_dam_break-erk33.prm)
+        limiter_options=SWLimiterOptions(
+            limit_on_kinetic_energy=True, limit_on_square_velocity=False,
         ),
     )
     init = sw_states.make_initial_state(
@@ -131,6 +138,9 @@ def test_ritter_dam_break_erk33_l7_matches_reference():
         params=ShallowWaterParams(
             reference_water_depth=0.005, dry_state_relaxation_factor=1.0e-3,
         ),
+        limiter_options=SWLimiterOptions(
+            limit_on_kinetic_energy=True, limit_on_square_velocity=False,
+        ),
     )
     init = sw_states.make_initial_state(
         eq, "ritter dam break", position=[5.0], time_initial=1.0,
@@ -140,7 +150,10 @@ def test_ritter_dam_break_erk33_l7_matches_reference():
         boundary_conditions=[Boundary.dirichlet] * 2, dim=1,
     )
     (linf, l1, l2), _, _ = _run(eq, init, mesh, 6.0, 0.5)
-    assert abs(l1 / 2.0348e-5 - 1.0) < 0.25, l1
+    # measured 2.0385e-5 vs reference 2.0354e-5 (+0.2%) once the
+    # limiter options match the prm (KE limiting); replicating the
+    # reference's final-time overshoot as well gives 2.0349e-5 (+0.00%)
+    assert abs(l1 / 2.0354e-5 - 1.0) < 0.05, l1
 
 
 def test_circular_dam_break_2d_admissible():
@@ -207,8 +220,10 @@ def test_paraboloid_2d_erk33_matches_reference():
     )
     (linf, l1, l2), _, _ = _run(eq, init, mesh, t_final=13.45710440,
                                 cfl=0.50)
-    # Dry-front problems are the most limiter-sensitive cases; we land
-    # consistently ~15% BELOW the reference error with the same
-    # convergence rate (measured l6 ratio 0.864, l7 ratio 0.807), so the
-    # acceptance band is [0.6, 1.05] x reference:
-    assert 0.6 * 6.32972e-2 < l1 < 1.05 * 6.32972e-2, (linf, l1, l2)
+    # measured 6.3258e-2 vs reference 6.3297e-2 (-0.06%).  The decisive
+    # detail was the square-velocity limiter's Newton step: the
+    # reference applies exactly ONE quadratic-Newton step with its own
+    # dpsi formula (limiter.template.h:390-404) — iterating a textbook
+    # derivative instead lands ~13% BELOW the reference error on this
+    # dry-front benchmark (see shallow_water.limiter_limit)
+    assert abs(l1 / 6.32972e-2 - 1.0) < 0.05, (linf, l1, l2)
