@@ -130,10 +130,12 @@ def main():
             from ryujin_tpu.solver import pallas_step as _ps
 
             _ps.TRAFFIC_LOG = log = []
-            # a FRESH jit object: ti._advance has already traced these
-            # avals, and a cached lowering would skip the trace-time
-            # traffic accounting
-            compiled = jax.jit(ti._advance_impl).lower(
+            # a FRESH function object: jax's tracing cache keys on
+            # function equality and bound methods compare equal, so a
+            # cached trace would skip the trace-time traffic accounting
+            compiled = jax.jit(
+                lambda *a: ti._advance_impl(*a)
+            ).lower(
                 hm.stencil, ti._parrays(), out[0], out[2],
                 jnp.asarray(jnp.inf, dtype), 1,
             ).compile()

@@ -87,7 +87,12 @@ def shard_pallas_module(hm, device_mesh, axis_name=NODE_AXIS):
     zmajor = bool(getattr(ps, "slab3d", False))
 
     def place(x):
-        if x.ndim >= 2 and zmajor:
+        if x is None:  # optional fields (separable factors)
+            return None
+        if x.ndim >= 2 and zmajor and x.shape[0] == 1:
+            # z-independent broadcast block (g_sep2): replicate
+            spec = P(*([None] * x.ndim))
+        elif x.ndim >= 2 and zmajor:
             # z-major [D, planes, H, W]: the slab axis IS axis 0
             spec = P(axis_name, *([None] * (x.ndim - 1)))
         elif x.ndim >= 2:  # [planes, *canvas]: slab axis at axis 1

@@ -458,6 +458,8 @@ def _boundary_pair_data(st, dtype):
         "n_T": jnp.asarray(n_T, dtype),
         "w_fwd": jnp.asarray(nf / np.maximum(cmax, 1e-300), dtype),
         "w_rev": jnp.asarray(nr / np.maximum(cmax, 1e-300), dtype),
+        # raw |c_ji| for the pre-scaled (e = lambda * cmax) fixup path
+        "c_rev_norm": jnp.asarray(nr, dtype),
     }
 
 
@@ -1264,10 +1266,15 @@ class HyperbolicModule:
             # must evaluate both directions too:
             self._pallas.sym_enabled = self._sym_riemann or self._sym_mb
 
-    def _lambda_fixup(self, lam, Up, prec):
+    def _lambda_fixup(self, lam, Up, prec, prescaled=False):
         """Correct the half-slot lambda at coupling boundary pairs:
         set lam_hat = max(lam_fwd |c_ij|, lam_rev |c_ji|) / cmax so that
-        d = lam_hat * cmax equals the reference's max(d_ij, d_ji)."""
+        d = lam_hat * cmax equals the reference's max(d_ij, d_ji).
+
+        prescaled=True: the canvas already holds d = lambda * cmax (the
+        3D slab kernels fold cmax into PK1's output); `cur` then scales
+        by w_fwd = |c_ij|/cmax exactly as before, while the freshly
+        computed reverse lambda multiplies the raw |c_ji|."""
         bp = self._bp
         if bp is None:
             return lam
@@ -1289,7 +1296,8 @@ class HyperbolicModule:
             newton_tol=p.riemann_newton_tolerance, **kw,
         )
         cur = lam_f[bp["k"], bp["i"]]
-        val = jnp.maximum(cur * bp["w_fwd"], lam_rev * bp["w_rev"])
+        w_rev = bp["c_rev_norm"] if prescaled else bp["w_rev"]
+        val = jnp.maximum(cur * bp["w_fwd"], lam_rev * w_rev)
         lam_f = lam_f.at[bp["k"], bp["i"]].set(val)
         return lam_f.reshape(shape)
 

@@ -486,7 +486,17 @@ def _traffic_account(tiled_call_fn, name, ins, out_init, common, itemsize):
         planes = a.shape[1] if zmajor else a.shape[0]
         if planes == 0:
             continue
-        dma += planes * (win if h else tile) * itemsize
+        if h == 'b':  # broadcast block: fetched once for the whole grid
+            dma += a.size * itemsize
+        elif zmajor:
+            # per-array trailing dims (z-profile arrays are [D,PF,1,128])
+            pp = int(np.prod(a.shape[2:]))
+            g_ = tile // (TD * H * W)
+            dma += planes * pp * itemsize * (
+                g_ * (TD + 2) if h is True else g_ * TD
+            )
+        else:
+            dma += planes * (win if h is True else tile) * itemsize
         flat += a.size * itemsize
     for a in out_init:
         planes = a if isinstance(a, int) else (
@@ -761,7 +771,11 @@ def _tiled_call_3d_slab(
     tiles would not fit VMEM.
 
     See `_tiled_call` for the ins/out_init/scalars conventions; arrays
-    here are z-major [D, planes, H, W] (plane counts at axis 1).
+    here are z-major [D, planes, H, W] (plane counts at axis 1).  A
+    third input kind, (array, 'b'), is a z-independent BROADCAST block
+    [1, planes, H, W]: its BlockSpec index is constant, so the pipeline
+    fetches it once and it stays VMEM-resident across the whole grid
+    (used for the separable-statics 2D factors).
     """
     tz0, tz1 = tile_planes
     assert tz0 * TD >= 1 and tz1 * TD + 1 <= D, (tile_planes, D, TD)
@@ -770,15 +784,21 @@ def _tiled_call_3d_slab(
     norm = [(a, True) if not isinstance(a, tuple) else a for a in ins]
     cent = [
         i for i, (a, h) in enumerate(norm)
-        if a is not None and a.shape[1] > 0 and not h
+        if a is not None and a.shape[1] > 0 and h is False
+    ]
+    bcast = [
+        i for i, (a, h) in enumerate(norm)
+        if a is not None and a.shape[1] > 0 and h == 'b'
     ]
     halo = [
         i for i, (a, h) in enumerate(norm)
-        if a is not None and a.shape[1] > 0 and h
+        if a is not None and a.shape[1] > 0 and h is True
     ]
     ins_c = [norm[i][0] for i in cent]
+    ins_b = [norm[i][0] for i in bcast]
     ins_h = [norm[i][0] for i in halo]
-    n_c, n_h, n_sc, n_out = len(ins_c), len(ins_h), len(scalars), len(out_init)
+    n_c, n_b, n_h = len(ins_c), len(ins_b), len(ins_h)
+    n_sc, n_out = len(scalars), len(out_init)
     n_ali = sum(1 for a in out_init if not isinstance(a, int))
     gz = tz1 - tz0
 
@@ -786,6 +806,7 @@ def _tiled_call_3d_slab(
         k = 0
         sc_refs = refs[k : k + n_sc]; k += n_sc
         c_refs = refs[k : k + n_c]; k += n_c
+        b_refs = refs[k : k + n_b]; k += n_b
         h_refs = refs[k : k + n_h]; k += n_h
         k += n_ali  # aliased init refs (unused)
         out_refs = refs[k : k + n_out]; k += n_out
@@ -834,6 +855,8 @@ def _tiled_call_3d_slab(
         for j, i in enumerate(cent):
             x = c_refs[j][...]
             wins[i] = x if raw else jnp.moveaxis(x, 0, 1)
+        for j, i in enumerate(bcast):
+            wins[i] = b_refs[j][0]  # [planes, H, W], z-independent
         for j, i in enumerate(halo):
             x = wins_h[j][slot]
             wins[i] = x if raw else jnp.moveaxis(x, 0, 1)
@@ -843,8 +866,8 @@ def _tiled_call_3d_slab(
         if raw:
             # measurement aid: bypass compute, touch one plane of each win
             acc = jnp.zeros((TD, H, W), dtype)
-            for wv in wins:
-                if wv is not None:
+            for i, wv in enumerate(wins):
+                if wv is not None and i not in bcast:
                     acc = acc + (
                         wv[:, 0] if wv.shape[0] == TD else wv[1 : 1 + TD, 0]
                     )
@@ -880,6 +903,16 @@ def _tiled_call_3d_slab(
             )
             for a in ins_c
         ]
+        + [
+            # z-independent broadcast block: constant index -> fetched
+            # once, VMEM-resident across the grid
+            pl.BlockSpec(
+                (1, a.shape[1], H, W),
+                lambda tz: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for a in ins_b
+        ]
         + [pl.BlockSpec(memory_space=pl.ANY)] * n_h
         + [pl.BlockSpec(memory_space=pl.ANY)] * n_ali  # aliased inits
     )
@@ -892,13 +925,16 @@ def _tiled_call_3d_slab(
         for a in out_init
     ]
     scratch = [
-        pltpu.VMEM((2, wz, a.shape[1], H, W), dtype) for a in ins_h
+        # window scratch follows each array's own trailing dims: canvas
+        # arrays are [D, planes, H, W], the separable z-profiles are
+        # [D, PF, 1, 128]
+        pltpu.VMEM((2, wz) + tuple(a.shape[1:]), dtype) for a in ins_h
     ] + [pltpu.SemaphoreType.DMA((2, max(n_h, 1)))]
     aliases = {}
     a_idx = 0
     for o, a in enumerate(out_init):
         if not isinstance(a, int):
-            aliases[n_sc + n_c + n_h + a_idx] = o
+            aliases[n_sc + n_c + n_b + n_h + a_idx] = o
             a_idx += 1
     return pl.pallas_call(
         kernel,
@@ -915,6 +951,7 @@ def _tiled_call_3d_slab(
     )(
         *[jnp.reshape(x, (1, 1)) for x in scalars],
         *ins_c,
+        *ins_b,
         *ins_h,
         *init_arrays,
     )
@@ -937,6 +974,12 @@ class PallasArrays:
     g_lam: jax.Array  # 1/n_nbrs, the only node field PK4/PK5 read
     node_mask_flat: jax.Array
     m_lumped_flat: jax.Array
+    # separable-statics factors (offline/separable.py), None when the
+    # mesh is not an extrusion along the canvas major axis:
+    #   g_sep2 [1, P2, H, W]: stacked 2D fields (cij / mij / mask / cii)
+    #   f_sepz [D, PF, 1, 128]: per-offset z-profiles (lane-broadcast)
+    g_sep2: Optional[jax.Array] = None
+    f_sepz: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass
@@ -953,6 +996,81 @@ class _SA:
     n_nbrs: jax.Array
     node_mask: jax.Array
     measure_inv: float
+
+
+class _SepTile:
+    """Per-tile static-field synthesizer from separable factors.
+
+    g2: [P2, H, W] stacked 2D fields (VMEM-resident broadcast block),
+    fz: z-profile halo window [PF, wz, 1, 128] (after the z-major
+    moveaxis).  Each per-offset static field is one broadcast multiply
+    f[z-slice] * g[in-plane roll] — replacing a [TD, H, W] HBM plane
+    read per offset per kernel (offline/separable.py)."""
+
+    def __init__(self, ps, w_g2, w_fz, tv):
+        self.g2, self.fz, self.tv = w_g2, w_fz, tv
+        self.K, self.dim = ps.K, ps.dim
+        self.offsets = ps.offsets
+        K, d, K2D = self.K, self.dim, 9
+        self._sp_mij = K2D * d
+        self._sp_mask = K2D * (d + 1)
+        self._sp_cii = K2D * (d + 2)
+        self._fp_mij = K * d
+        self._fp_mask = K * (d + 1)
+        self._fp_cii = K * (d + 2)
+
+    def _f(self, p, dz=0):
+        lz = self.tv.lz  # 1: window planes [0, TD+2), center at [1, TD+1)
+        return self.fz[p, lz + dz : lz + dz + self.tv.TD, :, :1]
+
+    def _g(self, q, dy=0, dx=0):
+        x = self.g2[q]
+        if dy:
+            x = pltpu.roll(x, (-dy) % x.shape[-2], axis=x.ndim - 2)
+        if dx:
+            x = pltpu.roll(x, (-dx) % x.shape[-1], axis=x.ndim - 1)
+        return x
+
+    def _q(self, k):
+        dz, dy, dx = self.offsets[k]
+        return (dy + 1) * 3 + (dx + 1), dz, dy, dx
+
+    def cij_k(self, k):
+        q, _, _, _ = self._q(k)
+        d = self.dim
+        return jnp.stack(
+            [self._f(k * d + c) * self._g(q * d + c) for c in range(d)]
+        )
+
+    def mij_k(self, k):
+        q, _, _, _ = self._q(k)
+        return self._f(self._fp_mij + k) * self._g(self._sp_mij + q)
+
+    def mask_k(self, k):
+        q, _, _, _ = self._q(k)
+        return self._f(self._fp_mask + k) * self._g(self._sp_mask + q)
+
+    def cii(self):
+        return jnp.stack([
+            self._f(self._fp_cii + c) * self._g(self._sp_cii + c)
+            for c in range(self.dim)
+        ])
+
+    def cmax_k(self, k):
+        """max(|c_ij|, |c_ji|): |c_k| at the center node vs |c_{K-1-k}|
+        at the off_k neighbor (z via the profile halo, in-plane via
+        rolls — the same wrap semantics as the precomputed canvas)."""
+        q, dz, dy, dx = self._q(k)
+        d = self.dim
+        kt = self.K - 1 - k
+        qt, _, _, _ = self._q(kt)
+        ni = nj = None
+        for c in range(d):
+            a = self._f(k * d + c) * self._g(q * d + c)
+            b = self._f(kt * d + c, dz=dz) * self._g(qt * d + c, dy, dx)
+            ni = a * a if ni is None else ni + a * a
+            nj = b * b if nj is None else nj + b * b
+        return jnp.maximum(jnp.sqrt(ni), jnp.sqrt(nj))
 
 
 class PallasStepper:
@@ -1061,25 +1179,70 @@ class PallasStepper:
                 a = np.ascontiguousarray(np.moveaxis(a, 0, 1))
             return jnp.asarray(a, dtype)
 
+        # separable statics: when the mesh is an extrusion along the
+        # canvas major axis (3D box, o-grid x z, any tensor-product
+        # lattice), c_ij / m_ij / mask / cii factor exactly into 2D
+        # fields x z-profiles; the slab kernels then synthesize them in
+        # VMEM instead of streaming ~130 [D, H, W] static planes from
+        # HBM per substep, and the full canvases are never materialized
+        # (offline/separable.py).  RYUJIN_SEP: 1 force, 0 off, auto
+        # (default) enables it when the full static canvases would
+        # exceed ~1 GB of HBM — below that the benchmark boxes run ~2%
+        # faster on the plain canvases (the in-kernel synthesis is pure
+        # VPU work and the kernels are not bandwidth-bound at that
+        # size), above it the memory and traffic savings dominate:
+        self.sep = None
+        sep_env = os.environ.get("RYUJIN_SEP", "auto")
+        static_gb = (
+            (dim + 3) * K * sd.n_pad * np.dtype(dtype).itemsize / 1e9
+        )
+        want_sep = (
+            sep_env == "1"
+            or (sep_env not in ("0",) and static_gb >= float(
+                os.environ.get("RYUJIN_SEP_AUTO_GB", "1.0")
+            ))
+        )
+        if self.slab3d and want_sep:
+            from ..offline.separable import separate_z
+
+            self.sep = separate_z(sd)
+
+        def canv_or_empty(build, planes):
+            if self.sep is not None:
+                return jnp.zeros(
+                    (canvas[0], 0) + canvas[1:] if self.slab3d
+                    else (0,) + canvas,
+                    dtype,
+                )
+            return canv(build(), planes)
+
         # static canvases (device-resident, built once):
         cij = np.moveaxis(
             sd.cij.reshape(canvas + (K, dim)), (-1, -2), (0, 1)
         )  # [dim, K, *canvas]
-        # cmax[k] = max(|c_ij|, |c_ji|): the transposed coefficient lives
-        # at plane K-1-k of the off_k neighbor (symmetric-Riemann d):
-        norm_c = np.linalg.norm(cij, axis=0)  # [K, *canvas]
-        cmax = norm_c.copy()
-        for k, off in enumerate(self.offsets):
-            rolled = np.roll(
-                norm_c[K - 1 - k], tuple(-o for o in off), axis=caxes
-            )
-            cmax[k] = np.maximum(cmax[k], rolled)
+
+        def build_cmax():
+            # cmax[k] = max(|c_ij|, |c_ji|): the transposed coefficient
+            # lives at plane K-1-k of the off_k neighbor (symmetric d):
+            norm_c = np.linalg.norm(cij, axis=0)  # [K, *canvas]
+            cmax = norm_c.copy()
+            for k, off in enumerate(self.offsets):
+                rolled = np.roll(
+                    norm_c[K - 1 - k], tuple(-o for o in off), axis=caxes
+                )
+                cmax[k] = np.maximum(cmax[k], rolled)
+            return cmax
+
         lumped = sd.lumped_mass.reshape((1,) + canvas)
         self.arrays = PallasArrays(
-            g_cij=canv(cij, dim * K),
-            g_mask=canv(np.moveaxis(sd.mask, -1, 0), K),
-            g_cmax=canv(cmax, K),
-            g_mij=canv(np.moveaxis(sd.mij, -1, 0), K),
+            g_cij=canv_or_empty(lambda: cij, dim * K),
+            g_mask=canv_or_empty(
+                lambda: np.moveaxis(sd.mask, -1, 0), K
+            ),
+            g_cmax=canv_or_empty(build_cmax, K),
+            g_mij=canv_or_empty(
+                lambda: np.moveaxis(sd.mij, -1, 0), K
+            ),
             g_cii=canv(np.moveaxis(sd.cii, -1, 0), dim),
             g_node=canv(
                 np.concatenate(
@@ -1103,6 +1266,26 @@ class PallasStepper:
             node_mask_flat=jnp.asarray(sd.node_mask, dtype),
             m_lumped_flat=jnp.asarray(sd.lumped_mass, dtype),
         )
+
+        if self.sep is not None:
+            sep = self.sep
+            D = canvas[0]
+            g2 = np.concatenate([
+                sep.g_cij.reshape(9 * dim, H, W),
+                sep.g_mij, sep.g_mask, sep.g_cii,
+            ], axis=0)[None]
+            fz = np.concatenate([
+                sep.f_cij.reshape(K * dim, D),
+                sep.f_mij, sep.f_mask, sep.f_cii,
+            ], axis=0)
+            fzb = np.broadcast_to(
+                fz.T[:, :, None, None], (D, fz.shape[0], 1, 128)
+            )
+            self.arrays = dataclasses.replace(
+                self.arrays,
+                g_sep2=jnp.asarray(g2, dtype),
+                f_sepz=jnp.asarray(np.ascontiguousarray(fzb), dtype),
+            )
 
         # set by HyperbolicModule when the equation's Riemann solve is
         # symmetric (lambda fixup at coupling boundary pairs; interface
@@ -1477,7 +1660,9 @@ class PallasStepper:
 
         zmajor = self.dim == 3 and self.slab3d
 
-        def cspec(x):
+        def cspec(x, flag=True):
+            if flag == 'b':  # z-independent broadcast block: replicate
+                return PartitionSpec(*([None] * x.ndim))
             if zmajor:  # z-major [D, planes, H, W]: slab axis IS axis 0
                 return PartitionSpec(ax, *([None] * (x.ndim - 1)))
             return PartitionSpec(None, ax, *([None] * (x.ndim - 2)))
@@ -1487,7 +1672,7 @@ class PallasStepper:
             ins_l = []
             for pres, flag in zip(present, flags):
                 v = next(it) if pres else None
-                ins_l.append(v if flag else (v, False))
+                ins_l.append(v if flag is True else (v, flag))
             it2 = iter(inits_l)
             out_l = [
                 a if isinstance(a, int) else next(it2) for a in out_init
@@ -1500,7 +1685,10 @@ class PallasStepper:
             local_fn,
             mesh=self.device_mesh,
             in_specs=(
-                tuple(cspec(a) for a in arrs),
+                tuple(
+                    cspec(a, f)
+                    for a, f in zip(vals, flags) if a is not None
+                ),
                 tuple(PartitionSpec() for _ in scalars),
                 tuple(cspec(a) for a in init_arrays),
             ),
@@ -1516,7 +1704,7 @@ class PallasStepper:
         )(arrs, tuple(scalars), init_arrays)
         return out
 
-    def _pk1_stream(self, wins, scal, tv, sym):
+    def _pk1_stream(self, wins, scal, tv, sym, prescale=False):
         """Slot-streaming PK1: per-offset slices + running EVC sums
         instead of [K, tile] neighbor stacks.  Identical math to
         hyp.phase_e_alpha up to reassociation of the indicator sums; the
@@ -1527,7 +1715,19 @@ class PallasStepper:
         C, K, dim = eq.n_comp, self.K, self.dim
         dtype = self.dtype
         tile = ((tv.TD,) if tv.TD is not None else ()) + (tv.TH, tv.TW)
-        w_cij, w_node, w_U, w_prec = wins
+        if self.sep is not None:
+            w_g2, w_fz, w_node, w_U, w_prec = wins
+            st = _SepTile(self, w_g2, self._win(w_fz, tv), tv)
+            w_cij = w_cmax = None
+        else:
+            w_cij, w_cmax, w_node, w_U, w_prec = wins
+            st = None
+        # prescale (3D slab callers only): emit PRE-SCALED wavespeeds
+        # e = lambda * cmax (= the graph viscosity d): cmax_k(i) ==
+        # cmax_{K-1-k}(j), so the transposed slot of e is already d and
+        # PK2/PK3/tau never touch cmax again (the 2D / stacked-3D paths
+        # keep plain lambda: their half-canvas machinery reads lambda
+        # semantics)
         tvd = self._derived_view(tv)
         U_win = self._win(w_U, tv)
         prec_win = self._win(w_prec, tv)
@@ -1547,7 +1747,13 @@ class PallasStepper:
             z = jnp.zeros((K2_,) + tile, dtype)
             return [z, nm_c[None] * 0.0]
 
-        cij_c = tv.center(w_cij).reshape((dim, K) + tile)
+        cij_c = (
+            tv.center(w_cij).reshape((dim, K) + tile)
+            if st is None else None
+        )
+        cmax_c = (
+            tv.center(w_cmax) if (prescale and st is None) else None
+        )
         pa_win = pa_i = None
         if hasattr(eq, "riemann_precompute"):
             pa_win = jnp.stack(eq.riemann_precompute(U_win))
@@ -1568,7 +1774,7 @@ class PallasStepper:
         for k, off in enumerate(self.offsets):
             U_jk = tvd._slot(U_win, None, off)
             prec_jk = tvd._slot(prec_win, None, off)
-            c_k = cij_c[:, k]
+            c_k = cij_c[:, k] if st is None else st.cij_k(k)
             vm_jk = tvd._slot(node_win, 4, off)
             mask_k = nm_c * vm_jk
             if k < K2:
@@ -1596,7 +1802,11 @@ class PallasStepper:
                         newton_iterations=p.riemann_newton_max_iterations,
                         newton_tol=p.riemann_newton_tolerance, **kwk,
                     )
-                e_slots.append(lam_k if sym else norm_k * lam_k)
+                if prescale:
+                    cmx = st.cmax_k(k) if st is not None else cmax_c[k]
+                    e_slots.append(lam_k * cmx)
+                else:
+                    e_slots.append(lam_k if sym else norm_k * lam_k)
             if "noind" in _abl:
                 continue
             f_jk = tvd._slot(f_pl, None, off).reshape((C, dim) + tile)
@@ -1610,16 +1820,54 @@ class PallasStepper:
         alpha = eq.indicator_finalize(ind, left, right, hd_i, p.evc_factor)
         return [jnp.stack(e_slots), alpha[None]]
 
+    # -- separable statics: full-canvas XLA synthesis (glue between
+    #    kernels; the kernels themselves use _SepTile) --------------------
+    def _sep_full(self, kind, k, comp=None):
+        """[D, H, W] synthesis of one separable static plane (z-major)."""
+        ga = self.arrays
+        K, d = self.K, self.dim
+        _, dy, dx = self.offsets[k]
+        q = (dy + 1) * 3 + (dx + 1)
+        if kind == 'mask':
+            p2, pf = 9 * (d + 1) + q, K * (d + 1) + k
+        elif kind == 'cij':
+            p2, pf = q * d + comp, k * d + comp
+        else:
+            raise ValueError(kind)
+        fz = ga.f_sepz[:, pf, 0, 0][:, None, None]
+        return fz * ga.g_sep2[0, p2]
+
+    def _sep_cmax_full(self, k):
+        """[D, H, W] max(|c_ij|, |c_ji|) from the separable factors
+        (canvas-roll wrap semantics, like the precomputed g_cmax)."""
+        d, K = self.dim, self.K
+        off = self.offsets[k]
+        kt = K - 1 - k
+        ni = jnp.sqrt(sum(
+            self._sep_full('cij', k, c) ** 2 for c in range(d)
+        ))
+        nj = jnp.sqrt(sum(
+            jnp.roll(
+                self._sep_full('cij', kt, c),
+                tuple(-o for o in off), axis=(0, 1, 2),
+            ) ** 2
+            for c in range(d)
+        ))
+        return jnp.maximum(ni, nj)
+
     # -- streamed z-slab kernels (3D second generation) ---------------------
-    def _slot_d(self, tv, tvd, e_win, e_c, cmax_c, mask_k, k, off, sym):
-        """Graph viscosity d_k for one offset from the e halo window."""
+    def _slot_d(self, tv, tvd, e_win, e_c, mask_k, k, off, sym):
+        """Graph viscosity d_k for one offset from the e halo window.
+
+        sym: e is PRE-SCALED by PK1 (e = lambda * cmax = d), and
+        cmax_k(i) == cmax_{K-1-k}(j), so the transposed slot read IS
+        d_k — no cmax access here at all."""
         K = self.K
         if sym:
             K2 = K // 2
-            lam_k = (
+            d_k = (
                 e_c[k] if k < K2 else tvd._slot(e_win, K - 1 - k, off)
             )
-            d_k = lam_k * cmax_c[k]
         else:
             d_k = jnp.maximum(e_c[k], tvd._slot(e_win, K - 1 - k, off))
         return jnp.where(mask_k > 0, d_k, jnp.zeros_like(d_k))
@@ -1655,11 +1903,35 @@ class PallasStepper:
 
         TD = _tile_d_default()
         z0, z1 = self.z_planes
-        common = dict(
-            offsets=self.offsets, D=D, H=H, W=W, TD=TD,
-            tile_planes=(z0 // TD, (z1 - 1) // TD + 1),
-            dtype=dtype, interpret=self.interpret,
-        )
+
+        def mk_common(td):
+            return dict(
+                offsets=self.offsets, D=D, H=H, W=W, TD=td,
+                tile_planes=(z0 // td, (z1 - 1) // td + 1),
+                dtype=dtype, interpret=self.interpret,
+            )
+
+        common = mk_common(TD)
+        # LIGHT kernels (PK1; PK2 in separable mode — no [K, tile] P or
+        # cij center blocks) run deeper z tiles when the canvas margins
+        # allow: the halo-window reload factor drops from (2+2)/2 = 2x
+        # to (td+2)/td and the DMA chunks grow.  The P-carrying kernels
+        # (PK3/PK4/PK5) stay at the default TD for VMEM.
+        def fits(td):
+            return (
+                D % td == 0
+                and (z0 // td) * td >= 1
+                and ((z1 - 1) // td + 1) * td + 1 <= D
+            )
+
+        # TD_L = 4: wz = 6 windows stay within the ~16 MB VMEM budget
+        # for PK1/PK2's window set (TD = 8 would not)
+        TD_L = int(os.environ.get("RYUJIN_TILE_D_LIGHT", "4"))
+        if not (TD_L > TD and fits(TD_L)) or self.device_mesh is not None:
+            # sharded slabs derive tile ranges from the ghost-band width
+            # (== default TD); keep one tiling there
+            TD_L = TD
+        common_l = mk_common(TD_L) if TD_L != TD else common
         tiled_call = _tiled_call_3d_slab
 
         # z-major [D, planes, H, W] layout for every multi-plane canvas:
@@ -1687,20 +1959,31 @@ class PallasStepper:
             return jnp.zeros((D, planes, H, W), dtype)
 
         # ---- PK1: e + alpha (shared streaming compute) ------------------
+        pk1_statics = (
+            [(ga.g_sep2, 'b'), ga.f_sepz] if self.sep is not None
+            else [(ga.g_cij, False),
+                  (ga.g_cmax if sym else None, False)]
+        )
         e, alpha = self._call(
             tiled_call,
-            lambda wins, scal, tv: self._pk1_stream(wins, scal, tv, sym),
-            [(ga.g_cij, False), ga.g_node, Uz, precz],
+            lambda wins, scal, tv: self._pk1_stream(
+                wins, scal, tv, sym, prescale=sym
+            ),
+            pk1_statics + [ga.g_node, Uz, precz],
             [],
             [K_e, zeros(1)],
-            common,
+            # separable mode drops the [TD, dim*K, H, W] cij center
+            # block, freeing the VMEM for deeper z tiles:
+            common_l if self.sep is not None else common,
         )
         if sym and self.lambda_fixup is not None:
             # the fixup scatters on the plane-major flat layout; round
-            # trip the (half) e canvas through two XLA transposes
+            # trip the (half) e canvas through two XLA transposes.
+            # e is pre-scaled (d = lambda * cmax) on this path:
             e_pm = zm(e)
             e_pm = self.lambda_fixup(
-                e_pm, Uc.reshape(C, -1), precc.reshape(PP, -1)
+                e_pm, Uc.reshape(C, -1), precc.reshape(PP, -1),
+                prescaled=True,
             ).reshape((K_e,) + canvas)
             e = zm(e_pm)
         e = self._refresh_zm(e)
@@ -1713,28 +1996,47 @@ class PallasStepper:
                 e[:, K - 1 - k], tuple(-o for o in off), axis=(0, 1, 2)
             )
 
-        if sym:
+        # sym: e is PRE-SCALED (PK1 folded cmax in), so e / its
+        # transposed slot IS the graph viscosity d already
+        if self.sep is not None:
+            # separable statics: accumulate row sums of d directly with
+            # synthesized mask planes — no [K, D, H, W] static canvas
+            # reads in the glue (the broadcasts fuse into the chain)
+            acc = jnp.zeros(canvas, dtype)
+            for k, off in enumerate(self.offsets):
+                if sym:
+                    d_k = e[:, k] if k < K_e else roll_T(k, off)
+                else:
+                    d_k = jnp.maximum(e[:, k], roll_T(k, off))
+                acc = acc + jnp.where(
+                    self._sep_full('mask', k) > 0, d_k,
+                    jnp.zeros_like(d_k),
+                )
+            d_row_sum = acc
+        elif sym:
             lam_T = jnp.stack([
                 roll_T(k, off)
                 for k, off in list(enumerate(self.offsets))[K_e:]
             ], axis=1)
-            lam_full = jnp.concatenate([e, lam_T], axis=1)
+            d_full = jnp.concatenate([e, lam_T], axis=1)
             d = jnp.where(
-                ga.g_mask > 0, lam_full * ga.g_cmax, jnp.zeros_like(lam_full)
+                ga.g_mask > 0, d_full, jnp.zeros_like(d_full)
             )
+            d_row_sum = jnp.sum(d, axis=1)
         else:
             e_T = jnp.stack(
                 [roll_T(k, off) for k, off in enumerate(self.offsets)],
                 axis=1,
             )
             d = hyp.d_from_e(ga.g_mask, e, e_T)
+            d_row_sum = jnp.sum(d, axis=1)
         if _os.environ.get("RYUJIN_TAU_ABLATE") == "1":
             # measurement aid: skip the d/tau XLA fusion (keeps e alive)
             tau = (tau + 0.0 * jnp.sum(e[0, :, 0, :1])).astype(dtype)
         else:
             # tau_max = min_i cfl m_i / (-2 d_ii), z-major reduction
             tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
-            d_sum = -jnp.sum(d, axis=1)  # [D, H, W]
+            d_sum = -d_row_sum  # [D, H, W]
             d_sum = jnp.minimum(d_sum, -1.0e6 * tiny)
             tau_i = cfl * ga.m_lumped_flat / (-2.0 * d_sum.reshape(-1))
             big = jnp.asarray(jnp.finfo(dtype).max, dtype)
@@ -1761,38 +2063,48 @@ class PallasStepper:
                 w = w - w_s
             return w
 
+        sep = self.sep
+
         def slot_inputs(tv, wins_slices, k, off):
             """Common per-offset slices for PK2/PK3."""
             (tvd, U_win, prec_win, e_win, alpha_win, cij_c,
-             mask_c, cmax_c, e_c, f_pl) = wins_slices
+             mask_c, e_c, f_pl, st) = wins_slices
             tile = (tv.TD, tv.TH, tv.TW)
             U_jk = tvd._slot(U_win, None, off)
             prec_jk = tvd._slot(prec_win, None, off)
-            c_k = cij_c[:, k]
-            mask_k = mask_c[k]
+            if st is None:
+                c_k = cij_c[:, k]
+                mask_k = mask_c[k]
+            else:
+                c_k = st.cij_k(k)
+                mask_k = st.mask_k(k)
             d_k = self._slot_d(
-                tv, tvd, e_win, e_c, cmax_c, mask_k, k, off, sym
+                tv, tvd, e_win, e_c, mask_k, k, off, sym
             )
             alpha_jk = tvd._slot(alpha_win, 0, off)
             f_jk = tvd._slot(f_pl, None, off).reshape((C, dim) + tile)
             return U_jk, prec_jk, c_k, mask_k, d_k, alpha_jk, f_jk
 
-        def common_windows(tv, w_cij, w_mask, w_cmax, w_U, w_prec,
-                           w_e, w_alpha):
+        def common_windows(tv, w_cij, w_mask, w_U, w_prec,
+                           w_e, w_alpha, w_g2=None, w_fz=None):
             tvd = self._derived_view(tv)
             tile = (tv.TD, tv.TH, tv.TW)
             U_win = self._win(w_U, tv)
             prec_win = self._win(w_prec, tv)
             e_win = self._win(w_e, tv)
             alpha_win = self._win(w_alpha, tv)
-            cij_c = tv.center(w_cij).reshape((dim, K) + tile)
-            mask_c = tv.center(w_mask)
-            cmax_c = tv.center(w_cmax) if sym else None
+            if sep is None:
+                cij_c = tv.center(w_cij).reshape((dim, K) + tile)
+                mask_c = tv.center(w_mask)
+                st = None
+            else:
+                cij_c = mask_c = None
+                st = _SepTile(self, w_g2, self._win(w_fz, tv), tv)
             e_c = tvd.center(e_win)
             f_win = eq.f(U_win)
             f_pl = f_win.reshape((C * dim,) + f_win.shape[2:])
             return (tvd, U_win, prec_win, e_win, alpha_win,
-                    cij_c, mask_c, cmax_c, e_c, f_pl)
+                    cij_c, mask_c, e_c, f_pl, st)
 
         def stage_windows(tv, w_sU):
             """Hoisted per-stage flux windows [S][C*dim, ...window]."""
@@ -1806,23 +2118,29 @@ class PallasStepper:
 
         # ---- PK2: low-order + F + bounds --------------------------------
         def pk2(wins, scal, tv):
-            (w_cij, w_mask, w_cmax, w_cii, w_node, w_U, w_prec, w_e,
-             w_alpha, w_sU) = wins
+            if sep is None:
+                (w_cij, w_mask, w_cii, w_node, w_U, w_prec, w_e,
+                 w_alpha, w_sU) = wins
+                w_g2 = w_fz = None
+            else:
+                (w_g2, w_fz, w_node, w_U, w_prec, w_e, w_alpha,
+                 w_sU) = wins
+                w_cij = w_mask = w_cii = None
             tau_s = scal[0]
             ws = scal[1:]
             weight_scalar = weight_of(ws)
             tvd = self._derived_view(tv)
             tile = (tv.TD, tv.TH, tv.TW)
-            sl = common_windows(tv, w_cij, w_mask, w_cmax, w_U,
-                                w_prec, w_e, w_alpha)
+            sl = common_windows(tv, w_cij, w_mask, w_U,
+                                w_prec, w_e, w_alpha, w_g2, w_fz)
             (_, U_win, prec_win, e_win, alpha_win, cij_c,
-             mask_c, cmax_c, e_c, f_pl) = sl
+             mask_c, e_c, f_pl, st) = sl
             Ut = tvd.center(U_win)
             prect = tvd.center(prec_win)
             node_c = tv.center(w_node)
             alpha_c = tvd.center(alpha_win)[0]
             f_i = tvd.center(f_pl).reshape((C, dim) + tile)
-            cii_c = tv.center(w_cii)
+            cii_c = st.cii() if st is not None else tv.center(w_cii)
             flux_ii = eq.flux_divergence(f_i, f_i, cii_c)
             f_s_wins = stage_windows(tv, w_sU)
 
@@ -1868,17 +2186,19 @@ class PallasStepper:
             )
             return [U_low, F, bounds]
 
+        pk2_statics = (
+            [(ga.g_sep2, 'b'), ga.f_sepz] if sep is not None else
+            [(ga.g_cij, False), (ga.g_mask, False), (ga.g_cii, False)]
+        )
         U_low, F, bounds = self._call(
             tiled_call, pk2,
-            [(ga.g_cij, False), (ga.g_mask, False),
-             (ga.g_cmax if sym else None, False), (ga.g_cii, False),
-             # node canvas only read at the tile center in pk2 -> feed it
-             # as a pipelined center block (halo windows cost a
-             # (TD+2)/TD reload factor on every plane)
-             (ga.g_node, False), Uz, precz, e, alpha, sUz],
+            # node canvas only read at the tile center in pk2 -> feed it
+            # as a pipelined center block (halo windows cost a
+            # (TD+2)/TD reload factor on every plane)
+            pk2_statics + [(ga.g_node, False), Uz, precz, e, alpha, sUz],
             [tau] + [w_vec[s] for s in range(S)],
             [Uz, zeros(C), n_b],
-            common,
+            common_l if sep is not None else common,
         )
         F = self._refresh_zm(F)
 
@@ -1890,23 +2210,29 @@ class PallasStepper:
 
         # ---- PK3: P + first limiter pass --------------------------------
         def pk3(wins, scal, tv):
-            (w_cij, w_mask, w_cmax, w_mij, w_node, w_U, w_prec, w_e,
-             w_alpha, w_F, w_Ulow, w_bounds, w_sU) = wins
+            if sep is None:
+                (w_cij, w_mask, w_mij, w_node, w_U, w_prec, w_e,
+                 w_alpha, w_F, w_Ulow, w_bounds, w_sU) = wins
+                w_g2 = w_fz = None
+            else:
+                (w_g2, w_fz, w_node, w_U, w_prec, w_e, w_alpha, w_F,
+                 w_Ulow, w_bounds, w_sU) = wins
+                w_cij = w_mask = w_mij = None
             tau_s = scal[0]
             ws = scal[1:]
             weight_scalar = weight_of(ws)
             tvd = self._derived_view(tv)
             tile = (tv.TD, tv.TH, tv.TW)
-            sl = common_windows(tv, w_cij, w_mask, w_cmax, w_U,
-                                w_prec, w_e, w_alpha)
+            sl = common_windows(tv, w_cij, w_mask, w_U,
+                                w_prec, w_e, w_alpha, w_g2, w_fz)
             (_, U_win, prec_win, e_win, alpha_win, cij_c,
-             mask_c, cmax_c, e_c, f_pl) = sl
+             mask_c, e_c, f_pl, st) = sl
             node_win = self._win(w_node, tv)
             Ut = tvd.center(U_win)
             node_c = tvd.center(node_win)
             alpha_c = tvd.center(alpha_win)[0]
             f_i = tvd.center(f_pl).reshape((C, dim) + tile)
-            mij_c = tv.center(w_mij)
+            mij_c = tv.center(w_mij) if st is None else None
             F_win = self._win(w_F, tv)
             F_i = tvd.center(F_win)
             U_low_t = tv.center(w_Ulow)
@@ -1945,8 +2271,9 @@ class PallasStepper:
                     )
                 m_jk = tvd._slot(node_win, 0, off)
                 F_jk = tvd._slot(F_win, None, off)
-                b_ij_k = -mij_c[k] / m_jk
-                b_ji_k = -mij_c[k] * m_inv
+                mij_k = st.mij_k(k) if st is not None else mij_c[k]
+                b_ij_k = -mij_k / m_jk
+                b_ji_k = -mij_k * m_inv
                 P_k = P_k + b_ij_k[None] * F_jk - b_ji_k[None] * F_i
                 P_k = P_k * pfac[None]
                 if _os.environ.get("RYUJIN_PK3_ABLATE") == "nolimit":
@@ -1977,10 +2304,13 @@ class PallasStepper:
             l = jnp.stack(l_slots, axis=0)
             return [P, l, ok_acc[None]]
 
+        pk3_statics = (
+            [(ga.g_sep2, 'b'), ga.f_sepz] if sep is not None else
+            [(ga.g_cij, False), (ga.g_mask, False), (ga.g_mij, False)]
+        )
         P, l_ij, okp = self._call(
             tiled_call, pk3,
-            [(ga.g_cij, False), (ga.g_mask, False),
-             (ga.g_cmax if sym else None, False), (ga.g_mij, False),
+            pk3_statics + [
              ga.g_node, Uz, precz, e, alpha, F,
              (U_low, False), (bounds, False), sUz],
             [tau] + [w_vec[s] for s in range(S)],
@@ -2122,7 +2452,7 @@ class PallasStepper:
 
         # ---- PK1: e (forward wavespeed products) + alpha ----------------
         def pk1(wins, scal, tv):
-            w_cij, w_node, w_U, w_prec = wins
+            w_cij, _w_cmax_unused, w_node, w_U, w_prec = wins
             sa = self._sa(tv, w_cij, None, None, None, w_node,
                           mask_arr=self._derived_mask(w_node, tv))
             Ut = tv.center(w_U)
@@ -2180,7 +2510,9 @@ class PallasStepper:
         )
         e, alpha = self._call(
             tiled_call, pk1_fn,
-            [(ga.g_cij, False), ga.g_node, Uc, precc],
+            # (None, False) = the cmax slot of the streaming kernel's
+            # wins tuple (pre-scaling is 3D-slab only)
+            [(ga.g_cij, False), (None, False), ga.g_node, Uc, precc],
             [],
             [K_e, zeros(1)],  # e uninit: consumers mask the halo read
             common,

@@ -118,9 +118,11 @@ def main():
         from ryujin_tpu.solver import pallas_step as _ps
 
         _ps.TRAFFIC_LOG = log = []
-        # fresh jit object: the cached lowering of ti._advance would
-        # skip the trace-time traffic accounting
-        compiled = jax.jit(ti._advance_impl).lower(
+        # fresh function object (a bound method would hit the tracing
+        # cache and skip the trace-time traffic accounting):
+        compiled = jax.jit(
+            lambda *a: ti._advance_impl(*a)
+        ).lower(
             hm.stencil, ti._parrays(), out[0], out[2],
             jnp.asarray(jnp.inf, dtype), 1,
         ).compile()

@@ -105,6 +105,53 @@ def test_pallas_interpret_matches_xla_3d():
     assert d < 2e-4, d
 
 
+def test_pallas_separable_statics_match_full(monkeypatch):
+    """Separable-statics kernels (offline/separable.py: c_ij / m_ij /
+    mask / cmax synthesized from 2D-field x z-profile factors) against
+    the full-canvas kernels on the same extruded 3D box, including the
+    pre-scaled wavespeed path (e = lambda * cmax from PK1)."""
+    eq = Euler(dim=3)
+    from ryujin_tpu.offline.mesh import Boundary
+
+    mesh = geometry.rectangular_domain(
+        [0, 0, 0], [1, 1, 1], [1, 1, 1], 3,
+        [Boundary.dirichlet, Boundary.do_nothing, Boundary.slip,
+         Boundary.slip, Boundary.slip, Boundary.slip], dim=3,
+    )
+    data = assembly.assemble(mesh)
+    packed = structured.pack_structured(data, mesh)
+    init = make_initial_state(
+        eq, "uniform", primitive_state=(1.4, 1.0, 0.2, 0.1, 1.0)
+    )
+    res = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("RYUJIN_SEP", mode)
+        hm = HyperbolicModule(
+            eq, packed, init, dtype=jnp.float32, backend="pallas_interpret"
+        )
+        if mode == "1":
+            assert hm._pallas.sep is not None, "box must factor"
+            # the full static canvases are not materialized in sep mode
+            assert hm._pallas.arrays.g_cij.shape[1] == 0
+        U = interpolate_nodal(init, packed, eq, 0.0, jnp.float32)
+        pos = jnp.asarray(packed.positions.T, jnp.float32)
+        bump = 1.0 + 0.3 * jnp.exp(
+            -20.0 * jnp.sum((pos - 0.5) ** 2, axis=0)
+        )
+        U = U.at[0].mul(bump)
+        U = U.at[4].mul(bump)
+        ti = TimeIntegrator(
+            hm, "erk 33", cfl_min=0.3, cfl_max=0.3,
+            cfl_recovery_strategy="none",
+        )
+        out = ti.advance(U, 0.0, 1)
+        res[mode] = (np.asarray(out[0]), float(out[2]))
+    assert abs(res["1"][1] / res["0"][1] - 1.0) < 1e-9
+    d = np.abs(res["1"][0] - res["0"][0]).max()
+    assert np.isfinite(res["1"][0]).all()
+    assert d < 1e-6, d
+
+
 def test_pallas_interpret_matches_xla():
     eq = Euler(dim=2)
     mesh = geometry.rectangular_domain(
