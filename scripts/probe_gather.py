@@ -8,6 +8,22 @@ Decides the design of the unstructured (ELL) TPU fast path:
   2. What throughput does the plain XLA ELL gather path reach on TPU
      (X[..., cols] with RCM-sorted indices)?
 
+Measured on v5e (2026-08-20): lane gather works ONLY at W = 128 (one
+vreg) and sublane gather only at S = 8 — Mosaic's dynamic_gather is
+vreg-local, so a Pallas kernel cannot gather across a banded VMEM
+window; and the XLA ELL gather runs at ~6.6 GB/s gathered
+(15 Mnode/s for one [C=12, K=9] neighbor stack), which is the origin
+of the ~1.8 MQ/s ELL-fallback substep (5-6 such stacks per substep).
+The one-hot-matmul alternative (gather as onehot[K*NB, W] @ X_win[W, C]
+on the MXU per RCM band-window) arithmetically costs MORE than the XLA
+gather at C ~ 10: the MXU column occupancy is C/128 ~ 10%, giving
+~0.3 ms per 1024-node block or ~300 ms per substep at 1M nodes.
+CONCLUSION: there is no TPU-native intermediate gather tier worth
+building between the canvas fast paths and the XLA ELL fallback — the
+productive direction is widening what PACKS (multi-block decomposition,
+EV side rows, 2:1 hanging-node interfaces: the AMR-adapted mesh runs at
+71.6 MQ/s on the canvas path vs 1.8 on ELL), not accelerating gathers.
+
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_gather.py
 """
 

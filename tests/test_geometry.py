@@ -135,6 +135,31 @@ def test_airfoil_unknown_type():
         geometry.airfoil(airfoil_type="ONERA OA209")
 
 
+def test_airfoil_3d_periodic_extrusion():
+    """airfoil(dim=3): the C-mesh extruded over `width` with PERIODIC z
+    identification (geometry_airfoil.h:1262-1396)."""
+    m2 = geometry.airfoil(refinement=0)
+    m3 = geometry.airfoil(refinement=0, dim=3, width=1.0, subdivisions_z=2)
+    assert m3.dim == 3
+    assert m3.n_vertices == 3 * m2.n_vertices  # 2 layers + 1
+    # z faces identified: periodic pairs map the top layer onto layer 0
+    pp = np.asarray(m3.periodic_pairs)
+    assert len(pp) >= m2.n_vertices
+    assert (pp[-m2.n_vertices:, 0] - pp[-m2.n_vertices:, 1]
+            == 2 * m2.n_vertices).all()
+    # side faces keep the 2D ids; no z-face boundary ids other than
+    # periodic:
+    ids = set(np.unique(m3.boundary_ids))
+    assert ids == {Boundary.no_slip, Boundary.dynamic, Boundary.periodic}
+    data = assembly.assemble(m3)
+    data.validate()
+    # periodic z: every interior-z vertex row sums the same measure
+    assert abs(
+        data.measure_of_omega
+        - _check(m2).measure_of_omega * 1.0
+    ) < 1e-8
+
+
 MSH22 = """$MeshFormat
 2.2 0 8
 $EndMeshFormat
