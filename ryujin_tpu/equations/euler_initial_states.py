@@ -5,8 +5,10 @@ Re-implements the reference initial states
 jit-traceable functions `(points [dim, ...], t) -> states [C, ...]`
 (component-first layout, see equations/euler.py):
 
-  uniform, isentropic vortex, contrast, shock front, rarefaction, leblanc,
-  smooth wave, ramp up, function (callable)
+  uniform, isentropic vortex, becker solution, contrast, radial contrast,
+  three state contrast, four state contrast, shock front, rarefaction,
+  leblanc, smooth wave, ramp up, noh, astro jet, icf like,
+  function (callable)
 
 plus the affine/Galilei transform wrapper of InitialValues
 (/root/reference/source/initial_values.template.h:66-155): points are

@@ -47,9 +47,13 @@ cliff the ELL fallback would otherwise be (the reference runs one
 uniform CSR loop for every mesh, hyperbolic_module.template.h:417-420;
 the canvas + side-row split is the TPU rendition).
 
-2D only: the reference's multi-block geometries are 2D (their 3D
-variants are extrusions, which keep a global lattice and use
-pack_structured).
+2D bases: the reference's multi-block geometries are 2D; their 3D
+variants are z-extrusions.  An extrusion whose 2D base is itself a
+single lattice (the cylinder o-grid x z) keeps a global lattice and
+uses pack_structured directly.  An extrusion of a genuinely
+multi-block base (the 3D airfoil C-mesh, geometry_airfoil.h:1279-1290)
+does NOT have a global lattice; `pack_multiblock` currently rejects
+dim != 2 and such meshes fall back to ELL.
 """
 
 from __future__ import annotations

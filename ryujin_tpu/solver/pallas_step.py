@@ -437,8 +437,14 @@ def _tiled_call(
 
 # Set to a list by bench/probe tooling BEFORE tracing a substep: every
 # fused-kernel dispatch appends (kernel_name, dma_bytes, flat_bytes)
-# computed from its exact DMA shapes — center blocks, halo windows
-# (with their (wz/TD or 3x) reload factor), and output tiles.
+# computed from its DMA shapes — center blocks, halo windows (with
+# their (wz/TD or 3x) reload factor), and output tiles.  The halo
+# terms are UPPER bounds, not exact: the 2D gw>1 case charges full
+# 3*TW-wide windows ignoring edge-column clipping, and the stacked-3D
+# case charges a full (wz, 3*TH) fetch per tile although the sliding
+# window refetches less — so hbm_roofline_frac values derived from
+# these numbers are conservative (the true fraction can be lower, not
+# higher, than reported).
 # `flat_bytes` is the plain operand+result footprint (no reload factor,
 # full canvases incl. margins), matching how XLA's cost analysis counts
 # a custom call — bench.py uses it to splice the analytic kernel DMA
@@ -1243,7 +1249,7 @@ class PallasStepper:
             g_mij=canv_or_empty(
                 lambda: np.moveaxis(sd.mij, -1, 0), K
             ),
-            g_cii=canv(np.moveaxis(sd.cii, -1, 0), dim),
+            g_cii=canv_or_empty(lambda: np.moveaxis(sd.cii, -1, 0), dim),
             g_node=canv(
                 np.concatenate(
                     [

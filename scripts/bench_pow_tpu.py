@@ -81,9 +81,15 @@ def main():
         k, call1 = make_kernel(fn, reps)
         # accuracy measured through the PALLAS kernel (Mosaic codegen),
         # not an XLA re-trace of the same python: one-rep kernel output
-        # minus the r-offset series it accumulates
+        # minus the r-offset series it accumulates.  The 16-term sum can
+        # average/cancel per-point errors, so ALSO report the pointwise
+        # worst case via a reps=1 kernel against jnp.power directly —
+        # that is the quantity that matters for the solver's limiter.
         kref = sum(jnp.power(x + 1e-3 * r, G) for r in range(reps))
         err = float(jnp.max(jnp.abs(call1(x) - kref) / kref))
+        _, call_pt = make_kernel(fn, 1)
+        ref_pt = jnp.power(x, G)
+        err_pt = float(jnp.max(jnp.abs(call_pt(x) - ref_pt) / ref_pt))
         k(x).block_until_ready()
         t0 = time.perf_counter()
         iters = 4
@@ -91,7 +97,8 @@ def main():
             out = k(x)
         out.block_until_ready()
         dt = (time.perf_counter() - t0) / (iters * 64)
-        print(f"{name:16s} rel_err={err:.2e}  {dt * 1e6:8.1f} us/kernel "
+        print(f"{name:16s} rel_err={err:.2e} (summed) "
+              f"{err_pt:.2e} (pointwise)  {dt * 1e6:8.1f} us/kernel "
               f"({N[0] * N[1] * reps / dt / 1e9:.2f} Gpow/s)", flush=True)
 
 
