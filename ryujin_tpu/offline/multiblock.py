@@ -52,8 +52,10 @@ variants are z-extrusions.  An extrusion whose 2D base is itself a
 single lattice (the cylinder o-grid x z) keeps a global lattice and
 uses pack_structured directly.  An extrusion of a genuinely
 multi-block base (the 3D airfoil C-mesh, geometry_airfoil.h:1279-1290)
-does NOT have a global lattice; `pack_multiblock` currently rejects
-dim != 2 and such meshes fall back to ELL.
+has NO global lattice; it packs via `pack_multiblock_extruded` below:
+the 2D cross-section quilt x a plain z lattice dimension, with the 3D
+statics synthesized exactly as (2D packed statics) x (1D z factors)
+and the refresh maps z-vectorized (StructuredData.gmap_*_z).
 """
 
 from __future__ import annotations
@@ -1198,3 +1200,240 @@ def _slabify(sd: StructuredData, slabs: int, g: int = 8,
         ev["esrc"] = np.asarray(ev["esrc"])[o]
         out.ev_side = ev
     return out
+
+
+# ---------------------------------------------------------------------------
+# Extruded multi-block canvases: (z, canvas-y, canvas-x) fast path for 3D
+# meshes whose 2D cross-section is a quilt (the reference's 3D airfoil,
+# geometry_airfoil.h:1279-1290: a C-mesh extruded with periodic z).
+# ---------------------------------------------------------------------------
+
+
+def _z_line_factors(mesh3, L: int, periodic_z: bool):
+    """Per-layer 1D P1 z factors of the extrusion, from an actual 1D
+    assembly (exact incl. end layers): returns (mz [P, 3], cz [P, 3],
+    lumped_z [P], z_coords [P]) where column k of mz/cz is the coupling
+    to layer l + (k - 1) (mass / derivative integral), zero where no
+    neighbor exists.  For a uniform planar extrusion the trilinear hex
+    integrals factor EXACTLY into (2D quad integral) x (these 1D
+    factors) — the same separability offline/separable.py exploits for
+    lattice extrusions."""
+    from .assembly import assemble as _assemble
+    from . import geometry as _geometry
+    from .mesh import Boundary
+
+    z_all = mesh3.vertices[:, 2]
+    z0, z1 = float(z_all.min()), float(z_all.max())
+    bc = Boundary.periodic if periodic_z else Boundary.do_nothing
+    mesh1 = _geometry.rectangular_domain(
+        [z0], [z1], [L], 0, boundary_conditions=[bc, bc], dim=1
+    )
+    data1 = _assemble(mesh1)
+    P = L if periodic_z else L + 1
+    mz = np.zeros((P, 3))
+    cz = np.zeros((P, 3))
+    lumped_z = np.zeros(P)
+    # 1D node l sits at coordinate z0 + l*h (mesh generator ordering);
+    # map CSR entries into the +-1 neighbor columns by wrapped delta:
+    mz[:, 1] = data1.mii[:P]
+    cz[:, 1] = data1.cii[:P, 0]
+    lumped_z[:] = data1.lumped_mass[:P]
+    for l in range(P):
+        for e in range(int(data1.indptr[l]), int(data1.indptr[l + 1])):
+            j = int(data1.indices[e])
+            dz = j - l
+            if periodic_z:
+                dz = (dz + P // 2) % P - P // 2
+            assert dz in (-1, 1), (l, j, dz)
+            mz[l, dz + 1] = data1.mij[e]
+            cz[l, dz + 1] = data1.cij[e, 0]
+    zs = np.linspace(z0, z1, L + 1)
+    return mz, cz, lumped_z, zs[:P]
+
+
+def pack_multiblock_extruded(
+    data3, mesh3: Mesh, blocks: Optional[List[Block]] = None,
+    margin_z: int = 8, pad_depth: int = 8,
+) -> StructuredData:
+    """Pack a z-extruded multi-block mesh onto a (D, H, W) canvas.
+
+    The 2D base cross-section packs with `pack_multiblock` (ghost rings,
+    refresh maps); the z axis is a plain lattice dimension (ghost bands
+    when periodic).  3D static stencil canvases are synthesized EXACTLY
+    as (2D packed statics) x (1D z factors) — the trilinear hex
+    integrals of a uniform planar extrusion factor into (2D quad
+    integral) x (1D line integral), so the reader-frame rotations and
+    ghost-ring fills of the 2D pack carry over verbatim.  Cross-block
+    refresh maps are emitted z-vectorized (StructuredData.gmap_*_z):
+    the interface slot permutation is z-preserving, so one 2D map
+    serves every z plane in a single sliced scatter.
+
+    cG Q1 only; extrusions with EV side rows are rejected (none of the
+    reference's extruded geometries have them).
+    """
+    base = mesh3.extrusion_base
+    if base is None or mesh3.extrusion_layers is None:
+        raise MultiblockError("mesh carries no extrusion provenance")
+    if getattr(data3, "ansatz", "cG Q1") != "cG Q1":
+        raise MultiblockError("extruded multi-block pack is cG Q1 only")
+    L = int(mesh3.extrusion_layers)
+    periodic_z = bool(mesh3.extrusion_periodic_z)
+    from .assembly import assemble as _assemble
+
+    data2 = _assemble(base)
+    if blocks is None:
+        blocks = split_sparse_blocks(decompose(base))
+    sd2 = pack_multiblock(data2, base, blocks=blocks)
+    if sd2.ev_side is not None:
+        raise MultiblockError(
+            "extruded multi-block pack: EV side rows unsupported"
+        )
+    H, W = sd2.shape
+    n2p = H * W
+    n2 = base.n_vertices
+    K2 = sd2.max_degree
+    offsets3 = lattice_offsets(3)
+    K3 = len(offsets3)
+    o3i = {o: k for k, o in enumerate(offsets3)}
+    # slot3 of (dz, k2): in-plane offset from the 2D slot table
+    o2 = list(map(tuple, sd2.offsets))
+    slot3_of = np.zeros((3, K2), np.int64)
+    slot3_ctr = np.zeros(3, np.int64)  # (dz, 0, 0); dz=0 entry unused
+    for dzi, dz in enumerate((-1, 0, 1)):
+        for k2, (dy, dx) in enumerate(o2):
+            slot3_of[dzi, k2] = o3i[(dz, dy, dx)]
+        if dz:
+            slot3_ctr[dzi] = o3i[(dz, 0, 0)]
+
+    P = L if periodic_z else L + 1
+    g = margin_z
+    D = _round_up(P + 2 * g, pad_depth)
+    n3p = D * n2p
+    mz, cz, lumped_z, z_of = _z_line_factors(mesh3, L, periodic_z)
+
+    # ---- synthesized static canvases -----------------------------------
+    mask2 = sd2.mask  # [n2p, K2]
+    mij2 = sd2.mij
+    cij2 = sd2.cij  # [n2p, K2, 2]
+    vm2 = sd2.value_mask if sd2.value_mask is not None else sd2.node_mask
+    mii2 = sd2.lumped_mass * vm2 - np.sum(mij2 * mask2, axis=1)
+    cij3 = np.zeros((n3p, K3, 3))
+    mij3 = np.zeros((n3p, K3))
+    mask3 = np.zeros((n3p, K3))
+    cii3 = np.zeros((n3p, 3))
+    lumped3 = np.ones(n3p)
+    n_nbrs3 = np.ones(n3p)
+    node_mask3 = np.zeros(n3p)
+    vmask3 = np.zeros(n3p)
+    positions3 = np.zeros((n3p, 3))
+
+    z_nb2 = (np.abs(mz) > 0).astype(float)  # [P, 3] z-neighbor existence
+    zdeg = z_nb2[:, 0] + z_nb2[:, 2]
+    for l in range(P):
+        sl = slice((g + l) * n2p, (g + l + 1) * n2p)
+        for dzi, dz in enumerate((-1, 0, 1)):
+            if z_nb2[l, dzi] == 0.0 and dz != 0:
+                continue
+            m_l, c_l = mz[l, dzi], cz[l, dzi]
+            # in-plane slots:
+            ks = slot3_of[dzi]
+            mask3[sl, ks] = mask2
+            mij3[sl, ks] = mij2 * m_l
+            cij3[sl, ks, :2] = cij2 * m_l
+            cij3[sl, ks, 2] = mij2 * c_l
+            if dz != 0:
+                kc = slot3_ctr[dzi]
+                mask3[sl, kc] = vm2
+                mij3[sl, kc] = mii2 * m_l
+                cij3[sl, kc, :2] = sd2.cii * m_l
+                cij3[sl, kc, 2] = mii2 * c_l
+        cii3[sl, :2] = sd2.cii * mz[l, 1]
+        cii3[sl, 2] = mii2 * cz[l, 1]
+        lumped3[sl] = np.where(vm2 > 0, sd2.lumped_mass * lumped_z[l], 1.0)
+        n_nbrs3[sl] = np.maximum(
+            (sd2.n_nbrs + 1) * (zdeg[l] + 1) - 1, 1
+        )
+        node_mask3[sl] = sd2.node_mask
+        vmask3[sl] = vm2
+        positions3[sl, :2] = sd2.positions
+        positions3[sl, 2] = z_of[l]
+
+    ghost_bands = ((g, P) if periodic_z else None, None, None)
+    if periodic_z:
+        from .structured import _fill_ghosts
+
+        for arr in (cij3, mij3, mask3, cii3, lumped3, n_nbrs3,
+                    positions3, vmask3):
+            _fill_ghosts(arr, (D, H, W), ghost_bands)
+
+    # ---- node/boundary maps --------------------------------------------
+    # 3D dof (l, v2) = l * n2 + v2; canvas cell (g + l, cell2):
+    master3 = np.asarray(data3.master)
+    lm, v2m = np.divmod(master3, n2)
+    cell2_of = sd2.vertex_to_node  # 2D vertex -> canvas cell
+    vertex_to_node3 = (g + lm) * n2p + cell2_of[v2m]
+    node_to_vertex3 = np.full(n3p, -1, np.int64)
+    real3 = np.flatnonzero(~np.asarray(data3.is_constrained))
+    node_to_vertex3[vertex_to_node3[real3]] = real3
+
+    rounds = []
+    for rnd in data3.boundary_rounds:
+        g2_ = {}
+        for fid, grp in rnd.items():
+            from .assembly import BoundaryGroup
+
+            g2_[fid] = BoundaryGroup(
+                index=vertex_to_node3[grp.index],
+                normal=grp.normal,
+                normal_mass=grp.normal_mass,
+                boundary_mass=grp.boundary_mass,
+                position=grp.position,
+            )
+        rounds.append(g2_)
+
+    # ---- z-vectorized refresh maps -------------------------------------
+    gmap_node_z = None
+    gmap_edge_z = None
+    if sd2.gmap_node is not None:
+        dst2, src2 = (np.asarray(a) for a in sd2.gmap_node)
+        o = np.argsort(dst2, kind="stable")
+        gmap_node_z = (dst2[o], src2[o])
+    if sd2.gmap_edge is not None:
+        ed, es = (np.asarray(a) for a in sd2.gmap_edge)
+        kd, cd = np.divmod(ed, n2p)
+        ks, cs = np.divmod(es, n2p)
+        # replicate the in-plane slot permutation at every dz level:
+        kd3 = slot3_of[:, kd].reshape(-1)
+        cd3 = np.tile(cd, 3)
+        ks3 = slot3_of[:, ks].reshape(-1)
+        cs3 = np.tile(cs, 3)
+        o = np.argsort(kd3 * n2p + cd3, kind="stable")
+        gmap_edge_z = (kd3[o], cd3[o], ks3[o], cs3[o])
+
+    sd3 = StructuredData(
+        dim=3,
+        n_nodes=int((~np.asarray(data3.is_constrained)).sum()),
+        n_pad=n3p,
+        max_degree=K3,
+        shape=(D, H, W),
+        offsets=offsets3,
+        margins=(g,) + tuple(sd2.margins),
+        cij=cij3,
+        mij=mij3,
+        mask=mask3,
+        cii=cii3,
+        lumped_mass=lumped3,
+        n_nbrs=n_nbrs3,
+        node_mask=node_mask3,
+        positions=positions3,
+        measure_of_omega=float(data3.measure_of_omega),
+        vertex_to_node=vertex_to_node3,
+        node_to_vertex=node_to_vertex3,
+        boundary_rounds=rounds,
+        ghosts=ghost_bands,
+        value_mask=vmask3,
+        gmap_node_z=gmap_node_z,
+        gmap_edge_z=gmap_edge_z,
+        ansatz="cG Q1",
+    )
+    return sd3

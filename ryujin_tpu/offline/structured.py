@@ -35,13 +35,18 @@ from .assembly import BoundaryGroup, SparseOfflineData
 from .mesh import Mesh
 
 
-def lattice_offsets(dim: int) -> Tuple[Tuple[int, ...], ...]:
-    """All 3**dim - 1 nonzero offsets in {-1,0,1}**dim, lexicographic.
+def lattice_offsets(dim: int, reach: int = 1) -> Tuple[Tuple[int, ...], ...]:
+    """All (2*reach+1)**dim - 1 nonzero offsets in {-reach..reach}**dim,
+    lexicographic.
 
     The ordering is symmetric under negation-reversal: offsets[k] ==
-    -offsets[K-1-k], so the transposed-edge slot of k is K-1-k.
+    -offsets[K-1-k], so the transposed-edge slot of k is K-1-k for ANY
+    reach.  reach=1 is the cG Q1 stencil; reach=p covers cG Qp on the
+    p-refined node lattice and dG Qp on the (p+1)-interleaved lattice
+    (offline/assembly.py _node_lattice).
     """
-    offs = [o for o in itertools.product((-1, 0, 1), repeat=dim) if any(o)]
+    r = range(-reach, reach + 1)
+    offs = [o for o in itertools.product(r, repeat=dim) if any(o)]
     return tuple(offs)
 
 
@@ -116,6 +121,17 @@ class StructuredData:
     # permutation at block interfaces:
     gmap_node: Optional[Tuple[np.ndarray, np.ndarray]] = None
     gmap_edge: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    # z-vectorized refresh maps for EXTRUDED multi-block canvases
+    # (pack_multiblock_extruded): one 2D map applied to every z-plane.
+    # gmap_node_z: (dst2, src2) cells in the [H*W] cross-section;
+    # gmap_edge_z: (dst_k, dst2, src_k, src2) — the interface slot
+    # permutation is z-preserving (block rotations are in-plane), so the
+    # D axis free-rides in one sliced scatter instead of a D-times
+    # bigger flat map:
+    gmap_node_z: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    gmap_edge_z: Optional[
+        Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+    ] = None
     # CSR edge -> host (cell * K + slot) map (multi-block pack_edge_values):
     edge_map: Optional[Tuple[np.ndarray, np.ndarray]] = None
     # Multi-block symmetric-Riemann interface fixup (offline/multiblock.py
@@ -140,6 +156,80 @@ class StructuredData:
     # already a multiple of 128 (the wrap alone is the identification)
     # or the axis is not periodic:
     minor_wrap: Optional[Tuple[int, int]] = None
+    # dG incidence matrix beta_ij packed onto the canvas slots [n_pad, K]
+    # (offline_data.template.h:809-940); None for a continuous ansatz:
+    incidence: Optional[np.ndarray] = None
+    # finite element ansatz this canvas was packed from:
+    ansatz: str = "cG Q1"
+    # the minor (x) canvas axis is periodic (wrap = lane roll, or the
+    # minor_wrap ghost columns); column-split tilings are then invalid:
+    periodic_minor: bool = False
+
+    @property
+    def reach(self) -> int:
+        """Max |offset| component: 1 for Q1, p for the Qp node lattice."""
+        return max(abs(o) for off in self.offsets for o in off)
+
+
+def _lattice_info(data: SparseOfflineData, mesh: Mesh):
+    """Resolve the packing lattice: the mesh's vertex lattice for cG Q1,
+    or the assembly-provided node lattice for any other tensor ansatz
+    (assembly._node_lattice).  Returns (si [n, dim] per-node lattice
+    coords, lat_shape, logical period per dim, periodic flags, reach)."""
+    if getattr(data, "node_lattice_index", None) is not None:
+        si = np.asarray(data.node_lattice_index)
+        lat_shape = tuple(int(v) for v in data.node_lattice_shape)
+        explicit = data.node_lattice_periodic
+        reach = int(data.stencil_reach)
+    else:
+        if mesh.structured_index is None or mesh.structured_shape is None:
+            raise ValueError("mesh carries no lattice structure")
+        si = np.asarray(mesh.structured_index)
+        lat_shape = tuple(int(v) for v in mesh.structured_shape)
+        explicit = None
+        reach = 1
+    dim = data.dim
+    real = ~data.is_constrained
+    periodic = np.zeros(dim, dtype=bool)
+    logical = np.zeros(dim, dtype=np.int64)
+    for d in range(dim):
+        hi = si[:, d] == lat_shape[d] - 1
+        # a far face occupied only by constrained slaves collapses out of
+        # the canvas (cG periodic); dG has no slave DoFs at all — its
+        # wrap is flagged explicitly by the assembly:
+        far_slaves = bool(hi.any()) and not bool(real[hi].any())
+        periodic[d] = far_slaves or bool(
+            explicit is not None and explicit[d]
+        )
+        logical[d] = lat_shape[d] - 1 if far_slaves else lat_shape[d]
+    return si, lat_shape, logical, periodic, reach
+
+
+def _edge_deltas(si, i_e, j_e, logical, periodic, dim):
+    """Per-edge lattice delta on canvas axes (slowest first), wrapping
+    periodic dims into the centered range."""
+    delta = np.empty((len(i_e), dim), dtype=np.int64)
+    for axis in range(dim):
+        d = dim - 1 - axis
+        dd = si[j_e, d] - si[i_e, d]
+        if periodic[d]:
+            P = int(logical[d])
+            dd = dd % P
+            dd = np.where(dd > P // 2, dd - P, dd)
+        delta[:, axis] = dd
+    return delta
+
+
+def _slot_lut(offsets, dim, reach):
+    """offset -> slot index lookup over base (2*reach+1) digits."""
+    base = 2 * reach + 1
+    lut = np.full(base**dim, -1, dtype=np.int64)
+    for k, o in enumerate(offsets):
+        key = 0
+        for v in o:
+            key = base * key + (v + reach)
+        lut[key] = k
+    return lut, base
 
 
 def pack_edge_values(sd: StructuredData, data: SparseOfflineData,
@@ -165,31 +255,15 @@ def pack_edge_values(sd: StructuredData, data: SparseOfflineData,
     i_e = np.repeat(rows, deg)
     j_e = data.indices[src]
     ci = np.repeat(real, deg)
-    # slot via lattice delta, mirroring pack_structured (incl. the
-    # shortened logical period of periodic dims):
-    si = np.asarray(mesh.structured_index)
+    # slot via lattice delta, mirroring pack_structured:
+    si, _, logical, periodic, reach = _lattice_info(data, mesh)
     dim = sd.dim
-    lat_shape = tuple(mesh.structured_shape)
-    realmask = ~data.is_constrained
-    delta = np.empty((len(i_e), dim), dtype=np.int64)
+    delta = _edge_deltas(si, i_e, j_e, logical, periodic, dim)
+    lut, base = _slot_lut(sd.offsets, dim, reach)
+    key_e = np.zeros(len(i_e), dtype=np.int64)
     for axis in range(dim):
-        d = dim - 1 - axis
-        hi = si[:, d] == lat_shape[d] - 1
-        periodic = bool(hi.any()) and not bool(realmask[hi].any())
-        P = int(lat_shape[d] - 1 if periodic else lat_shape[d])
-        dd = (si[j_e, d] - si[i_e, d]) % P
-        dd = np.where(dd > P // 2, dd - P, dd)
-        delta[:, axis] = dd
-    lut = np.full(3**dim, -1, dtype=np.int64)
-    for k, o in enumerate(sd.offsets):
-        b3 = 0
-        for v in o:
-            b3 = 3 * b3 + (v + 1)
-        lut[b3] = k
-    b3_e = np.zeros(len(i_e), dtype=np.int64)
-    for axis in range(dim):
-        b3_e = 3 * b3_e + (delta[:, axis] + 1)
-    slot = lut[b3_e]
+        key_e = base * key_e + (delta[:, axis] + reach)
+    slot = lut[key_e]
     out[ci, slot] = values[src]
     return out
 
@@ -232,28 +306,16 @@ def pack_structured(
     device mesh along that axis — the domain-decomposition analog of the
     reference's MPI partitioning (offline_data.h:136-169).
     """
-    if mesh.structured_index is None or mesh.structured_shape is None:
-        raise ValueError("mesh carries no lattice structure")
     dim = data.dim
     margins_in = (
         tuple(margin) if isinstance(margin, (tuple, list))
         else (margin,) * max(dim - 1, 0)
     )
     assert len(margins_in) >= dim - 1
-    si = np.asarray(mesh.structured_index)  # [n_raw, dim], (ix, iy[, iz])
-    lat_shape = tuple(mesh.structured_shape)  # (nx, ny[, nz])
-
+    # the packing lattice: the mesh's vertex lattice for cG Q1, the
+    # assembly-provided node lattice (reach p) otherwise:
+    si, lat_shape, logical, periodic, reach = _lattice_info(data, mesh)
     real = ~data.is_constrained
-    # Periodicity per lattice dim: constrained (slave) nodes sit on the far
-    # face; their removal shortens the logical period to lat_shape[d]-1.
-    periodic = np.zeros(dim, dtype=bool)
-    for d in range(dim):
-        hi = si[:, d] == lat_shape[d] - 1
-        if hi.any() and not real[hi].any():
-            periodic[d] = True
-    logical = np.array(
-        [lat_shape[d] - 1 if periodic[d] else lat_shape[d] for d in range(dim)]
-    )
     assert (si[real].max(axis=0) < logical).all()
 
     # Canvas dims, slowest-first: (…, ny, nx).  Non-periodic leading axes
@@ -291,8 +353,9 @@ def pack_structured(
             # Pallas kernels stay available (pallas_supports)
             if dim > 1 and size % pad_minor:
                 W = _round_up(size, pad_minor)
-                if W < size + 2:  # ghost cols P and W-1 must not collide
-                    W = _round_up(size + 2, pad_minor)
+                # the 2*reach ghost columns must not collide:
+                if W < size + 2 * reach:
+                    W = _round_up(size + 2 * reach, pad_minor)
                 minor_wrap = (size, W)
                 size = W
         canvas.append(size)
@@ -335,12 +398,15 @@ def pack_structured(
     flat = np.ravel_multi_index(tuple(cidx.T), canvas, mode="wrap")
     vertex_to_node = flat[data.master]
 
-    offsets = lattice_offsets(dim)
+    offsets = lattice_offsets(dim, reach)
     K = len(offsets)
 
     cij = np.zeros((n_pad, K, dim))
     mij = np.zeros((n_pad, K))
     mask = np.zeros((n_pad, K))
+    incidence = (
+        np.zeros((n_pad, K)) if data.incidence is not None else None
+    )
     cii = np.zeros((n_pad, dim))
     lumped = np.ones(n_pad)
     n_nbrs = np.ones(n_pad)
@@ -358,11 +424,12 @@ def pack_structured(
     n_nbrs[rid] = np.maximum(deg, 1)
     node_to_vertex[rid] = rows
 
-    # edges: native one-pass packing (ryujin_tpu/native/assembly.cc), with
-    # the vectorized numpy pipeline as fallback
+    # edges: native one-pass packing (ryujin_tpu/native/assembly.cc) for
+    # the reach-1 / no-incidence case, with the vectorized numpy pipeline
+    # as fallback (and for higher-order / dG stencils)
     from .. import native
 
-    if native.pack_edges(
+    if reach == 1 and data.incidence is None and native.pack_edges(
         dim, rows, data.indptr, data.indices, si, logical, flat,
         data.cij, data.mij, K, cij, mij, mask,
     ):
@@ -371,7 +438,7 @@ def pack_structured(
             periodic, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
             positions, node_to_vertex, vertex_to_node, flat, real,
             ghost_bands, slab_spec, bool(periodic[dim - 1]),
-            minor_wrap=minor_wrap,
+            minor_wrap=minor_wrap, minor_periodic=bool(periodic[0]),
         )
 
     # edges, vectorized: source row i repeated deg times
@@ -384,37 +451,29 @@ def pack_structured(
         + np.repeat(data.indptr[rows], deg)
     )
     j_e = data.indices[src]
-    # lattice delta per canvas axis, wrapped into {-1, 0, 1}:
-    delta = np.empty((len(i_e), dim), dtype=np.int64)
+    # lattice delta per canvas axis, wrapped into {-reach..reach}:
+    delta = _edge_deltas(si, i_e, j_e, logical, periodic, dim)
+    assert (np.abs(delta) <= reach).all(), "edge beyond lattice reach"
+    lut, base = _slot_lut(offsets, dim, reach)
+    key_e = np.zeros(len(i_e), dtype=np.int64)
     for axis in range(dim):
-        d = dim - 1 - axis
-        P = int(logical[d])
-        dd = (si[j_e, d] - si[i_e, d]) % P
-        dd = np.where(dd > P // 2, dd - P, dd)
-        delta[:, axis] = dd
-    assert (np.abs(delta) <= 1).all(), "edge beyond lattice neighborhood"
-    lut = np.full(3**dim, -1, dtype=np.int64)
-    for k, o in enumerate(offsets):
-        base3 = 0
-        for v in o:
-            base3 = 3 * base3 + (v + 1)
-        lut[base3] = k
-    base3_e = np.zeros(len(i_e), dtype=np.int64)
-    for axis in range(dim):
-        base3_e = 3 * base3_e + (delta[:, axis] + 1)
-    slot = lut[base3_e]
+        key_e = base * key_e + (delta[:, axis] + reach)
+    slot = lut[key_e]
     assert (slot >= 0).all(), "degenerate zero-offset edge"
     ci = flat[i_e]
     cij[ci, slot] = data.cij[src]
     mij[ci, slot] = data.mij[src]
     mask[ci, slot] = 1.0
+    if incidence is not None:
+        incidence[ci, slot] = data.incidence[src]
 
     return _finalize_structured(
         data, mesh, dim, K, offsets, canvas, margins, n_pad, logical,
         periodic, cij, mij, mask, cii, lumped, n_nbrs, node_mask,
         positions, node_to_vertex, vertex_to_node, flat, real,
         ghost_bands, slab_spec, bool(periodic[dim - 1]),
-        minor_wrap=minor_wrap,
+        minor_wrap=minor_wrap, incidence=incidence,
+        minor_periodic=bool(periodic[0]),
     )
 
 
@@ -436,19 +495,21 @@ def _fill_ghosts(arr: np.ndarray, canvas, ghost_bands) -> None:
         a[tuple(dst)] = a[tuple(src)]
 
 
-def _fill_minor_wrap(arr: np.ndarray, canvas, minor_wrap) -> None:
-    """Fill the two periodic minor-axis ghost columns, in place.
+def _fill_minor_wrap(arr: np.ndarray, canvas, minor_wrap,
+                     reach: int = 1) -> None:
+    """Fill the 2*reach periodic minor-axis ghost columns, in place.
 
-    col P <- col 0 and col W-1 <- col P-1 (StructuredData.minor_wrap);
-    uniform slot layout, so the same copy serves node and edge arrays."""
+    cols [P, P+reach) <- cols [0, reach) and cols [W-reach, W) <-
+    cols [P-reach, P) (StructuredData.minor_wrap); uniform slot layout,
+    so the same copy serves node and edge arrays."""
     P, W = minor_wrap
     a = arr.reshape(canvas + arr.shape[1:])
     ax = len(canvas) - 1
     sl = [slice(None)] * a.ndim
     dst, src = list(sl), list(sl)
-    dst[ax], src[ax] = P, 0
+    dst[ax], src[ax] = slice(P, P + reach), slice(0, reach)
     a[tuple(dst)] = a[tuple(src)]
-    dst[ax], src[ax] = W - 1, P - 1
+    dst[ax], src[ax] = slice(W - reach, W), slice(P - reach, P)
     a[tuple(dst)] = a[tuple(src)]
 
 
@@ -466,20 +527,22 @@ def _finalize_structured(
     data, mesh, dim, K, offsets, canvas, margins, n_pad, logical, periodic,
     cij, mij, mask, cii, lumped, n_nbrs, node_mask, positions,
     node_to_vertex, vertex_to_node, flat, real, ghost_bands=(),
-    slab_spec=None, axis0_periodic=False, minor_wrap=None,
+    slab_spec=None, axis0_periodic=False, minor_wrap=None, incidence=None,
+    minor_periodic=False,
 ):
     del mesh, logical, periodic, flat
     value_mask = node_mask.copy()
+    statics = [cij, mij, mask, cii, lumped, n_nbrs, positions, value_mask]
+    if incidence is not None:
+        statics.append(incidence)
     if any(gh is not None for gh in ghost_bands):
-        for arr in (cij, mij, mask, cii, lumped, n_nbrs, positions,
-                    value_mask):
+        for arr in statics:
             _fill_ghosts(arr, canvas, ghost_bands)
     if slab_spec is not None:
         n_sl, Ls, g = slab_spec
         if Ls < g:
             raise ValueError(f"slab rows {Ls} smaller than ghost band {g}")
-        for arr in (cij, mij, mask, cii, lumped, n_nbrs, positions,
-                    value_mask):
+        for arr in statics:
             _fill_slab_ghosts(arr, canvas, slab_spec)
         if not axis0_periodic:
             # the outermost ghost bands received wrapped garbage; mask
@@ -491,9 +554,9 @@ def _finalize_structured(
     if minor_wrap is not None:
         # last, so the ghost columns pick up the band/slab-filled rows of
         # their owner columns (corner completeness):
-        for arr in (cij, mij, mask, cii, lumped, n_nbrs, positions,
-                    value_mask):
-            _fill_minor_wrap(arr, canvas, minor_wrap)
+        reach = max(abs(o) for off in offsets for o in off)
+        for arr in statics:
+            _fill_minor_wrap(arr, canvas, minor_wrap, reach)
     # boundary rounds in canvas numbering
     rounds: List[Dict[int, BoundaryGroup]] = []
     for rnd in data.boundary_rounds:
@@ -532,4 +595,7 @@ def _finalize_structured(
         value_mask=value_mask,
         slab_spec=slab_spec,
         minor_wrap=minor_wrap,
+        incidence=incidence,
+        ansatz=getattr(data, "ansatz", "cG Q1"),
+        periodic_minor=minor_periodic,
     )

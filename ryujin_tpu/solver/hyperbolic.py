@@ -137,6 +137,7 @@ def _stencil_from_ell(ell: EllData, dtype=jnp.float64) -> Stencil:
     data_fields=(
         "cij", "mij", "mask", "cii", "m_lumped", "m_lumped_inv",
         "n_nbrs", "node_mask", "measure_inv", "gmap_node", "gmap_edge",
+        "incidence", "gmap_node_z", "gmap_edge_z",
     ),
 )
 @dataclasses.dataclass(frozen=True)
@@ -174,12 +175,25 @@ class StructuredStencil:
     gmap_node: Optional[Tuple[jax.Array, jax.Array]] = None
     gmap_edge: Optional[Tuple[jax.Array, jax.Array]] = None
     # Periodic minor axis padded to a lane-aligned width: (P, W) — ghost
-    # col P <- col 0, ghost col W-1 <- col P-1 (StructuredData.minor_wrap):
+    # cols [P, P+reach) <- [0, reach), [W-reach, W) <- [P-reach, P)
+    # (StructuredData.minor_wrap):
     minor_wrap: Optional[Tuple[int, int]] = None
+    # dG incidence matrix beta_ij [K, n] (None for a continuous ansatz):
+    incidence: Optional[jax.Array] = None
+    # z-vectorized multi-block refresh maps (extruded quilts,
+    # offline/multiblock.py pack_multiblock_extruded): one 2D map
+    # applied to every z plane — (dst2, src2) cells of the [H*W]
+    # cross-section, and (dst_k, dst2, src_k, src2) for edge arrays:
+    gmap_node_z: Optional[Tuple[jax.Array, jax.Array]] = None
+    gmap_edge_z: Optional[Tuple[jax.Array, ...]] = None
 
     @property
     def K(self) -> int:
         return len(self.offsets)
+
+    @property
+    def reach(self) -> int:
+        return max(abs(o) for off in self.offsets for o in off)
 
     @property
     def have_ghosts(self) -> bool:
@@ -187,6 +201,7 @@ class StructuredStencil:
             any(g is not None for g in self.ghosts)
             or self.slab_spec is not None
             or self.gmap_node is not None
+            or self.gmap_node_z is not None
             or self.minor_wrap is not None
         )
 
@@ -199,6 +214,18 @@ class StructuredStencil:
             X = X.at[..., dst].set(
                 X[..., src], unique_indices=True, indices_are_sorted=True
             )
+        if self.gmap_node_z is not None:
+            # extruded multi-block: one cross-section map per z plane,
+            # the D axis free-riding as a leading slice
+            dst2, src2 = self.gmap_node_z
+            D = self.shape[0]
+            n2p = self.shape[1] * self.shape[2]
+            Xr = X.reshape(X.shape[:-1] + (D, n2p))
+            Xr = Xr.at[..., dst2].set(
+                Xr[..., src2],
+                unique_indices=True, indices_are_sorted=True,
+            )
+            X = Xr.reshape(X.shape)
         return self._roll_ghosts(X)
 
     def _roll_ghosts(self, X: jax.Array) -> jax.Array:
@@ -234,14 +261,16 @@ class StructuredStencil:
             Xc = jax.lax.dynamic_update_slice_in_dim(Xc, top, 0, a)
             Xc = jax.lax.dynamic_update_slice_in_dim(Xc, bot, g + P, a)
         if self.minor_wrap is not None:
-            # periodic minor axis on a padded canvas: two ghost columns
-            # realize the identification (last, for corner completeness)
+            # periodic minor axis on a padded canvas: 2*reach ghost
+            # columns realize the identification (last, for corner
+            # completeness)
             P, W = self.minor_wrap
+            r = self.reach
             a = Xc.ndim - 1
-            c0 = jax.lax.slice_in_dim(Xc, 0, 1, axis=a)
+            c0 = jax.lax.slice_in_dim(Xc, 0, r, axis=a)
             Xc = jax.lax.dynamic_update_slice_in_dim(Xc, c0, P, a)
-            cP = jax.lax.slice_in_dim(Xc, P - 1, P, axis=a)
-            Xc = jax.lax.dynamic_update_slice_in_dim(Xc, cP, W - 1, a)
+            cP = jax.lax.slice_in_dim(Xc, P - r, P, axis=a)
+            Xc = jax.lax.dynamic_update_slice_in_dim(Xc, cP, W - r, a)
         return Xc.reshape(X.shape)
 
     def _shift(self, Xc: jax.Array, off) -> jax.Array:
@@ -279,6 +308,29 @@ class StructuredStencil:
                 E[..., src // n, src % n],
                 unique_indices=True, indices_are_sorted=True,
             )
+            return self._roll_ghosts(E)
+        if self.gmap_edge_z is not None:
+            # extruded multi-block: the slot permutation is z-preserving,
+            # so scatter (k, cell2) pairs with the D axis as a window dim
+            # (vmapped over z -> one batched scatter of D-length rows)
+            kd, cd, ks, cs = self.gmap_edge_z
+            K = E.shape[-2]
+            D = self.shape[0]
+            n2p = self.shape[1] * self.shape[2]
+            lead = E.shape[:-2]
+            B = 1
+            for s in lead:
+                B *= s
+            E4 = E.reshape((B, K, D, n2p))
+
+            def _sc(x):  # [B, K, n2p]
+                return x.at[:, kd, cd].set(
+                    x[:, ks, cs],
+                    unique_indices=True, indices_are_sorted=True,
+                )
+
+            E4 = jax.vmap(_sc, in_axes=2, out_axes=2)(E4)
+            E = E4.reshape(E.shape)
             return self._roll_ghosts(E)
         return self.refresh_ghosts(E)
 
@@ -324,6 +376,24 @@ class StructuredStencil:
                 else _sorted_map(sd.gmap_edge)
             ),
             minor_wrap=getattr(sd, "minor_wrap", None),
+            incidence=(
+                None if getattr(sd, "incidence", None) is None
+                else _f(sd.incidence.T, dtype)
+            ),
+            gmap_node_z=(
+                None if getattr(sd, "gmap_node_z", None) is None
+                else tuple(
+                    jnp.asarray(np.asarray(a), jnp.int32)
+                    for a in sd.gmap_node_z
+                )
+            ),
+            gmap_edge_z=(
+                None if getattr(sd, "gmap_edge_z", None) is None
+                else tuple(
+                    jnp.asarray(np.asarray(a), jnp.int32)
+                    for a in sd.gmap_edge_z
+                )
+            ),
         )
 
 
@@ -435,14 +505,42 @@ def _boundary_pair_data(st, dtype):
             own = np.arange(int(np.prod(shape)), dtype=np.int64)
             own[dst] = src
             jj = own[jj]
+        if getattr(st, "slab_spec", None) is not None:
+            # slab canvas: a neighbor across a slab boundary sits in a
+            # ghost band whose U value is refreshed only inside nbr();
+            # the fixup gathers U directly, so remap to the owner row
+            # (top ghost [0, g) <- slab s-1 local Ls+a, bottom ghost
+            # [g+Ls, A) <- slab s+1 local a-Ls, both cyclic — matching
+            # _fill_slab_ghosts).  Without this the fixup reads stale
+            # ghost values whenever a slab boundary cuts through a
+            # coupling-boundary-pair region (e.g. the step notch row).
+            n_sl, Ls, g = st.slab_spec
+            A = Ls + 2 * g
+            midx_j = np.stack(np.unravel_index(jj, shape), axis=1)
+            r = midx_j[:, 0]
+            s_sl = r // A
+            a_loc = r - s_sl * A
+            r_owner = np.where(
+                a_loc < g,
+                ((s_sl - 1) % n_sl) * A + Ls + a_loc,
+                np.where(
+                    a_loc >= g + Ls,
+                    ((s_sl + 1) % n_sl) * A + (a_loc - Ls),
+                    r,
+                ),
+            )
+            midx_j[:, 0] = r_owner
+            jj = np.ravel_multi_index(tuple(midx_j.T), shape)
         if st.minor_wrap is not None:
-            # padded periodic minor axis: neighbors at the two ghost
-            # columns remap to their owner columns (col P -> 0,
-            # col W-1 -> P-1) so U reads see real values
+            # padded periodic minor axis: neighbors at the 2*reach ghost
+            # columns remap to their owner columns (cols [P, P+r) -> [0,
+            # r), cols [W-r, W) -> [P-r, P)) so U reads see real values
             P, W = st.minor_wrap
+            r = st.reach
             midx_j = np.stack(np.unravel_index(jj, shape), axis=1)
             mx = midx_j[:, -1]
-            mx = np.where(mx == P, 0, np.where(mx == W - 1, P - 1, mx))
+            mx = np.where((mx >= P) & (mx < P + r), mx - P, mx)
+            mx = np.where(mx >= W - r, mx - (W - P), mx)
             midx_j[:, -1] = mx
             jj = np.ravel_multi_index(tuple(midx_j.T), shape)
     c_f = cij[:, kk, nn]
@@ -1192,7 +1290,10 @@ class HyperbolicModule:
         sym_mb_enabled = _os.environ.get("RYUJIN_SYM_MB") == "1"
         sym = bool(getattr(equation, "riemann_symmetric", False))
         is_canvas = isinstance(self._xla_stencil, StructuredStencil)
-        multiblock = is_canvas and self._xla_stencil.gmap_edge is not None
+        multiblock = is_canvas and (
+            self._xla_stencil.gmap_edge is not None
+            or self._xla_stencil.gmap_edge_z is not None
+        )
         sym_fix = getattr(ell, "sym_fixup", None)
         self._sym_riemann = sym and is_canvas and not multiblock
         self._sym_mb = (
@@ -1591,6 +1692,7 @@ class HyperbolicModule:
                 eq, p, st, U_new, bounds, P, l_ij,
                 st.transpose_edge(l_ij), last,
                 mask_lT=(getattr(st, "gmap_edge", None) is not None
+                         or getattr(st, "gmap_edge_z", None) is not None
                          or getattr(st, "slab_spec", None) is not None
                          or self._sideband is not None),
             )

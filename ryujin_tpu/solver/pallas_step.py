@@ -46,21 +46,23 @@ from ..offline.structured import StructuredData
 from . import hyperbolic as hyp
 
 
-def pallas_default_margin(eq, dim: int):
+def pallas_default_margin(eq, dim: int, ansatz: str = "cG Q1"):
     """Canvas margins the Pallas kernels need for this equation/dim.
 
     2D row tiles need TH(=8)-row y margins.  The 3D z-slab kernels
-    (available when the equation supports slot streaming) need TD(=8)
-    planes on z but only 1+ rows on y — (8, 2) cuts the 3D canvas pad
-    ratio from ~1.9 to ~1.5 on benchmark-sized boxes.  The 3D y-tiled
-    fallback kernels need full 8-row margins on both leading axes.
+    (available when the equation supports slot streaming and the ansatz
+    is cG Q1 — dG incidence is not streamed) need TD(=8) planes on z but
+    only 1+ rows on y — (8, 2) cuts the 3D canvas pad ratio from ~1.9 to
+    ~1.5 on benchmark-sized boxes.  The 3D y-tiled fallback kernels need
+    full 8-row margins on both leading axes.
     """
     import os
 
     if dim < 3:
         return 8
     streaming = (
-        hasattr(eq, "indicator_accum")
+        ansatz == "cG Q1"
+        and hasattr(eq, "indicator_accum")
         and hasattr(eq, "limiter_bounds_accum")
         and not getattr(eq, "have_source_terms", False)
         and not getattr(eq, "have_equilibrated_states", False)
@@ -82,9 +84,26 @@ def pallas_supports(packed) -> bool:
     canvases are exactly the period wide (the lane-roll wrap IS the
     periodic identification), so small periodic meshes (period % 128
     != 0) must run the XLA fallback on hardware.  Interpret mode has no
-    such constraint."""
+    such constraint.
+
+    Higher-order stencils (reach > 1: cG Q2/Q3, dG Q2/Q3 node lattices)
+    run the 2D row-tiled kernels; the 3D kernels' windows carry a
+    one-plane z halo and support reach 1 only."""
     shape = getattr(packed, "shape", None)
-    return shape is not None and shape[-1] % 128 == 0
+    if shape is None or shape[-1] % 128 != 0:
+        return False
+    reach = getattr(packed, "reach", 1)
+    if reach > 1:
+        if len(shape) != 2:
+            return False
+        # PK1/PK2/PK3 stream their slots for reach > 1, but PK4/PK5
+        # still pipeline the full [C*K] P block; their program-VMEM
+        # requirement is ~1.1 kB per K*column (measured: 155 MB at
+        # K=48, W=2944 on v5e — over the 128 MB VMEM).  Beyond the
+        # ceiling the XLA canvas path takes over.
+        if 1100.0 * packed.max_degree * shape[-1] > 126e6:
+            return False
+    return True
 
 
 def _sorted_map(m):
@@ -203,6 +222,7 @@ def _tiled_call(
     tile_rows: Tuple[int, int],
     dtype,
     interpret: bool = False,
+    slab_tiles: Optional[Tuple[int, int, int, int]] = None,
 ):
     """Run `compute` over the interior row-tiles.
 
@@ -219,11 +239,33 @@ def _tiled_call(
     must mask any halo read of such outputs with jnp.where; this avoids
     materializing a fresh zero canvas in HBM every substep).
 
+    slab_tiles: (n_slabs, tps, At, gt) in TILE units for an UNSHARDED
+    slab canvas (axis 0 = n_slabs blocks of At tiles: gt ghost | tps
+    real | gt ghost).  The grid then enumerates only the n_slabs * tps
+    REAL tiles and maps tile tq to canvas row-tile
+    (tq // tps) * At + gt + tq % tps — ghost-band tiles are never
+    computed (they are refreshed between kernels anyway), which removes
+    the slab-machinery row tax measured in PERF_r04
+    slab_canvas_overhead_1M.  tile_rows is ignored for geometry but
+    still carries the computed-tile count for the traffic model.
+
     scalars: () arrays delivered via SMEM.
     compute(windows, scalars, tv) -> list of [pl_o, TH, TW] tiles.
     """
-    t0, t1 = tile_rows
-    assert t0 >= 1 and t1 * TH + TH <= H, (tile_rows, H, TH)
+    if slab_tiles is None:
+        t0, t1 = tile_rows
+        assert t0 >= 1 and t1 * TH + TH <= H, (tile_rows, H, TH)
+        tps = None
+
+        def row_tile(tq):
+            return tq + t0
+    else:
+        n_sl, tps, At, gt = slab_tiles
+        assert gt >= 1 and n_sl * At * TH == H, (slab_tiles, H, TH)
+        t0, t1 = 0, n_sl * tps
+
+        def row_tile(tq):
+            return (tq // tps) * At + gt + tq % tps
     gw = W // TW
     halo_x = gw > 1
     wy = 3 * TH
@@ -265,7 +307,7 @@ def _tiled_call(
 
         def window_start(q):
             """(sy, sx, lx) of flattened tile q."""
-            ty = q // gw + t0
+            ty = row_tile(q // gw)
             tx = q - (q // gw) * gw
             sy = (ty - 1) * TH
             if halo_x:
@@ -296,25 +338,39 @@ def _tiled_call(
             # [0, 2*TH) are shifted over from the previous window with a
             # VMEM-local copy.  This cuts halo-input HBM traffic 3x
             # versus re-fetching the full 3*TH window every tile.
+            # Slab canvases (slab_tiles) break row contiguity at slab
+            # boundaries: the first tile of each slab reloads its full
+            # window instead (n_slabs extra 3-stripe loads per kernel).
             def stripe_src(q):
-                return (q + t0 + 1) * TH  # rows of tile ty_q + 1
+                return (row_tile(q) + 1) * TH  # rows of tile ty_q + 1
 
-            @pl.when(p == 0)
+            if tps is None:
+                is_start = p == jnp.asarray(0, p.dtype)
+                nxt_start = p < jnp.asarray(0, p.dtype)  # never
+            else:
+                tpsd = jnp.asarray(tps, p.dtype)
+                is_start = jax.lax.rem(p, tpsd) == 0
+                nxt_start = (
+                    jax.lax.rem(p + jnp.asarray(1, p.dtype), tpsd) == 0
+                )
+            sy_full = (row_tile(p) - 1) * TH
+
+            @pl.when(is_start)
             def _():
                 for i in range(n_h):
                     pltpu.make_async_copy(
-                        h_refs[i].at[:, pl.ds((t0 - 1) * TH, wy), :],
+                        h_refs[i].at[:, pl.ds(sy_full, wy), :],
                         wins_h[i].at[slot],
                         sems.at[slot, i],
                     ).start()
                 for i in range(n_h):
                     pltpu.make_async_copy(
-                        h_refs[i].at[:, pl.ds((t0 - 1) * TH, wy), :],
+                        h_refs[i].at[:, pl.ds(sy_full, wy), :],
                         wins_h[i].at[slot],
                         sems.at[slot, i],
                     ).wait()
 
-            @pl.when(p > 0)
+            @pl.when(jnp.logical_not(is_start))
             def _():
                 # wait the stripe prefetch issued at p-1, then shift the
                 # overlapping 2*TH rows from the previous buffer
@@ -337,10 +393,15 @@ def _tiled_call(
                         sems.at[2, i],
                     ).wait()
 
-            @pl.when(p + 1 < n_p)
+            @pl.when(jnp.logical_and(
+                p + 1 < n_p, jnp.logical_not(nxt_start)
+            ))
             def _():
                 # prefetch the next tile's new stripe into the other
-                # buffer (safe: its source rows were just shifted out)
+                # buffer (safe: its source rows were just shifted out).
+                # Slab-start tiles load their full window synchronously
+                # instead — prefetching for them would leave an unwaited
+                # DMA + semaphore racing the full load.
                 for i in range(n_h):
                     pltpu.make_async_copy(
                         h_refs[i].at[:, pl.ds(stripe_src(p + 1), TH), :],
@@ -373,9 +434,17 @@ def _tiled_call(
             wins[i] = wins_h[j][slot]
         scal = [r[0, 0] for r in sc_refs]
         tv = _TileView(offsets, TH, lx, TH, TW, halo_x, True, wy, wx)
-        outs = compute(wins, scal, tv)
+        if getattr(compute, "takes_out_refs", False):
+            # streaming kernels (large-K PK3) store slot results into the
+            # output refs as they are computed instead of stacking [K,
+            # tile] values — the Mosaic scoped-VMEM stack otherwise holds
+            # every slot live at once (measured overflow at cG Q3's K=48)
+            outs = compute(wins, scal, tv, out_refs)
+        else:
+            outs = compute(wins, scal, tv)
         for oref, val in zip(out_refs, outs):
-            oref[...] = val
+            if val is not None:
+                oref[...] = val
 
     init_arrays = [a for a in out_init if not isinstance(a, int)]
     out_shape = [
@@ -390,7 +459,7 @@ def _tiled_call(
         + [
             pl.BlockSpec(
                 (a.shape[0], TH, TW),
-                lambda ty, tx, _t0=t0: (0, ty + _t0, tx),
+                lambda ty, tx: (0, row_tile(ty), tx),
                 memory_space=pltpu.VMEM,
             )
             for a in ins_c
@@ -401,7 +470,7 @@ def _tiled_call(
     out_specs = [
         pl.BlockSpec(
             (a if isinstance(a, int) else a.shape[0], TH, TW),
-            lambda ty, tx, _t0=t0: (0, ty + _t0, tx),
+            lambda ty, tx: (0, row_tile(ty), tx),
             memory_space=pltpu.VMEM,
         )
         for a in out_init
@@ -424,7 +493,7 @@ def _tiled_call(
         scratch_shapes=scratch,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -726,7 +795,7 @@ def _tiled_call_3d(
         scratch_shapes=scratch,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -986,6 +1055,8 @@ class PallasArrays:
     #   f_sepz [D, PF, 1, 128]: per-offset z-profiles (lane-broadcast)
     g_sep2: Optional[jax.Array] = None
     f_sepz: Optional[jax.Array] = None
+    # dG incidence canvas [K, *canvas]; None for a continuous ansatz:
+    g_inc: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass
@@ -1002,6 +1073,8 @@ class _SA:
     n_nbrs: jax.Array
     node_mask: jax.Array
     measure_inv: float
+    # dG incidence beta_ij [K, *tile] (None for a continuous ansatz):
+    incidence: Optional[jax.Array] = None
 
 
 class _SepTile:
@@ -1103,6 +1176,16 @@ class PallasStepper:
         self.K = sd.max_degree
         self.dim = sd.dim
         self.measure_inv = float(1.0 / sd.measure_of_omega)
+        # stencil reach: 1 for Q1, p for the Qp node lattice.  The 2D
+        # row-tiled kernels support any reach <= TH (their windows span
+        # 3*TH rows and x-neighbors are lane rolls); the 3D kernels'
+        # windows carry a one-plane z halo, so 3D is reach-1 only:
+        self.reach = max(abs(o) for off in self.offsets for o in off)
+        if sd.dim == 3 and self.reach > 1:
+            raise ValueError(
+                "3D pallas kernels support stencil reach 1 only (cG Q1 / "
+                "dG Q0-Q1 node lattices); use the XLA backend"
+            )
 
         # Row tiles of 8 with full canvas width: the 8-row masked margins
         # (offline/structured.py) guarantee that halo windows of tiles
@@ -1131,6 +1214,10 @@ class PallasStepper:
         self.slab3d = (
             sd.dim == 3
             and self.stream_capable
+            and sd.incidence is None  # dG factor not streamed
+            # extruded multi-block gmap refresh is implemented for the
+            # plane-major stacked path only:
+            and getattr(sd, "gmap_edge_z", None) is None
             and os.environ.get("RYUJIN_SLAB3D", "1") != "0"
         )
 
@@ -1271,6 +1358,10 @@ class PallasStepper:
             ),
             node_mask_flat=jnp.asarray(sd.node_mask, dtype),
             m_lumped_flat=jnp.asarray(sd.lumped_mass, dtype),
+            g_inc=(
+                None if sd.incidence is None
+                else canv(np.moveaxis(sd.incidence, -1, 0), K)
+            ),
         )
 
         if self.sep is not None:
@@ -1323,12 +1414,28 @@ class PallasStepper:
         gm_e = getattr(sd, "gmap_edge", None)
         self.gmap_node = None if gm_n is None else _sorted_map(gm_n)
         self.gmap_edge = None if gm_e is None else _sorted_map(gm_e)
-        self.multiblock = self.gmap_edge is not None
+        # z-vectorized maps of extruded multi-block canvases:
+        gm_nz = getattr(sd, "gmap_node_z", None)
+        gm_ez = getattr(sd, "gmap_edge_z", None)
+        self.gmap_node_z = (
+            None if gm_nz is None
+            else tuple(jnp.asarray(np.asarray(a), jnp.int32)
+                       for a in gm_nz)
+        )
+        self.gmap_edge_z = (
+            None if gm_ez is None
+            else tuple(jnp.asarray(np.asarray(a), jnp.int32)
+                       for a in gm_ez)
+        )
+        self.multiblock = (
+            self.gmap_edge is not None or self.gmap_edge_z is not None
+        )
         self.minor_wrap = getattr(sd, "minor_wrap", None)
         self._have_ghosts = (
             any(g is not None for g in self.ghost_bands)
             or self.slab_spec is not None
             or self.gmap_node is not None
+            or self.gmap_node_z is not None
             or self.minor_wrap is not None
         )
 
@@ -1370,10 +1477,14 @@ class PallasStepper:
 
     # -- helpers ----------------------------------------------------------
     def _d_win_sym(self, w_lam, cmax_t, mask, tv):
-        """d = lambda * cmax from the half-slot lambda halo window.
+        """d from the half-slot wavespeed halo window.
 
-        lambda for slots k >= K/2 is the K-1-k plane of the (dy, dx)
-        neighbor (one Riemann solve per undirected edge)."""
+        The slot k >= K/2 value is the K-1-k plane of the (dy, dx)
+        neighbor (one Riemann solve per undirected edge).  cmax_t=None
+        means the canvas is PRE-SCALED (PK1 folded max(|c_ij|, |c_ji|)
+        into its output, so the window holds d directly — cmax_k(i) ==
+        cmax_{K-1-k}(j) makes the transposed read exact); otherwise the
+        window holds raw lambda and is scaled here."""
         tvd = self._derived_view(tv)
         lam_win = self._win(w_lam, tv)
         K = self.K
@@ -1384,9 +1495,9 @@ class PallasStepper:
             for k, off in list(enumerate(self.offsets))[K2:]
         ])
         lam_full = jnp.concatenate([lam_c, lam_T], axis=0)
-        return jnp.where(
-            mask > 0, lam_full * cmax_t, jnp.zeros_like(lam_full)
-        )
+        if cmax_t is not None:
+            lam_full = lam_full * cmax_t
+        return jnp.where(mask > 0, lam_full, jnp.zeros_like(lam_full))
 
     def _d_win(self, w_e, mask, tv):
         """Graph viscosity d = max(e_ij, e_ji) from the e halo window.
@@ -1425,7 +1536,8 @@ class PallasStepper:
         vm_j = tvd.nbr(nm_win)[1]  # value_mask plane, [K, *tile]
         return nm_c[None] * vm_j
 
-    def _sa(self, tv, w_cij, w_mask, w_mij, w_cii, w_node, mask_arr=None):
+    def _sa(self, tv, w_cij, w_mask, w_mij, w_cii, w_node, mask_arr=None,
+            w_inc=None):
         c = tv.center
         dim, K = self.dim, self.K
         node = c(w_node) if w_node is not None else None
@@ -1442,28 +1554,31 @@ class PallasStepper:
             n_nbrs=node[2] if node is not None else None,
             node_mask=node[3] if node is not None else None,
             measure_inv=self.measure_inv,
+            incidence=c(w_inc) if w_inc is not None else None,
         )
 
     def _win(self, w_ref, tv):
-        """The live (TH+2)-row slice of a halo window ref: the rows a
-        (dy in {-1, 0, 1}) slot of the tile (at ly = tv.ly) addresses.
-        Slice the ref ONCE and index the result with `_derived_view`.
-        3D windows keep their (already minimal) TD+2 z extent; z-slab
-        windows (halo_y False: full-height tiles, y via rolls) keep the
-        full y extent."""
+        """The live (TH+2*reach)-row slice of a halo window ref: the rows
+        a (dy in {-reach..reach}) slot of the tile (at ly = tv.ly)
+        addresses.  Slice the ref ONCE and index the result with
+        `_derived_view`.  3D windows keep their (already minimal) TD+2 z
+        extent (3D is reach-1 only); z-slab windows (halo_y False:
+        full-height tiles, y via rolls) keep the full y extent."""
+        r = self.reach
         if tv.TD is not None:
             ys = (
-                slice(tv.ly - 1, tv.ly + self.TH + 1)
+                slice(tv.ly - r, tv.ly + self.TH + r)
                 if tv.halo_y
                 else slice(None)
             )
             return w_ref[:, tv.lz - 1 : tv.lz + tv.TD + 1, ys, :]
-        return w_ref[:, tv.ly - 1 : tv.ly + self.TH + 1, :]
+        return w_ref[:, tv.ly - r : tv.ly + self.TH + r, :]
 
-    @staticmethod
-    def _derived_view(tv):
-        """A _TileView addressing a `_win`-sliced array (tile at row 1)."""
-        return _TileView(tv.offsets, 1 if tv.halo_y else tv.ly, tv.lx,
+    def _derived_view(self, tv):
+        """A _TileView addressing a `_win`-sliced array (tile at row
+        `reach`)."""
+        r = self.reach
+        return _TileView(tv.offsets, r if tv.halo_y else tv.ly, tv.lx,
                          tv.TH, tv.TW, tv.halo_x, tv.halo_y, tv.wy, tv.wx,
                          lz=(None if tv.TD is None else 1), TD=tv.TD)
 
@@ -1517,11 +1632,25 @@ class PallasStepper:
         update_ghost_rows_{start,finish} (sparse_matrix_simd.h:651-771)."""
         if not self._have_ghosts or X.shape[0] == 0:
             return X
+        if os.environ.get("RYUJIN_REFRESH_ABLATE") == "1":
+            # measurement aid: skip all ghost refreshes (results WRONG);
+            # isolates the refresh-copy share of the slab machinery tax
+            return X
         if self.gmap_node is not None:
             dst, src = self.gmap_node
             Xf = X.reshape(X.shape[0], -1)
             X = Xf.at[:, dst].set(
                 Xf[:, src], unique_indices=True, indices_are_sorted=True
+            ).reshape(X.shape)
+        if self.gmap_node_z is not None:
+            # extruded multi-block: one cross-section map per z plane
+            dst2, src2 = self.gmap_node_z
+            D = self.canvas[0]
+            n2p = self.canvas[1] * self.canvas[2]
+            Xr = X.reshape(X.shape[0], D, n2p)
+            X = Xr.at[:, :, dst2].set(
+                Xr[:, :, src2],
+                unique_indices=True, indices_are_sorted=True,
             ).reshape(X.shape)
         if self.slab_spec is not None:
             # cyclic roll along the slab axis — a collective-permute when
@@ -1548,14 +1677,15 @@ class PallasStepper:
             X = jax.lax.dynamic_update_slice_in_dim(X, top, 0, a)
             X = jax.lax.dynamic_update_slice_in_dim(X, bot, g + P, a)
         if self.minor_wrap is not None:
-            # periodic minor axis on a padded canvas: two ghost columns
-            # realize the identification (offline/structured.py)
+            # periodic minor axis on a padded canvas: 2*reach ghost
+            # columns realize the identification (offline/structured.py)
             P, W = self.minor_wrap
+            r = self.reach
             a = X.ndim - 1
-            c0 = jax.lax.slice_in_dim(X, 0, 1, axis=a)
+            c0 = jax.lax.slice_in_dim(X, 0, r, axis=a)
             X = jax.lax.dynamic_update_slice_in_dim(X, c0, P, a)
-            cP = jax.lax.slice_in_dim(X, P - 1, P, axis=a)
-            X = jax.lax.dynamic_update_slice_in_dim(X, cP, W - 1, a)
+            cP = jax.lax.slice_in_dim(X, P - r, P, axis=a)
+            X = jax.lax.dynamic_update_slice_in_dim(X, cP, W - r, a)
         return X
 
     def _refresh_zm(self, X):
@@ -1590,11 +1720,12 @@ class PallasStepper:
             X = jax.lax.dynamic_update_slice_in_dim(X, bot, g + P, a)
         if self.minor_wrap is not None:
             P, W = self.minor_wrap
+            r = self.reach
             a = X.ndim - 1
-            c0 = jax.lax.slice_in_dim(X, 0, 1, axis=a)
+            c0 = jax.lax.slice_in_dim(X, 0, r, axis=a)
             X = jax.lax.dynamic_update_slice_in_dim(X, c0, P, a)
-            cP = jax.lax.slice_in_dim(X, P - 1, P, axis=a)
-            X = jax.lax.dynamic_update_slice_in_dim(X, cP, W - 1, a)
+            cP = jax.lax.slice_in_dim(X, P - r, P, axis=a)
+            X = jax.lax.dynamic_update_slice_in_dim(X, cP, W - r, a)
         return X
 
     def _refresh_edge(self, E):
@@ -1609,6 +1740,32 @@ class PallasStepper:
             return Ef.at[dst].set(
                 Ef[src], unique_indices=True, indices_are_sorted=True
             ).reshape(E.shape)
+        if self.gmap_edge_z is not None:
+            # extruded multi-block: z-preserving slot permutation — a
+            # batched (vmapped over z) scatter of D-length rows; then
+            # the z ghost-band copies for periodic extrusions:
+            kd, cd, ks, cs = self.gmap_edge_z
+            K = E.shape[0]
+            D = self.canvas[0]
+            n2p = self.canvas[1] * self.canvas[2]
+            E4 = E.reshape(K, D, n2p)
+
+            def _sc(x):  # [K, n2p]
+                return x.at[kd, cd].set(
+                    x[ks, cs],
+                    unique_indices=True, indices_are_sorted=True,
+                )
+
+            E4 = jax.vmap(_sc, in_axes=1, out_axes=1)(E4)
+            E = E4.reshape(E.shape)
+            # z band rolls (gmap_node_z must NOT re-apply to edge slots):
+            save = self.gmap_node_z
+            self.gmap_node_z = None
+            try:
+                E = self._refresh(E)
+            finally:
+                self.gmap_node_z = save
+            return E
         return self._refresh(E)
 
     def _refresh_edge_half(self, E):
@@ -1656,6 +1813,7 @@ class PallasStepper:
         else:
             lc["H"] = A
             lc["tile_rows"] = (1, A // self.TH - 1)
+            lc.pop("slab_tiles", None)  # per-device slabs: plain range
 
         norm = [(a, True) if not isinstance(a, tuple) else a for a in ins]
         vals = [a for a, _ in norm]
@@ -2451,6 +2609,17 @@ class PallasStepper:
                 tile_rows=self.tile_rows, dtype=dtype,
                 interpret=self.interpret,
             )
+            if self.slab_spec is not None and self.device_mesh is None:
+                # unsharded slab canvas: enumerate only the real tiles
+                # of each slab — ghost-band tiles are refreshed between
+                # kernels and never need computing (the single-chip slab
+                # machinery tax of PERF_r04 slab_canvas_overhead_1M)
+                n_sl, Ls, g = self.slab_spec
+                if Ls % TH == 0 and g % TH == 0 and g >= TH:
+                    common["slab_tiles"] = (
+                        n_sl, Ls // TH, (Ls + 2 * g) // TH, g // TH
+                    )
+                    common["tile_rows"] = (0, n_sl * (Ls // TH))
             tiled_call = _tiled_call
 
         def zeros(planes):
@@ -2458,7 +2627,7 @@ class PallasStepper:
 
         # ---- PK1: e (forward wavespeed products) + alpha ----------------
         def pk1(wins, scal, tv):
-            w_cij, _w_cmax_unused, w_node, w_U, w_prec = wins
+            w_cij, w_cmax, w_node, w_U, w_prec = wins
             sa = self._sa(tv, w_cij, None, None, None, w_node,
                           mask_arr=self._derived_mask(w_node, tv))
             Ut = tv.center(w_U)
@@ -2482,6 +2651,12 @@ class PallasStepper:
             e, alpha = hyp.phase_e_alpha(
                 eq, p, sa, Ut, prect, U_j, prec_j, half=sym or sym_mb, **kw
             )
+            if prescale:
+                # fold cmax = max(|c_ij|, |c_ji|) into the output: the
+                # transposed slot read then IS the graph viscosity d and
+                # PK2/PK3 and the tau glue never touch the cmax canvas
+                # (the 3D slab kernels' pre-scaled wavespeed trick)
+                e = e * tv.center(w_cmax)[: self.K // 2]
             return [e, alpha[None]]
 
         no_sym = os.environ.get("RYUJIN_NO_SYM") == "1"  # A/B knob
@@ -2500,32 +2675,48 @@ class PallasStepper:
             and self.interface_fixup is not None
             and not no_sym
         )
+        # Large-K single-block half-slot canvases (reach > 1) fold cmax
+        # into PK1's output (pre-scaled wavespeeds): PK2/PK3 and the tau
+        # glue then never read the K-plane cmax canvas — necessary VMEM
+        # relief for the streamed kernels.  Reach-1 keeps raw lambda:
+        # its PK1 is Riemann-compute-bound and the measured flagship
+        # cost of the extra cmax center block (+0.04 GB/substep in PK1)
+        # outweighs the PK2/PK3 savings (143.9 -> 139.9 MQ/s A/B).
+        # The multi-block interface-fixup scatter works in lambda
+        # units, so sym_mb keeps the raw path too.
+        prescale = sym and (
+            self.reach > 1
+            or os.environ.get("RYUJIN_PRESCALE_2D") == "1"
+        )
         K_e = K // 2 if (sym or sym_mb) else K
         import os as _os_s
 
         _stream_env = _os_s.environ.get("RYUJIN_STREAM")
         stream = hasattr(eq, "indicator_accum") and (
-            _stream_env == "1" if _stream_env is not None else self.dim == 3
+            _stream_env == "1" if _stream_env is not None
+            else (self.dim == 3 or self.reach > 1)
         )
         pk1_fn = (
             (lambda wins, scal, tv: self._pk1_stream(
-                wins, scal, tv, sym or sym_mb
+                wins, scal, tv, sym or sym_mb, prescale=prescale
             ))
             if stream
             else pk1
         )
         e, alpha = self._call(
             tiled_call, pk1_fn,
-            # (None, False) = the cmax slot of the streaming kernel's
-            # wins tuple (pre-scaling is 3D-slab only)
-            [(ga.g_cij, False), (None, False), ga.g_node, Uc, precc],
+            [(ga.g_cij, False),
+             (ga.g_cmax if prescale else None, False),
+             ga.g_node, Uc, precc],
             [],
             [K_e, zeros(1)],  # e uninit: consumers mask the halo read
             common,
         )
         if (sym or sym_mb) and self.lambda_fixup is not None:
             # coupling-boundary-pair correction (few slots, XLA scatter)
-            e = self.lambda_fixup(e, U, prec).reshape((K_e,) + canvas)
+            e = self.lambda_fixup(
+                e, U, prec, prescaled=prescale
+            ).reshape((K_e,) + canvas)
         if sym_mb:
             # multi-block half canvas: ghost refresh (computed-slot
             # sources only) + the cmax-normalized two-direction fixup at
@@ -2559,8 +2750,10 @@ class PallasStepper:
                 for k, off in list(enumerate(self.offsets))[K_e:]
             ])
             lam_full = jnp.concatenate([e, lam_T], axis=0)
+            if not prescale:
+                lam_full = lam_full * ga.g_cmax
             d = jnp.where(
-                ga.g_mask > 0, lam_full * ga.g_cmax, jnp.zeros_like(lam_full)
+                ga.g_mask > 0, lam_full, jnp.zeros_like(lam_full)
             )
         else:
             e_T = jnp.stack(
@@ -2600,17 +2793,20 @@ class PallasStepper:
 
         def pk2(wins, scal, tv):
             (w_cij, w_mask, w_cmax, w_cii, w_node, w_U, w_prec, w_e,
-             w_alpha, w_sU, w_sP, w_ip, w_mij) = wins
+             w_alpha, w_sU, w_sP, w_ip, w_mij, w_inc) = wins
             tau_s = scal[0]
             w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
             sa = self._sa(tv, w_cij, w_mask, w_mij if need_mij else None,
-                          w_cii, w_node)
+                          w_cii, w_node, w_inc=w_inc)
             Ut, prect = tv.center(w_U), tv.center(w_prec)
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
             ip_t = tv.center(w_ip) if IP else None
             ip_j = tv.nbr(w_ip) if IP else None
             if sym or sym_mb:
-                dt_ = self._d_win_sym(w_e, tv.center(w_cmax), sa.mask, tv)
+                dt_ = self._d_win_sym(
+                    w_e, None if w_cmax is None else tv.center(w_cmax),
+                    sa.mask, tv,
+                )
             else:
                 dt_ = self._d_win(w_e, sa.mask, tv)
             alpha_t = tv.center(w_alpha)[0]
@@ -2627,14 +2823,129 @@ class PallasStepper:
             )
             return [U_low, F, bounds]
 
+        # reach-1 canvases keep the vectorized PK2; large-K canvases
+        # (reach > 1) stream one offset at a time — the [C, K, tile]
+        # neighbor/flux stacks of the vectorized kernel overflow the
+        # Mosaic scoped-VMEM stack at flagship widths (measured: 122 MB
+        # at K=24, W=3968).  Stream-capable equations only (pointwise
+        # eq.f flux, no sources/equilibrated states).
+        def pk2_stream(wins, scal, tv):
+            (w_cij, w_mask, w_cmax, w_cii, w_node, w_U, w_prec, w_e,
+             w_alpha, w_sU, w_sP, w_ip, w_mij, w_inc) = wins
+            del w_sP, w_ip, w_mij
+            tau_s = scal[0]
+            ws = scal[1:]
+            weight = 1.0
+            for w_s in ws:
+                weight = weight - w_s
+            tvd = self._derived_view(tv)
+            tile = self.tile
+            U_win = self._win(w_U, tv)
+            prec_win = self._win(w_prec, tv)
+            e_win = self._win(w_e, tv)
+            alpha_win = self._win(w_alpha, tv)
+            cij_c = tv.center(w_cij).reshape((self.dim, K) + tile)
+            mask_c = tv.center(w_mask)
+            inc_c = tv.center(w_inc) if w_inc is not None else None
+            cmax_c = tv.center(w_cmax) if w_cmax is not None else None
+            Ut = tvd.center(U_win)
+            prect = tvd.center(prec_win)
+            e_c = tvd.center(e_win)
+            node_c = tv.center(w_node)  # g_node is a center block in PK2
+            alpha_c = tvd.center(alpha_win)[0]
+            cii_c = tv.center(w_cii)
+            f_win = eq.f(U_win)
+            f_pl = f_win.reshape((C * self.dim,) + f_win.shape[2:])
+            f_i = tvd.center(f_pl).reshape((C, self.dim) + tile)
+            flux_ii = eq.flux_divergence(f_i, f_i, cii_c)
+            f_s_wins = []
+            for s in range(S):
+                f_s = eq.f(self._win(w_sU, tv)[s * C : (s + 1) * C])
+                f_s_wins.append(
+                    f_s.reshape((C * self.dim,) + f_s.shape[2:])
+                )
+            regularization = float(
+                100.0 * np.finfo(np.dtype(dtype)).tiny
+            )
+            low_acc = jnp.zeros((C,) + tile, dtype)
+            F_acc = jnp.zeros((C,) + tile, dtype)
+            bst = eq.limiter_bounds_init(Ut, prect)
+            for k, off in enumerate(self.offsets):
+                U_jk = tvd._slot(U_win, None, off)
+                prec_jk = tvd._slot(prec_win, None, off)
+                c_k = cij_c[:, k]
+                mask_k = mask_c[k]
+                if sym or sym_mb:
+                    lam_k = (
+                        e_c[k] if k < K_e
+                        else tvd._slot(e_win, K - 1 - k, off)
+                    )
+                    d_k = lam_k if prescale else lam_k * cmax_c[k]
+                else:
+                    d_k = jnp.maximum(
+                        e_c[k], tvd._slot(e_win, K - 1 - k, off)
+                    )
+                d_k = jnp.where(mask_k > 0, d_k, jnp.zeros_like(d_k))
+                alpha_jk = tvd._slot(alpha_win, 0, off)
+                f_jk = tvd._slot(f_pl, None, off).reshape(
+                    (C, self.dim) + tile
+                )
+                flux_ij_k = eq.flux_divergence(f_i, f_jk, c_k)
+                dU_k = U_jk - Ut
+                factor_k = 0.5 * (alpha_c + alpha_jk)
+                if inc_c is not None:
+                    factor_k = jnp.maximum(factor_k, inc_c[k])
+                dH_k = d_k * factor_k
+                low_acc = low_acc + (
+                    flux_ij_k + d_k[None] * dU_k
+                ) * mask_k[None]
+                F_acc = F_acc + (
+                    dH_k[None] * dU_k + weight * flux_ij_k
+                ) * mask_k[None]
+                for s in range(S):
+                    f_s_jk = tvd._slot(f_s_wins[s], None, off).reshape(
+                        (C, self.dim) + tile
+                    )
+                    f_s_i = tvd.center(f_s_wins[s]).reshape(
+                        (C, self.dim) + tile
+                    )
+                    F_acc = F_acc + ws[s] * eq.flux_divergence(
+                        f_s_i, f_s_jk, c_k
+                    ) * mask_k[None]
+                scaled_c_k = c_k / jnp.maximum(d_k, regularization)[None]
+                bst = eq.limiter_bounds_accum(
+                    bst, U_jk, prec_jk, scaled_c_k, mask_k
+                )
+            m_inv = node_c[1]
+            U_low = Ut + (tau_s * m_inv)[None] * (low_acc + flux_ii)
+            F_out = F_acc + weight * flux_ii
+            for s in range(S):
+                f_s_i = tvd.center(f_s_wins[s]).reshape(
+                    (C, self.dim) + tile
+                )
+                F_out = F_out + ws[s] * eq.flux_divergence(
+                    f_s_i, f_s_i, cii_c
+                )
+            hd_i = node_c[0] * self.measure_inv
+            bounds_out = eq.limiter_bounds_finalize(
+                bst, hd_i, p.limiter_relaxation_factor
+            )
+            return [U_low, F_out, bounds_out]
+
+        stream_pk2 = (
+            self.reach > 1 and self.stream_capable and IP == 0
+            and not need_mij
+        )
         U_low, F, bounds = self._call(
-            tiled_call, pk2,
+            tiled_call, pk2_stream if stream_pk2 else pk2,
             [(ga.g_cij, False), (ga.g_mask, False),
-             (ga.g_cmax if (sym or sym_mb) else None, False),
+             (ga.g_cmax if ((sym and not prescale) or sym_mb)
+              else None, False),
              (ga.g_cii, False),
              (ga.g_node, False), Uc, precc, e,
              alpha, sUc, sPc, ipc,
-             (ga.g_mij if need_mij else None, False)],
+             (ga.g_mij if need_mij else None, False),
+             (ga.g_inc, False)],
             [tau] + [w_vec[s] for s in range(S)],
             # F is halo-read in PK3 -> needs valid (zero) margins; bounds
             # are only ever read at the center tile -> uninitialized:
@@ -2672,18 +2983,34 @@ class PallasStepper:
         # adjacency can face a ghost row whose transposed e-slot holds an
         # unrelated real edge (reader-frame slot permutation), giving
         # d > 0 and spurious P — so those canvases read the exact mask:
-        def pk3(wins, scal, tv):
+        # Large-K canvases (reach > 1: cG Q2/Q3, dG Q2/Q3) stream PK3's
+        # per-slot results straight into the output refs: stacking K*C
+        # P tiles as values overflows the Mosaic scoped-VMEM stack
+        # (measured: 125 MB at K=48, W=1536).  Small-K canvases keep the
+        # stacked kernel (proven + marginally better scheduling); so do
+        # equations whose fluxes need precomputed values or sources
+        # (not stream-capable).
+        stream_pk3 = (
+            self.reach > 1 and self.stream_capable and IP == 0
+        )
+
+        def pk3(wins, scal, tv, out_refs=None):
             (w_cij, w_cmax, w_mij, w_cii, w_node, w_mask, w_U, w_prec,
-             w_e, w_alpha, w_F, w_Ulow, w_bounds, w_sU, w_sP, w_ip) = wins
+             w_e, w_alpha, w_F, w_Ulow, w_bounds, w_sU, w_sP, w_ip,
+             w_inc) = wins
             tau_s = scal[0]
             w_arr = jnp.stack(scal[1:]) if S else jnp.zeros((0,), dtype)
             sa = self._sa(tv, w_cij, w_mask, w_mij, w_cii, w_node,
                           mask_arr=(None if w_mask is not None else
-                                    self._derived_mask(w_node, tv)))
+                                    self._derived_mask(w_node, tv)),
+                          w_inc=w_inc)
             Ut, prect = tv.center(w_U), tv.center(w_prec)
             U_j, prec_j = tv.nbr(w_U), tv.nbr(w_prec)
             if sym or sym_mb:
-                dt_ = self._d_win_sym(w_e, tv.center(w_cmax), sa.mask, tv)
+                dt_ = self._d_win_sym(
+                    w_e, None if w_cmax is None else tv.center(w_cmax),
+                    sa.mask, tv,
+                )
             else:
                 dt_ = self._d_win(w_e, sa.mask, tv)
             alpha_t = tv.center(w_alpha)[0]
@@ -2716,15 +3043,143 @@ class PallasStepper:
             )
             return [P.reshape((C * K,) + self.tile), l, okp[None]]
 
+        def pk3_stream(wins, scal, tv, out_refs):
+            """Slot-streaming PK3 (stream-capable equations, reach > 1):
+            identical math to hyp.phase_p_l1, one offset at a time, with
+            P/l stored into the output refs as they are computed."""
+            (w_cij, w_cmax, w_mij, w_cii, w_node, w_mask, w_U, w_prec,
+             w_e, w_alpha, w_F, w_Ulow, w_bounds, w_sU, w_sP, w_ip,
+             w_inc) = wins
+            del w_cii, w_sP, w_ip
+            tau_s = scal[0]
+            ws = scal[1:]
+            weight = 1.0
+            for w_s in ws:
+                weight = weight - w_s
+            del w_prec  # stream-capable fluxes are eq.f(U) pointwise
+            tvd = self._derived_view(tv)
+            tile = self.tile
+            U_win = self._win(w_U, tv)
+            e_win = self._win(w_e, tv)
+            alpha_win = self._win(w_alpha, tv)
+            node_win = self._win(w_node, tv)
+            F_win = self._win(w_F, tv)
+            cij_c = tv.center(w_cij).reshape((self.dim, K) + tile)
+            mij_c = tv.center(w_mij)
+            mask_c = tv.center(w_mask) if w_mask is not None else None
+            inc_c = tv.center(w_inc) if w_inc is not None else None
+            cmax_c = tv.center(w_cmax) if w_cmax is not None else None
+            Ut = tvd.center(U_win)
+            e_c = tvd.center(e_win)
+            node_c = tvd.center(node_win)
+            alpha_c = tvd.center(alpha_win)[0]
+            m_inv = node_c[1]
+            nn = node_c[2]
+            nm = node_c[3]
+            pfac = tau_s * m_inv * nn
+            f_win = eq.f(U_win)
+            f_pl = f_win.reshape((C * self.dim,) + f_win.shape[2:])
+            f_i = tvd.center(f_pl).reshape((C, self.dim) + tile)
+            f_s_wins = []
+            for s in range(S):
+                f_s = eq.f(self._win(w_sU, tv)[s * C : (s + 1) * C])
+                f_s_wins.append(
+                    f_s.reshape((C * self.dim,) + f_s.shape[2:])
+                )
+            F_i = tvd.center(F_win)
+            U_low_t = tv.center(w_Ulow)
+            bounds_t = tv.center(w_bounds)
+            psi0_t = (
+                eq.limiter_psi0(bounds_t, U_low_t)
+                if hasattr(eq, "limiter_psi0") else None
+            )
+            out_P, out_l, _ = out_refs
+            ok_acc = jnp.ones(tile, dtype)
+            for k, off in enumerate(self.offsets):
+                U_jk = tvd._slot(U_win, None, off)
+                c_k = cij_c[:, k]
+                if mask_c is not None:
+                    mask_k = mask_c[k]
+                else:
+                    mask_k = nm * tvd._slot(node_win, 4, off)
+                if sym or sym_mb:
+                    lam_k = (
+                        e_c[k] if k < K_e
+                        else tvd._slot(e_win, K - 1 - k, off)
+                    )
+                    d_k = lam_k if prescale else lam_k * cmax_c[k]
+                else:
+                    d_k = jnp.maximum(
+                        e_c[k], tvd._slot(e_win, K - 1 - k, off)
+                    )
+                d_k = jnp.where(mask_k > 0, d_k, jnp.zeros_like(d_k))
+                alpha_jk = tvd._slot(alpha_win, 0, off)
+                f_jk = tvd._slot(f_pl, None, off).reshape((C, self.dim) + tile)
+                flux_ij_k = eq.flux_divergence(f_i, f_jk, c_k)
+                dU_k = U_jk - Ut
+                factor_k = 0.5 * (alpha_c + alpha_jk)
+                if inc_c is not None:
+                    # dG: force low-order dissipation across element
+                    # interfaces (hyperbolic_module.template.h:733-737)
+                    factor_k = jnp.maximum(factor_k, inc_c[k])
+                dH_k = d_k * factor_k
+                P_k = (weight - 1.0) * flux_ij_k + (
+                    dH_k - d_k
+                )[None] * dU_k
+                for s in range(S):
+                    f_s_jk = tvd._slot(f_s_wins[s], None, off).reshape(
+                        (C, self.dim) + tile
+                    )
+                    f_s_i = tvd.center(f_s_wins[s]).reshape(
+                        (C, self.dim) + tile
+                    )
+                    P_k = P_k + ws[s] * eq.flux_divergence(
+                        f_s_i, f_s_jk, c_k
+                    )
+                m_jk = tvd._slot(node_win, 0, off)
+                F_jk = tvd._slot(F_win, None, off)
+                mij_k = mij_c[k]
+                b_ij_k = -mij_k / m_jk
+                b_ji_k = -mij_k * m_inv
+                P_k = P_k + b_ij_k[None] * F_jk - b_ji_k[None] * F_i
+                P_k = P_k * pfac[None]
+                l_k, succ_k = eq.limiter_limit(
+                    bounds_t, U_low_t, P_k,
+                    newton_iterations=p.limiter_newton_max_iterations,
+                    newton_tol=p.limiter_newton_tolerance,
+                    **({"psi0": psi0_t} if psi0_t is not None else {}),
+                )
+                ok_acc = jnp.minimum(
+                    ok_acc,
+                    jnp.where(
+                        (mask_k > 0) & (nm > 0),
+                        succ_k.astype(dtype),
+                        jnp.ones(tile, dtype),
+                    ),
+                )
+                # fold the edge mask into P (masked slots then contribute
+                # exactly 0 in PK4/PK5 regardless of l; the mask multiply
+                # there is idempotent):
+                P_km = P_k * mask_k[None]
+                for c in range(C):
+                    out_P[c * K + k] = P_km[c]
+                out_l[k] = l_k
+            return [None, None, ok_acc[None]]
+
+        pk3_stream.takes_out_refs = True
+        pk3_fn = pk3_stream if stream_pk3 else pk3
+
         P, l_ij, okp = self._call(
-            tiled_call, pk3,
+            tiled_call, pk3_fn,
             [(ga.g_cij, False),
-             (ga.g_cmax if (sym or sym_mb) else None, False),
+             (ga.g_cmax if ((sym and not prescale) or sym_mb)
+              else None, False),
              (ga.g_mij, False),
              (ga.g_cii, False), ga.g_node,
              (ga.g_mask if self.multiblock else None, False),
              Uc, precc, e,
-             alpha, F, (U_low, False), (bounds, False), sUc, sPc, ipc],
+             alpha, F, (U_low, False), (bounds, False), sUc, sPc, ipc,
+             (ga.g_inc, False)],
             [tau] + [w_vec[s] for s in range(S)],
             # P is center-read only -> uninitialized; l is halo-read in
             # PK4 (transposed) -> zero margins; okp margins enter the

@@ -68,6 +68,13 @@ def main():
             mesh, _ = refine_local(
                 mesh, (np.abs(centers) < 2.0).all(axis=1)
             )
+        elif geom == "airfoil3d":
+            # the reference's 3D airfoil: C-mesh x periodic z extrusion
+            # (geometry_airfoil.h:1279-1290) on the quilt-x-z canvas
+            mesh = geometry.airfoil(refinement=refinement, dim=3)
+            data = assembly.assemble(mesh)
+            packed = multiblock.pack_multiblock_extruded(data, mesh)
+            return packed, -1
         else:
             mesh = getattr(geometry, geom)(refinement=refinement)
         data = assembly.assemble(mesh)

@@ -15,7 +15,7 @@ import pytest
 from ryujin_tpu.config import Config
 from ryujin_tpu.driver import TimeLoop
 from ryujin_tpu.offline import assembly, ell, geometry
-from ryujin_tpu.offline.mesh import refine_local
+from ryujin_tpu.offline.mesh import Boundary, refine_local
 from ryujin_tpu.offline.mesh_adaptor import MeshAdaptor, transfer_state
 
 
@@ -253,3 +253,67 @@ def test_mesh_adaptor_time_points():
     ma.analyze(None, 1.7, 3)
     assert ma.need_mesh_adaptation
     assert ma.adaptation_time_points == []
+
+
+def test_periodic_plus_hanging():
+    """Periodic constraints and hanging nodes COMPOSE through the shared
+    master map (VERDICT r4 item 9; the reference composes them in one
+    AffineConstraints object, offline_data.template.h:186-416).  Local
+    refinement away from the periodic seam; assembly validates and the
+    solver conserves mass exactly."""
+    import jax.numpy as jnp
+
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.offline import ell
+    from ryujin_tpu.postprocess.error import interpolate_nodal
+    from ryujin_tpu.solver.hyperbolic import HyperbolicModule
+    from ryujin_tpu.solver.integrator import TimeIntegrator
+
+    mesh = geometry.rectangular_domain(
+        [-5, -5], [5, 5], [1, 1], 3, [Boundary.periodic] * 4
+    )
+    centers = mesh.vertices[mesh.cells].mean(axis=1)
+    mesh2, _ = refine_local(mesh, (np.abs(centers) < 2.0).all(axis=1))
+    assert mesh2.hanging is not None and len(mesh2.hanging)
+    data = assembly.assemble(mesh2)
+    data.validate()
+    np.testing.assert_allclose(
+        data.lumped_mass[~data.is_constrained].sum(), 100.0, rtol=1e-12
+    )
+
+    eq = Euler(dim=2)
+
+    def init(x, t):
+        rho = 1.0 + 0.1 * jnp.sin(0.2 * np.pi * x[0])
+        return jnp.stack(
+            [rho, 0.1 * rho, 0 * rho, jnp.ones_like(rho) / 0.4], 0
+        )
+
+    packed = ell.pack(data)
+    hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64)
+    ti = TimeIntegrator(hm, "erk 33", cfl_min=0.3, cfl_max=0.3,
+                        cfl_recovery_strategy="none")
+    U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+    m = np.asarray(packed.lumped_mass)
+    nm = np.asarray(packed.node_mask) > 0
+    m0 = float((np.asarray(U)[0] * m)[nm].sum())
+    t = 0.0
+    for _ in range(2):
+        U, tau, ok = ti.step(U, t, 1.0)
+        t += float(tau)
+        assert bool(ok)
+    m2 = float((np.asarray(U)[0] * m)[nm].sum())
+    np.testing.assert_allclose(m2, m0, rtol=1e-12)
+
+
+def test_hanging_on_seam_rejected():
+    """Refinement touching the periodic seam raises the documented
+    NotImplementedError instead of silently mis-assembling."""
+    mesh = geometry.rectangular_domain(
+        [-5, -5], [5, 5], [1, 1], 3, [Boundary.periodic] * 4
+    )
+    centers = mesh.vertices[mesh.cells].mean(axis=1)
+    flags = centers[:, 0] > 3.0  # touches the x = 5 seam
+    mesh2, _ = refine_local(mesh, flags)
+    with pytest.raises(NotImplementedError):
+        assembly.assemble(mesh2)

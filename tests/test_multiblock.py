@@ -339,3 +339,175 @@ def test_airfoil_multiblock_packs():
     # every directed edge resolved: owner-row mask count equals nnz
     # (ghost rows carry gmap-copied mask entries on top)
     assert int(sd.mask[sd.node_mask > 0].sum()) == len(data.indices)
+
+
+class TestExtruded3D:
+    """Extruded multi-block canvases (pack_multiblock_extruded): the 3D
+    airfoil path (geometry_airfoil.h:1279-1290) — a quilt cross-section
+    x z lattice.  Statics are synthesized as (2D packed statics) x (1D
+    z factors), exact for a uniform planar extrusion; refresh maps are
+    z-vectorized."""
+
+    @staticmethod
+    def _init(eq):
+        def init(x, t):
+            rho = 1.0 + 0.1 * jnp.sin(2 * x[0]) * jnp.cos(
+                3 * x[1]
+            ) * jnp.cos(4 * np.pi * x[2])
+            return jnp.stack(
+                [rho, 0.1 * rho, -0.05 * rho, 0.02 * rho,
+                 1.0 / 0.4 + 0.5 * 0.0125 * rho], 0,
+            )
+
+        return init
+
+    @staticmethod
+    def _run(packed, eq, init, backend):
+        from ryujin_tpu.postprocess.error import interpolate_nodal
+        from ryujin_tpu.solver.integrator import TimeIntegrator
+
+        hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64,
+                              backend=backend)
+        ti = TimeIntegrator(hm, "erk 33", cfl_min=0.3, cfl_max=0.3,
+                            cfl_recovery_strategy="none")
+        U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+        t = 0.0
+        for _ in range(2):
+            U, tau, ok = ti.step(U, t, 1.0)
+            t += float(tau)
+            assert bool(ok)
+        return np.asarray(U), t
+
+    @pytest.mark.parametrize("periodic_z", [True, False])
+    def test_matches_ell(self, periodic_z):
+        from ryujin_tpu.equations.euler import Euler
+        from ryujin_tpu.offline import ell, geometry
+        from ryujin_tpu.offline.geometry import extrude
+        from ryujin_tpu.offline.mesh import Boundary
+
+        eq = Euler(dim=3)
+        base = geometry.disk(refinement=1)
+        bc = Boundary.periodic if periodic_z else Boundary.slip
+        mesh3 = extrude(base, 0.0, 0.5, 4, bc_minus=bc, bc_plus=bc)
+        data3 = assembly.assemble(mesh3)
+        data3.validate()
+        packed3 = multiblock.pack_multiblock_extruded(data3, mesh3)
+        assert packed3.gmap_edge_z is not None
+        pe = ell.pack(data3)
+        init = self._init(eq)
+        U_e, t_e = self._run(pe, eq, init, "xla")
+        U_s, t_s = self._run(packed3, eq, init, "xla")
+        assert abs(t_s - t_e) <= 1e-12 * abs(t_e)
+        real = np.flatnonzero(packed3.node_to_vertex >= 0)
+        dofs = packed3.node_to_vertex[real]
+        np.testing.assert_allclose(
+            U_s[:, real], U_e[:, pe.vertex_to_node[dofs]],
+            rtol=1e-11, atol=1e-13,
+        )
+
+    def test_pallas_interpret(self):
+        from ryujin_tpu.equations.euler import Euler
+        from ryujin_tpu.offline import geometry
+        from ryujin_tpu.offline.geometry import extrude
+        from ryujin_tpu.offline.mesh import Boundary
+
+        eq = Euler(dim=3)
+        base = geometry.disk(refinement=1)
+        mesh3 = extrude(base, 0.0, 0.5, 4,
+                        bc_minus=Boundary.periodic,
+                        bc_plus=Boundary.periodic)
+        data3 = assembly.assemble(mesh3)
+        packed3 = multiblock.pack_multiblock_extruded(data3, mesh3)
+        init = self._init(eq)
+        U_x, t_x = self._run(packed3, eq, init, "xla")
+        U_p, t_p = self._run(packed3, eq, init, "pallas_interpret")
+        assert abs(t_p - t_x) <= 1e-12 * abs(t_x)
+        real = np.flatnonzero(packed3.node_to_vertex >= 0)
+        np.testing.assert_allclose(
+            U_p[:, real], U_x[:, real], rtol=1e-9, atol=1e-12
+        )
+
+
+def _hex3_msh(path):
+    """A gmsh v2.2 file: hexagon meshed as THREE quads around a central
+    valence-3 vertex — a genuinely imported, locally-structured mesh
+    whose interior extraordinary vertex exercises the EV sideband
+    (the reference reads such meshes via GridIn and runs them through
+    the same hot loop, geometry_reader.h:32-49)."""
+    import math
+
+    pts = [(0.0, 0.0)] + [
+        (math.cos(k * math.pi / 3), math.sin(k * math.pi / 3))
+        for k in range(6)
+    ]
+    lines = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat", "$Nodes",
+             str(len(pts))]
+    for i, (x, y) in enumerate(pts):
+        lines.append(f"{i + 1} {x} {y} 0")
+    lines += ["$EndNodes", "$Elements"]
+    # gmsh quads in cyclic corner order (reader maps to deal.II):
+    quads = [(1, 2, 3, 4), (1, 4, 5, 6), (1, 6, 7, 2)]
+    bnd = [(2, 3), (3, 4), (4, 5), (5, 6), (6, 7), (7, 2)]
+    el = []
+    eid = 1
+    for a, b in bnd:
+        el.append(f"{eid} 1 2 4 0 {a} {b}")  # tag 4 = dirichlet
+        eid += 1
+    for q in quads:
+        el.append(f"{eid} 3 2 0 0 {q[0]} {q[1]} {q[2]} {q[3]}")
+        eid += 1
+    lines.append(str(len(el)))
+    lines += el
+    lines += ["$EndElements", ""]
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+
+
+def test_gmsh_import_quilts(tmp_path):
+    """An imported .msh quilt with an interior extraordinary vertex
+    packs onto the multi-block canvas (EV side rows) and reproduces the
+    ELL path — the 'generalized quilting for gmsh imports' capability
+    (VERDICT r4 item 4)."""
+    from ryujin_tpu.offline.reader import read_msh
+
+    path = str(tmp_path / "hex3.msh")
+    _hex3_msh(path)
+    mesh = read_msh(path).refine_global(3)
+    data = assembly.assemble(mesh)
+    data.validate()
+    packed = multiblock.pack_multiblock(data, mesh)
+    # the valence-3 center embeds via the ghost rings (<= 8 neighbors);
+    # the cross-block refresh maps are the quilt signature:
+    assert packed.gmap_edge is not None and len(packed.gmap_edge[0])
+    eq = Euler(dim=2)
+
+    def init(x, t):
+        rho = 1.0 + 0.1 * jnp.sin(2 * x[0]) * jnp.cos(3 * x[1])
+        return jnp.stack(
+            [rho, 0.1 * rho, -0.05 * rho,
+             1.0 / 0.4 + 0.5 * 0.0125 * rho], 0,
+        )
+
+    def run(p, backend):
+        hm = HyperbolicModule(eq, p, init, dtype=jnp.float64,
+                              backend=backend)
+        ti = TimeIntegrator(hm, "erk 33", cfl_min=0.3, cfl_max=0.3,
+                            cfl_recovery_strategy="none")
+        U = interpolate_nodal(init, p, eq, 0.0, jnp.float64)
+        t = 0.0
+        for _ in range(2):
+            U, tau, ok = ti.step(U, t, 1.0)
+            t += float(tau)
+            assert bool(ok)
+        return np.asarray(U), t
+
+    pe = ell.pack(data)
+    U_e, t_e = run(pe, "xla")
+    U_m, t_m = run(packed, "xla")
+    assert abs(t_m - t_e) <= 1e-12 * abs(t_e)
+    real = np.flatnonzero(packed.node_to_vertex >= 0)
+    dofs = packed.node_to_vertex[real]
+    np.testing.assert_allclose(
+        U_m[:, real], U_e[:, pe.vertex_to_node[dofs]],
+        rtol=1e-11, atol=1e-13,
+    )

@@ -258,3 +258,53 @@ def test_dense_boundary_conditions_match_scatter(monkeypatch):
         res["1"][0][:, real], res["0"][0][:, real]
     )
     assert res["1"][1] == res["0"][1]
+
+
+def test_slab_ghost_tile_skip_matches_xla():
+    """Unsharded slab canvases enumerate only the real tiles of each
+    slab (pallas_step._tiled_call slab_tiles); the ghost-band tiles are
+    refreshed between kernels and never computed.  Result must match the
+    XLA canvas path (and the plain slabs=1 canvas, which the XLA path
+    reproduces exactly)."""
+    import numpy as np
+
+    from ryujin_tpu.equations.euler import Euler
+    from ryujin_tpu.offline import assembly, geometry, structured
+    from ryujin_tpu.postprocess.error import interpolate_nodal
+    from ryujin_tpu.solver.hyperbolic import HyperbolicModule
+    from ryujin_tpu.solver.integrator import TimeIntegrator
+
+    eq = Euler(dim=2)
+    mesh = geometry.step(refinement=0)
+    data = assembly.assemble(mesh)
+
+    def run(slabs, backend):
+        packed = structured.pack_structured(data, mesh, slabs=slabs)
+        init = lambda x, t: jnp.stack([
+            jnp.ones_like(x[0]) * 1.4,
+            3.0 * 1.4 * jnp.ones_like(x[0]),
+            0 * x[0],
+            jnp.ones_like(x[0]) / 0.4 + 0.5 * 1.4 * 9.0,
+        ], 0)
+        hm = HyperbolicModule(eq, packed, init, dtype=jnp.float64,
+                              backend=backend)
+        ti = TimeIntegrator(hm, "erk 33", cfl_min=0.4, cfl_max=0.4,
+                            cfl_recovery_strategy="none")
+        U = interpolate_nodal(init, packed, eq, 0.0, jnp.float64)
+        # layout-independent perturbation so every limiter works:
+        pert = 1.0 + 0.2 * np.sin(np.asarray(packed.node_to_vertex) * 0.37)
+        U = U * jnp.asarray(
+            np.where(packed.node_to_vertex >= 0, pert, 1.0)
+        )[None]
+        U, tau, ok = ti.step(U, 0.0, 1.0)
+        real = np.flatnonzero(packed.node_to_vertex >= 0)
+        order = np.argsort(packed.node_to_vertex[real])
+        return np.asarray(U)[:, real[order]], float(tau)
+
+    u1x, t1x = run(1, "xla")
+    for slabs in (2, 4):
+        ux, tx = run(slabs, "xla")
+        np.testing.assert_allclose(ux, u1x, rtol=1e-12)
+        up, tp = run(slabs, "pallas_interpret")
+        assert abs(tp - tx) <= 1e-12 * abs(tx)
+        np.testing.assert_allclose(up, ux, rtol=1e-9, atol=1e-12)
