@@ -534,11 +534,20 @@ def _traffic_account(tiled_call_fn, name, ins, out_init, common, itemsize):
         t0, t1 = common["tile_rows"]
         gw = W // TW
         g = (t1 - t0) * gw
-        # sliding-stripe columns refetch only TH new rows per y step;
-        # the dominant single-column (gw == 1) case uses (3*TH, W)
-        # windows per row tile:
         tile = g * TH * TW
-        win = g * 3 * TH * (3 * TW if gw > 1 else TW)
+        if gw > 1:
+            # column grids re-fetch a full (3*TH, 3*TW) window per tile
+            # (upper bound: edge clipping ignored):
+            win = g * 3 * TH * 3 * TW
+        else:
+            # single-column sliding-stripe pipeline: one full 3*TH
+            # window at the start (and per slab, when slab_tiles remaps
+            # the grid), then only the NEW TH-row stripe per tile:
+            starts = (
+                common["slab_tiles"][0]
+                if common.get("slab_tiles") is not None else 1
+            )
+            win = (g + 2 * starts) * TH * TW
     elif tiled_call_fn is _tiled_call_3d:
         TD, TH, W = common["TD"], common["TH"], common["W"]
         tz0, tz1 = common["tile_planes"]
