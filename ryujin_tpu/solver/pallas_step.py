@@ -262,7 +262,10 @@ def _tiled_call(
     else:
         n_sl, tps, At, gt = slab_tiles
         assert gt >= 1 and n_sl * At * TH == H, (slab_tiles, H, TH)
-        t0, t1 = 0, n_sl * tps
+        # tile_rows[1] may trim trailing empty tiles of the last slab
+        # (Ls rounding pad) from the enumeration; the tile -> row map is
+        # unchanged, those rows just stay uncomputed like canvas margins:
+        t0, t1 = 0, min(tile_rows[1], n_sl * tps)
 
         def row_tile(tq):
             return (tq // tps) * At + gt + tq % tps
@@ -1287,23 +1290,17 @@ class PallasStepper:
         # fields x z-profiles; the slab kernels then synthesize them in
         # VMEM instead of streaming ~130 [D, H, W] static planes from
         # HBM per substep, and the full canvases are never materialized
-        # (offline/separable.py).  RYUJIN_SEP: 1 force, 0 off, auto
-        # (default) enables it when the full static canvases would
-        # exceed ~1 GB of HBM — below that the benchmark boxes run ~2%
-        # faster on the plain canvases (the in-kernel synthesis is pure
-        # VPU work and the kernels are not bandwidth-bound at that
-        # size), above it the memory and traffic savings dominate:
+        # (offline/separable.py).  RYUJIN_SEP=1 opts in; measured A/B at
+        # 2.09M nodes / 1.55 GB statics (PERF_r05 sep_{off,on}_2M_deepz:
+        # 68.1 vs 66.3 MQ/s) shows the throughput win never materializes
+        # even above the former ~1 GB auto threshold — the slab kernels
+        # are not bandwidth-bound at the margin, so the in-kernel
+        # synthesis VPU cost wins out.  Kept opt-in for its real -414 MB
+        # / -26% HBM *capacity and traffic* savings (meshes that
+        # otherwise do not fit), not as a throughput knob:
         self.sep = None
-        sep_env = os.environ.get("RYUJIN_SEP", "auto")
-        static_gb = (
-            (dim + 3) * K * sd.n_pad * np.dtype(dtype).itemsize / 1e9
-        )
-        want_sep = (
-            sep_env == "1"
-            or (sep_env not in ("0",) and static_gb >= float(
-                os.environ.get("RYUJIN_SEP_AUTO_GB", "1.0")
-            ))
-        )
+        sep_env = os.environ.get("RYUJIN_SEP", "0")
+        want_sep = sep_env == "1"
         if self.slab3d and want_sep:
             from ..offline.separable import separate_z
 
@@ -1456,6 +1453,11 @@ class PallasStepper:
         )
         r0, r1 = int(rows_with_nodes[0]), int(rows_with_nodes[-1]) + 1
         self.tile_rows = (r0 // self.TH, (r1 - 1) // self.TH + 1)
+        # per-axis-0-row content flags (slab canvases trim trailing
+        # rounding-pad tiles from the grid enumeration in step()):
+        self._row_has_content = np.asarray(
+            nm.any(axis=tuple(a for a in caxes if a != 0))
+        )
         if not self.slab3d and (
             self.tile_rows[0] < 1
             or self.tile_rows[1] * self.TH + self.TH > H
@@ -1663,17 +1665,24 @@ class PallasStepper:
             ).reshape(X.shape)
         if self.slab_spec is not None:
             # cyclic roll along the slab axis — a collective-permute when
-            # that axis is sharded over the device mesh
+            # that axis is sharded over the device mesh.  Only the `reach`
+            # innermost rows of each g-row ghost band are ever read by the
+            # kernels (tile windows reach at most `reach` rows past the
+            # real range), so only those are copied — an 8x cut of the
+            # refresh traffic (and of the ICI halo volume when sharded)
+            # versus refreshing the full band.
             n_sl, Ls, g = self.slab_spec
+            r = self.reach
             A = Ls + 2 * g
             Xs = X.reshape(X.shape[:1] + (n_sl, A) + self.canvas[1:])
             top = jnp.roll(
-                jax.lax.slice_in_dim(Xs, Ls, Ls + g, axis=2), 1, axis=1
+                jax.lax.slice_in_dim(Xs, g + Ls - r, g + Ls, axis=2),
+                1, axis=1,
             )
             bot = jnp.roll(
-                jax.lax.slice_in_dim(Xs, g, 2 * g, axis=2), -1, axis=1
+                jax.lax.slice_in_dim(Xs, g, g + r, axis=2), -1, axis=1
             )
-            Xs = jax.lax.dynamic_update_slice_in_dim(Xs, top, 0, 2)
+            Xs = jax.lax.dynamic_update_slice_in_dim(Xs, top, g - r, 2)
             Xs = jax.lax.dynamic_update_slice_in_dim(Xs, bot, g + Ls, 2)
             X = Xs.reshape(X.shape[:1] + self.canvas)
         for ax, gh in enumerate(self.ghost_bands):
@@ -1706,16 +1715,21 @@ class PallasStepper:
         if not self._have_ghosts or X.shape[1] == 0:
             return X
         if self.slab_spec is not None:
+            # reach-row refresh, exactly as in _refresh: only the `reach`
+            # innermost planes of each ghost band are read by the z-slab
+            # windows
             n_sl, Ls, g = self.slab_spec
+            r = self.reach
             A = Ls + 2 * g
             Xs = X.reshape((n_sl, A) + X.shape[1:])
             top = jnp.roll(
-                jax.lax.slice_in_dim(Xs, Ls, Ls + g, axis=1), 1, axis=0
+                jax.lax.slice_in_dim(Xs, g + Ls - r, g + Ls, axis=1),
+                1, axis=0,
             )
             bot = jnp.roll(
-                jax.lax.slice_in_dim(Xs, g, 2 * g, axis=1), -1, axis=0
+                jax.lax.slice_in_dim(Xs, g, g + r, axis=1), -1, axis=0
             )
-            Xs = jax.lax.dynamic_update_slice_in_dim(Xs, top, 0, 1)
+            Xs = jax.lax.dynamic_update_slice_in_dim(Xs, top, g - r, 1)
             Xs = jax.lax.dynamic_update_slice_in_dim(Xs, bot, g + Ls, 1)
             X = Xs.reshape(X.shape)
         for ax, gh in enumerate(self.ghost_bands):
@@ -2625,10 +2639,24 @@ class PallasStepper:
                 # machinery tax of PERF_r04 slab_canvas_overhead_1M)
                 n_sl, Ls, g = self.slab_spec
                 if Ls % TH == 0 and g % TH == 0 and g >= TH:
-                    common["slab_tiles"] = (
-                        n_sl, Ls // TH, (Ls + 2 * g) // TH, g // TH
+                    tps, At, gt = Ls // TH, (Ls + 2 * g) // TH, g // TH
+                    # Ls rounds content/n_sl up to a tile multiple, so the
+                    # LAST slab usually ends in fully-empty tiles (the pad
+                    # ratio growth of PERF_r04 slab_canvas_overhead_1M).
+                    # Content fills slabs in order, so trimming the grid to
+                    # the last tile with content skips them without
+                    # changing the tile -> row map:
+                    tile_has = self._row_has_content.reshape(
+                        -1, TH
+                    ).any(axis=1)
+                    enum_rows = (
+                        (np.arange(n_sl * tps) // tps) * At + gt
+                        + np.arange(n_sl * tps) % tps
                     )
-                    common["tile_rows"] = (0, n_sl * (Ls // TH))
+                    nz = np.flatnonzero(tile_has[enum_rows])
+                    n_ct = int(nz[-1]) + 1 if len(nz) else 0
+                    common["slab_tiles"] = (n_sl, tps, At, gt)
+                    common["tile_rows"] = (0, n_ct)
             tiled_call = _tiled_call
 
         def zeros(planes):

@@ -50,6 +50,24 @@ CASES = {
         "scripts/probe_slab.py",
         {"R": "3", "SLABS": "1,8", "WARMUP": "300"},
     ),
+    # 3D extruded airfoil on the quilt x z canvas (VERDICT r4 item 3);
+    # ~same node count as the 534k 2D airfoil probe (R=3 cross-section
+    # x 16 z layers):
+    "airfoil3d": (
+        "scripts/probe_multiblock.py",
+        {"GEOM": "airfoil3d", "R": "3", "STEPS": "20", "WARMUP": "500"},
+    ),
+    # separable statics at >1 GB statics (VERDICT r4 item 7), deep-z box:
+    "sep_off_2M_deepz": (
+        "scripts/probe_pallas3d.py",
+        {"RYUJIN_SEP": "0", "SUBDIV": "[31,16,64]", "R": "2",
+         "STEPS": "20"},
+    ),
+    "sep_on_2M_deepz": (
+        "scripts/probe_pallas3d.py",
+        {"RYUJIN_SEP": "1", "SUBDIV": "[31,16,64]", "R": "2",
+         "STEPS": "20"},
+    ),
 }
 
 _MQS = re.compile(r"(\d+\.\d+)\s+MQ/s")
