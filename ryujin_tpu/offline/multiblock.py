@@ -1253,7 +1253,7 @@ def _z_line_factors(mesh3, L: int, periodic_z: bool):
 
 def pack_multiblock_extruded(
     data3, mesh3: Mesh, blocks: Optional[List[Block]] = None,
-    margin_z: int = 8, pad_depth: int = 8,
+    margin_z: int = 2, pad_depth: int = 8,
 ) -> StructuredData:
     """Pack a z-extruded multi-block mesh onto a (D, H, W) canvas.
 
@@ -1270,6 +1270,11 @@ def pack_multiblock_extruded(
 
     cG Q1 only; extrusions with EV side rows are rejected (none of the
     reference's extruded geometries have them).
+
+    margin_z defaults to 2 = the z-slab kernels' default tile depth TD
+    (solver/pallas_step._tile_d_default) — the kernels need z margins of
+    at least TD planes, and on shallow extrusions (the 16-layer airfoil)
+    an 8-plane band would pad the canvas by another 1.33x.
     """
     base = mesh3.extrusion_base
     if base is None or mesh3.extrusion_layers is None:

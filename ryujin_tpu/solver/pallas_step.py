@@ -1253,9 +1253,19 @@ class PallasStepper:
             raise ValueError("3D slab pallas needs >=1-row y margins")
         self.TH, self.TW = TH, TW
         if self.dim == 3:
-            TD = _tile_d_default() if self.slab3d else int(
-                os.environ.get("RYUJIN_TILE_D", "8")
-            )
+            if self.slab3d:
+                TD = _tile_d_default()
+            elif "RYUJIN_TILE_D" in os.environ:
+                TD = int(os.environ["RYUJIN_TILE_D"])
+            else:
+                # stacked path: the z-tile depth must not exceed the
+                # packed z margin (tile_planes needs one masked tile of
+                # slack above) — extruded multi-block canvases pack
+                # 2-plane z margins (pack_multiblock_extruded), plain
+                # boxes 8; also stay a divisor of the canvas depth:
+                TD = 8
+                while TD > 1 and (sd.margins[0] < TD or self.D % TD):
+                    TD //= 2
             if self.D % TD:
                 raise ValueError(
                     f"canvas depth {self.D} not a multiple of {TD}"

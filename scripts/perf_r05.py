@@ -53,9 +53,14 @@ CASES = {
     # 3D extruded airfoil on the quilt x z canvas (VERDICT r4 item 3);
     # ~same node count as the 534k 2D airfoil probe (R=3 cross-section
     # x 16 z layers):
+    # RYUJIN_TILE_D=2: the 88x640 cross-section overflows the 128 MB
+    # VMEM at the stacked path's default TD=8 (135.9M program
+    # requirement), and the z-slab path's full-cross-section windows
+    # cap H*W at ~9k columns — y-tiling would be needed to lift either:
     "airfoil3d": (
         "scripts/probe_multiblock.py",
-        {"GEOM": "airfoil3d", "R": "3", "STEPS": "20", "WARMUP": "500"},
+        {"GEOM": "airfoil3d", "R": "3", "STEPS": "20", "WARMUP": "500",
+         "RYUJIN_TILE_D": "2"},
     ),
     # separable statics at >1 GB statics (VERDICT r4 item 7), deep-z box:
     "sep_off_2M_deepz": (

@@ -35,9 +35,14 @@ def main():
     backend = os.environ.get("BE", "pallas")
     dtype = jnp.float32
 
-    eq = Euler(dim=2)
+    dim = 3 if geom == "airfoil3d" else 2
+    eq = Euler(dim=dim)
     t0 = time.perf_counter()
-    if geom == "airfoil":
+    if geom == "airfoil3d":
+        init = make_initial_state(
+            eq, "uniform", primitive_state=(1.4, 0.85, 0.0, 0.0, 1.0)
+        )
+    elif geom == "airfoil":
         # subsonic-ish freestream at Mach 0.72 like the reference's
         # transonic setup (airfoil runs use dynamic farfield BCs):
         init = make_initial_state(
@@ -153,7 +158,9 @@ def main():
     Uh = np.asarray(out[0])[:, np.asarray(packed.node_mask) > 0]
     print("finite:", np.isfinite(Uh).all(), "rho range:",
           Uh[0].min(), Uh[0].max(), flush=True)
-    print(json.dumps({"metric": f"euler2d_{geom}_multiblock", "mqs": mqs}))
+    print(json.dumps(
+        {"metric": f"euler{dim}d_{geom}_multiblock", "mqs": mqs}
+    ))
 
 
 if __name__ == "__main__":
